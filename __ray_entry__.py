@@ -1,44 +1,201 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on the sf0.001 transcript corpus
+(synthesised deterministically per BASELINE.json ``input_hint``).
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the large-scale data ops; ``oracle_sql()`` gives DuckDB
+equivalents where SQL can express the op (floating aggregates are emitted
+as exact integer cents/micros so value hashes are order-independent).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
+def _corpus(sf_dir: str) -> str:
+    from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
+    return corpus_for_sf_dir(sf_dir)
+
+
+def _workdir(sf_dir: str) -> str:
+    import re
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/wsner_work/{name}"
+
+
+def _turns_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(_corpus(sf_dir), "turns.parquet"))
+
+
+def _kg(sf_dir: str):
+    from weak_supervision_for_ner_ray.pipelines.kg import build_kg
+    return build_kg(_turns_ds(sf_dir), _workdir(sf_dir), n_iter=2,
+                    write=True, seed=42)
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction on the sf0.001-scale corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    out = _kg(sf_dir)
+    return out["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from weak_supervision_for_ner_ray.pipelines import ops
+    from weak_supervision_for_ner_ray.pipelines.kg import mentions_table
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_triples(sf_dir):
+        return _kg(sf_dir)["triples"]
+
+    def kg_ner(sf_dir):
+        out = _kg(sf_dir)
+        return out["ner"]
+
+    def kg_nodes(sf_dir):
+        return _kg(sf_dir)["nodes"]
+
+    def kg_edges(sf_dir):
+        return _kg(sf_dir)["edges"]
+
+    def kg_mentions(sf_dir):
+        return mentions_table(_turns_ds(sf_dir))
+
+    def turns_restore_order(sf_dir):
+        # per-turn text equality invariant surface: restore stable order
+        import ray.data as rd
+        ds = _turns_ds(sf_dir)
+        return ds.sort(["conv_id", "turn_idx"])
+
+    return {
+        # --- relational / streaming over provided tables (SQL oracles) ---
+        "pricing_summary": ops.pricing_summary_exact,
+        "revenue_by_segment": ops.revenue_by_segment_exact,
+        "top_orders": lambda sf: ops.top_orders(sf),
+        "events_hourly": ops.events_hourly_exact,
+        "event_type_stats": ops.event_type_stats_exact,
+        "lang_count": ops.lang_count,
+        # --- text analysis over documents (SQL oracles) ---
+        "token_count": ops.token_count,
+        "quality_score": ops.quality_score_exact,
+        "doc_fingerprint": ops.doc_fingerprint,
+        "exact_dedup": ops.exact_dedup,
+        # --- similarity / dedup (rows-only or SQL where expressible) ---
+        "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
+        "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
+        "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
+        "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
+        "dedup_simhash": ops.simhash_table,
+        "lang_id": ops.lang_id,
+        "multimodal_features": ops.multimodal_features,
+        # --- the KG-construction engine over transcripts (rows-only:
+        #     transcripts are synthesised outside the DuckDB views) ---
+        "turns_restore_order": turns_restore_order,
+        "kg_mentions": kg_mentions,
+        "kg_ner": kg_ner,
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS sum_base_price_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c.c_mktsegment,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS total_revenue_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_mil
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, window_start
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_mil,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lang_count": """
+            SELECT lang, count(*) AS n FROM documents
+            GROUP BY lang ORDER BY lang
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens,
+                   CAST(floor(length(regexp_replace(text, '\\s+', '', 'g'))
+                              * 1000000.0
+                              / len(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                        AS BIGINT) AS mean_token_len_micro,
+                   CAST(floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                              * 1000000.0 / length(text)) AS BIGINT)
+                       AS upper_ratio_micro
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qe
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+            ranked AS (
+              SELECT q.qid AS query_id, e.vec_id,
+                     CAST(round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000)
+                          AS BIGINT) AS sim_micro,
+                     row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000)
+                             DESC, e.vec_id) AS rank
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, rank, vec_id, sim_micro
+            FROM ranked WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+    }

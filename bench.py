@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the headline KG pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+both plus scaling efficiency = (t_8 / t_32) / (32 / 8).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _consume(ds):
+    """Fully execute a Dataset (or pass through a materialised table)."""
+    import pyarrow as pa
+    import ray.data
+    if isinstance(ds, ray.data.Dataset):
+        n = 0
+        for batch in ds.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    return len(ds)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
+    from weak_supervision_for_ner_ray.pipelines import ops
+    from weak_supervision_for_ner_ray.pipelines.kg import build_kg
+
+    # corpus generation is one-time and cached; warm the page cache with an
+    # untimed read so timings measure compute + shuffle, not first disk read
+    corpus_dir = corpus_for_sf_dir(sf_dir)
+    import ray.data as rd
+    turns_path = os.path.join(corpus_dir, "turns.parquet")
+    n_turns = rd.read_parquet(turns_path).count()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        rd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counts[name] = _consume(fn())
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full KG construction on a fresh workdir (no cached stages)
+    workdir = f"/tmp/wsner_bench_work/{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+
+    def kg():
+        out = build_kg(rd.read_parquet(turns_path), workdir, n_iter=2,
+                       write=True)
+        n = out["triples"].count()
+        _consume(out["nodes"])
+        _consume(out["edges"])
+        return range(n)   # len() -> triple count
+
+    timed("kg_pipeline", kg)
+
+    # data ops over the provided tables
+    timed("pricing_summary", lambda: ops.pricing_summary_exact(sf_dir))
+    timed("revenue_by_segment", lambda: ops.revenue_by_segment_exact(sf_dir))
+    timed("events_hourly", lambda: ops.events_hourly_exact(sf_dir))
+    timed("token_count", lambda: ops.token_count(sf_dir))
+    timed("quality_score", lambda: ops.quality_score_exact(sf_dir))
+    timed("lang_id", lambda: ops.lang_id(sf_dir))
+    timed("exact_dedup", lambda: ops.exact_dedup(sf_dir))
+    timed("dedup_minhash", lambda: ops.minhash_candidates(sf_dir))
+    timed("dedup_simhash", lambda: ops.simhash_table(sf_dir))
+    timed("knn_bruteforce", lambda: ops.knn_bruteforce(sf_dir))
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes (north rule
+    evidence protocol)."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_KG_ONLY="1")
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": t8, "sec_32": t32,
+        "turns_per_sec_8": out[8]["turns_per_sec"],
+        "turns_per_sec_32": out[32]["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": out[32]["sf"],
+    }
+
+
+def run_kg_only(sf_dir: str, num_cpus: int) -> dict:
+    """KG pipeline only (used by --scaling children)."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
+    from weak_supervision_for_ner_ray.pipelines.kg import build_kg
+    corpus_dir = corpus_for_sf_dir(sf_dir)
+    turns_path = os.path.join(corpus_dir, "turns.parquet")
+    n_turns = rd.read_parquet(turns_path).count()   # warm cache
+    workdir = f"/tmp/wsner_bench_work/{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    t0 = time.time()
+    out = build_kg(rd.read_parquet(turns_path), workdir, n_iter=2,
+                   write=True)
+    n_triples = out["triples"].count()
+    _consume(out["nodes"])
+    _consume(out["edges"])
+    dt = round(time.time() - t0, 3)
+    shutil.rmtree(workdir, ignore_errors=True)
+    result = {"metric": "kg_pipeline_sec", "value": dt, "unit": "sec",
+              "queries": {"kg_pipeline": dt},
+              "sf": os.path.basename(os.path.normpath(sf_dir)),
+              "num_cpus": num_cpus, "turns": n_turns,
+              "n_triples": n_triples,
+              "turns_per_sec": round(n_turns / dt, 1)}
+    ray.shutdown()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    elif os.environ.get("GRAFT_BENCH_KG_ONLY"):
+        print(json.dumps(run_kg_only(sf_dir, num_cpus)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -1,0 +1,148 @@
+import numpy as np
+
+from weak_supervision_for_ner_ray.constants import POSITIONED_LABELS
+from weak_supervision_for_ner_ray.state import hmm
+from weak_supervision_for_ner_ray.state.hmm import (HMMParams, SuffStats,
+                                                    TurnObs, decode_turn,
+                                                    forward, backward,
+                                                    frame_log_likelihood,
+                                                    init_params_from_counts,
+                                                    m_step, viterbi)
+
+
+def tiny_params(seed=1):
+    """Params with realistic observation-mass priors: overwhelmingly 'O'
+    observations per source, as a real corpus pass would produce."""
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    init = np.zeros(K)
+    trans = np.zeros((K, K))
+    obs = np.zeros((S, K))
+    obs[:, 0] = 10000.0
+    return init_params_from_counts(init, trans, obs, seed=seed)
+
+
+def obs_with_span(n=6, source=None, start=1, end=3, label="PERSON",
+                  conf=1.0):
+    o = TurnObs(n)
+    # default to a source whose priors cover all labels (core_web_md+c);
+    # sources without a prior for the label have structurally-zero emission
+    src = hmm.BEST_COVERAGE_INDEX if source is None else source
+    o.add_span(src, start, end, label, conf)
+    return o
+
+
+def test_observation_bilu_spread():
+    o = obs_with_span(end=4, source=0)
+    from weak_supervision_for_ner_ray.constants import LABEL_INDICES
+    assert o.fired[(1, 0)] == {LABEL_INDICES["B-PERSON"]: 1.0}
+    assert o.fired[(2, 0)] == {LABEL_INDICES["I-PERSON"]: 1.0}
+    assert o.fired[(3, 0)] == {LABEL_INDICES["L-PERSON"]: 1.0}
+    o2 = obs_with_span(start=2, end=3, source=0)
+    assert o2.fired[(2, 0)] == {LABEL_INDICES["U-PERSON"]: 1.0}
+
+
+def test_zero_observation_constraint():
+    """Tokens where no LF fires can only be state O (labelling.py:444-446)."""
+    p = tiny_params()
+    o = obs_with_span()
+    ll = frame_log_likelihood(o, p)
+    assert np.isfinite(ll[0, 0])
+    assert np.all(np.isinf(ll[0, 1:]))  # token 0: nothing fired
+    # token 1: B-PERSON observed -> that state is allowed
+    from weak_supervision_for_ner_ray.constants import LABEL_INDICES
+    assert np.isfinite(ll[1, LABEL_INDICES["B-PERSON"]])
+
+
+def test_forward_backward_agree():
+    p = tiny_params()
+    o = obs_with_span()
+    ll = frame_log_likelihood(o, p)
+    logprob, fwd = forward(ll, p)
+    bwd = backward(ll, p)
+    # total probability from the backward side must match
+    first = p.log_start + ll[0] + bwd[0]
+    m = first.max()
+    alt = m + np.log(np.exp(first - m).sum())
+    assert abs(logprob - alt) < 1e-8
+
+
+def test_viterbi_decodes_span():
+    p = tiny_params()
+    o = TurnObs(6)
+    # several agreeing sources, as the LF bank produces for a real mention
+    for src in ("core_web_md", "core_web_md+c", "wiki_cased",
+                "full_name_detector", "crunchbase_cased"):
+        o.add_span(hmm.SOURCE_INDICES[src], 1, 3, "PERSON", 1.0)
+    spans = decode_turn(o, p)
+    assert any(lab == "PERSON" and (s, e) == (1, 3) for s, e, lab, _ in spans)
+
+
+def test_decode_bilu_validity():
+    """Decoded sequences are structurally valid (labelling.py:484-495)."""
+    p = tiny_params()
+    rng = np.random.default_rng(3)
+    for trial in range(10):
+        o = TurnObs(12)
+        for _ in range(3):
+            s = int(rng.integers(0, 10))
+            e = s + int(rng.integers(1, 3))
+            o.add_span(int(rng.integers(0, hmm.N_SOURCES)), s, e,
+                       "ORG", 1.0)
+        ll = frame_log_likelihood(o, p)
+        _, states = viterbi(ll, p)
+        prev = "O"
+        for st in states:
+            lab = POSITIONED_LABELS[st]
+            if prev[0] in "LUO":
+                assert lab[0] not in "IL", (prev, lab)
+            if prev[0] in "BI":
+                assert lab[0] in "IL" and lab[2:] == prev[2:], (prev, lab)
+            prev = lab
+        assert prev[0] in "LUO"
+
+
+def test_em_iteration_increases_likelihood():
+    p = tiny_params()
+    observations = []
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        o = TurnObs(8)
+        s = int(rng.integers(0, 6))
+        o.add_span(hmm.BEST_COVERAGE_INDEX, s, s + 2, "GPE", 1.0)
+        o.add_span(hmm.SOURCE_INDICES["wiki_cased"] if hasattr(hmm, "SOURCE_INDICES") else 0, s, s + 2, "GPE", 0.8)
+        observations.append(o)
+    lps = []
+    for _ in range(3):
+        stats = SuffStats()
+        for o in observations:
+            hmm.accumulate(o, p, stats)
+        lps.append(stats.logprob)
+        p = m_step(p, stats)
+    assert lps[-1] >= lps[0] - 1e-6
+
+
+def test_params_roundtrip(tmp_path):
+    p = tiny_params()
+    path = str(tmp_path / "p.npz")
+    p.save(path)
+    q = HMMParams.load(path)
+    assert np.allclose(p.startprob, q.startprob)
+    assert np.allclose(p.transmat, q.transmat)
+    assert np.allclose(p.emission_probs, q.emission_probs)
+
+
+def test_suffstats_merge_equals_sequential():
+    p = tiny_params()
+    o1 = obs_with_span()
+    o2 = obs_with_span(start=2, end=5, label="ORG")
+    both = SuffStats()
+    hmm.accumulate(o1, p, both)
+    hmm.accumulate(o2, p, both)
+    s1, s2 = SuffStats(), SuffStats()
+    hmm.accumulate(o1, p, s1)
+    hmm.accumulate(o2, p, s2)
+    merged = s1.merge(s2)
+    assert np.allclose(both.start, merged.start)
+    assert np.allclose(both.trans, merged.trans)
+    assert np.allclose(both.obs, merged.obs)
+    assert abs(both.logprob - merged.logprob) < 1e-9

@@ -1,0 +1,133 @@
+"""End-to-end: Ray pipeline output must match the sequential oracle
+(SURVEY.md §5), and both must hit P/R >= 0.95 vs the generated gold triples."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+
+def to_arrow(ds) -> pa.Table:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables)
+
+from weak_supervision_for_ner_ray.data import FIRST_NAMES, builtin_gazetteers
+from weak_supervision_for_ner_ray.oracle import Oracle
+from weak_supervision_for_ner_ray.pipelines.kg import (annotate_turns,
+                                                       build_kg,
+                                                       mentions_table)
+
+
+def _dataset(small_corpus):
+    turns, _, _ = small_corpus
+    return rd.from_arrow(turns)
+
+
+def _mention_set(table):
+    return set(zip(table["conv_id"].to_pylist(),
+                   table["turn_idx"].to_pylist(),
+                   table["source"].to_pylist(),
+                   table["start"].to_pylist(),
+                   table["end"].to_pylist(),
+                   table["label"].to_pylist(),
+                   [round(c, 4) for c in table["conf"].to_pylist()]))
+
+
+@pytest.fixture(scope="module")
+def oracle_annotated(small_corpus):
+    turns, _, _ = small_corpus
+    o = Oracle()
+    return o, o.annotate(turns)
+
+
+def test_ray_mentions_match_oracle(ray_session, small_corpus,
+                                   oracle_annotated):
+    """Distributed annotation == sequential annotation, span for span."""
+    turns, _, _ = small_corpus
+    ds = mentions_table(_dataset(small_corpus))
+    got = _mention_set(to_arrow(ds))
+
+    oracle, annotated = oracle_annotated
+    exp = set()
+    for (conv_id, ti), (doc, layers) in annotated.items():
+        for source, spans in layers.by_source.items():
+            for (s, e), vals in spans.items():
+                for lab, conf in vals:
+                    exp.add((conv_id, ti, source, s, e, lab,
+                             round(np.float32(conf).item(), 4)))
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, (
+        f"missing={list(missing)[:5]} extra={list(extra)[:5]} "
+        f"(|exp|={len(exp)}, |got|={len(got)})")
+
+
+def test_per_turn_text_equality(ray_session, small_corpus):
+    """north rule invariant: per-turn text preserved under restored
+    (conv_id, turn_idx) order."""
+    turns, _, _ = small_corpus
+    annotated = to_arrow(annotate_turns(_dataset(small_corpus)))
+    got = {(c, t): x for c, t, x in
+           zip(annotated["conv_id"].to_pylist(),
+               annotated["turn_idx"].to_pylist(),
+               annotated["text"].to_pylist())}
+    exp = {(c, t): x for c, t, x in
+           zip(turns["conv_id"].to_pylist(),
+               turns["turn_idx"].to_pylist(),
+               turns["text"].to_pylist())}
+    assert got == exp
+
+
+def test_kg_triples_match_oracle_and_gold(ray_session, small_corpus,
+                                          tmp_path_factory):
+    turns, gold_spans, gold_triples = small_corpus
+    workdir = str(tmp_path_factory.mktemp("kg"))
+    out = build_kg(_dataset(small_corpus), workdir, n_iter=2, write=False)
+    got = to_arrow(out["triples"])
+    got_set = set(zip(got["conv_id"].to_pylist(),
+                      got["turn_idx"].to_pylist(),
+                      got["subj"].to_pylist(),
+                      got["pred"].to_pylist(),
+                      got["obj"].to_pylist()))
+
+    # vs oracle: identical
+    oracle = Oracle()
+    rows, _ = oracle.triples(turns, n_iter=2)
+    oracle_set = {(ci, ti, s, p, o)
+                  for (ci, ti, s, sl, p, o, ol, sid, oid, c) in rows}
+    sym = got_set ^ oracle_set
+    assert len(sym) == 0, f"ray vs oracle diff: {list(sym)[:6]}"
+
+    # vs gold: P/R >= 0.95
+    gold = set(zip(gold_triples["conv_id"].to_pylist(),
+                   gold_triples["turn_idx"].to_pylist(),
+                   gold_triples["subj"].to_pylist(),
+                   gold_triples["pred"].to_pylist(),
+                   gold_triples["obj"].to_pylist()))
+    tp = len(gold & got_set)
+    precision = tp / max(1, len(got_set))
+    recall = tp / max(1, len(gold))
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
+def test_graph_tables(ray_session, small_corpus, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("kg2"))
+    out = build_kg(_dataset(small_corpus), workdir, n_iter=1, write=True)
+    nodes = to_arrow(out["nodes"])
+    edges = to_arrow(out["edges"])
+    assert nodes.num_rows > 0 and edges.num_rows > 0
+    assert set(nodes.column_names) == {"entity_id", "canonical", "label",
+                                       "n_mentions"}
+    assert set(edges.column_names) == {"src_id", "pred", "dst_id", "weight"}
+    # edges sorted by (src_id, pred); node ids unique
+    src = edges["src_id"].to_pylist()
+    pred = edges["pred"].to_pylist()
+    assert list(zip(src, pred)) == sorted(zip(src, pred))
+    ids = nodes["entity_id"].to_pylist()
+    assert len(ids) == len(set(ids))
+    # linked entities dominate: gazetteer ids look like LABEL:name
+    assert sum(1 for i in ids if not i.startswith("m:")) > 0

@@ -1,0 +1,622 @@
+"""Large-scale training-data operations over the testdata tables.
+
+Beyond the reference's own operators, these are the operations a 100 TB
+training-data pipeline needs (task brief): deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search (brute-force
+and LSH-bucketed ANN), text analysis (language id, quality scoring, token
+counting, fingerprinting), and multimodal decode plumbing (stubbed decoder,
+real Ray-side schema/batching).
+
+Design notes per op:
+ * everything is ``map_batches`` over Arrow/pandas/numpy batches — no
+   driver-side row loops; groupbys are the only shuffles.
+ * hashes are *stable* across processes (md5/blake2, never Python ``hash``)
+   so reruns and oracle comparisons are deterministic.
+ * MinHash/SimHash emit per-batch vectorized signatures; LSH banding turns
+   near-dup search into a ``groupby(band_id, band_hash)`` — the shuffle
+   moves only (hash, doc_id) pairs, not text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def token_count(sf_dir: str):
+    """doc_id, n_tokens (whitespace tokens; empty/whitespace-only docs are
+    excluded so SQL and Python semantics agree)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        stripped = batch["text"].str.strip()
+        mask = stripped.str.len() > 0
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"][mask],
+            "n_tokens": stripped[mask].str.split().str.len()
+            .astype("int64"),
+        })
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_score_exact(sf_dir: str):
+    """Simple quality heuristics per document: char count, token count,
+    mean token length and uppercase ratio as exact integer micros (floor of
+    a deterministic double division — hash-identical to the SQL oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        stripped = text.str.strip()
+        mask = stripped.str.len() > 0
+        text = text[mask]
+        stripped = stripped[mask]
+        n_tokens = stripped.str.split().str.len().astype("int64")
+        n_chars = text.str.len().astype("int64")
+        n_nospace = text.str.replace(r"\s+", "", regex=True) \
+            .str.len().astype("int64")
+        n_upper = text.str.count(r"[A-Z]").astype("int64")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"][mask],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len_micro": np.floor(
+                n_nospace.to_numpy() * 1000000.0
+                / n_tokens.to_numpy()).astype(np.int64),
+            "upper_ratio_micro": np.floor(
+                n_upper.to_numpy() * 1000000.0
+                / n_chars.to_numpy()).astype(np.int64),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "que"},
+}
+
+
+def lang_id(sf_dir: str):
+    """Heuristic language id: stopword-hit voting per language (n-gram-free
+    but deterministic); emits doc_id, lang_pred, score."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    langs = sorted(_STOPWORDS)
+    stop_sets = [_STOPWORDS[lg] for lg in langs]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split()
+        votes = np.zeros((len(batch), len(langs)), np.float64)
+        for row, words in enumerate(toks):
+            if not isinstance(words, list) or not words:
+                continue
+            for j, ss in enumerate(stop_sets):
+                votes[row, j] = sum(1 for w in words if w in ss)
+        total = votes.sum(axis=1)
+        best = votes.argmax(axis=1)
+        score = np.where(total > 0, votes.max(axis=1) / np.maximum(total, 1),
+                         0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "lang_pred": [langs[b] if t > 0 else "und"
+                          for b, t in zip(best, total)],
+            "score": np.round(score, 6),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lang_count(sf_dir: str):
+    """Distribution of the provided ``lang`` column (grouped aggregate)."""
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
+
+
+def doc_fingerprint(sf_dir: str):
+    """Stable md5 content fingerprint per document (matches SQL md5())."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in batch["text"]],
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: keep the smallest doc_id per distinct
+    text; also reports the duplicate count (hash-partitioned groupby —
+    SURVEY.md §2.7 'exact dedup of canonical entities')."""
+    ds = doc_fingerprint(sf_dir)
+    return (ds.groupby("fp")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"])
+            .sort("doc_id"))
+
+
+def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
+    """Vectorised stable 64-bit hashes of a token list."""
+    if not tokens:
+        return np.empty(0, np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)) \
+        .astype(np.uint64)
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Word-shingle MinHash signatures (stateful: permutation table built
+    once per actor)."""
+
+    def __init__(self, num_perm: int = 128, shingle: int = 3,
+                 seed: int = 17):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = text.lower().split()
+        k = self.shingle
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+        return _stable_token_hashes(grams)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self.shingles(text)
+        if h.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        # (P, S) permuted hashes -> min over shingles
+        with np.errstate(over="ignore"):
+            ph = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return ph.min(axis=1)
+
+
+class MinHashStage:
+    """documents batch -> (band_id, band_hash, doc_id) exploded rows."""
+
+    def __init__(self, num_perm=128, bands=32, shingle=3, seed=17):
+        assert num_perm % bands == 0
+        self.mh = MinHasher(num_perm, shingle, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = len(doc_ids)
+        band_id, band_hash, out_doc = [], [], []
+        for did, text in zip(doc_ids, texts):
+            sig = self.mh.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1)
+                            * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8)
+                band_id.append(b)
+                band_hash.append(int.from_bytes(h.digest(), "little")
+                                 >> 1)   # fit int64
+                out_doc.append(did)
+        return pa.table({
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        })
+
+
+def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3):
+    """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
+    bucket groupby → pairs within bucket (ray_guide pattern)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    banded = ds.map_batches(MinHashStage,
+                            fn_constructor_kwargs=dict(
+                                num_perm=num_perm, bands=bands,
+                                shingle=shingle),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=_concurrency())
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        if len(ids) < 2 or len(ids) > 200:      # guard pathological buckets
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # dedup pairs found in multiple bands
+    return (cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+            .sort(["a", "b"]))
+
+
+def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
+    """Near-dup pairs verified by exact n-gram Jaccard similarity.
+
+    Broadcast verification: candidate pairs are few (LSH output), so their
+    texts are fetched via a broadcast id->text map instead of a join."""
+    cands = minhash_candidates(sf_dir, shingle=shingle)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    id_text = {}
+    needed: set[int] = set()
+    cand_tbl = _to_arrow(cands)
+    needed.update(cand_tbl["a"].to_pylist())
+    needed.update(cand_tbl["b"].to_pylist())
+    if needed:
+        for batch in docs.iter_batches(batch_size=8192,
+                                       batch_format="pyarrow"):
+            for did, text in zip(batch["doc_id"].to_pylist(),
+                                 batch["text"].to_pylist()):
+                if did in needed:
+                    id_text[did] = text
+    mh = MinHasher(shingle=shingle)
+    rows = {"a": [], "b": [], "jaccard": []}
+    for a, b in zip(cand_tbl["a"].to_pylist(), cand_tbl["b"].to_pylist()):
+        sa = set(mh.shingles(id_text.get(a, "")).tolist())
+        sb = set(mh.shingles(id_text.get(b, "")).tolist())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["jaccard"].append(round(j, 6))
+    return pa.table({"a": pa.array(rows["a"], pa.int64()),
+                     "b": pa.array(rows["b"], pa.int64()),
+                     "jaccard": pa.array(rows["jaccard"], pa.float64())})
+
+
+class SimHashStage:
+    """64-bit SimHash per document (vectorised bit accumulation)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(batch), np.uint64)
+        for row, text in enumerate(batch["text"]):
+            toks = text.lower().split()
+            if not toks:
+                continue
+            h = _stable_token_hashes(toks)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            score = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for bit in np.where(score > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(bit)
+            out[row] = sim
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "simhash": out.astype(np.int64),   # reinterpret for Arrow int64
+        })
+
+
+def simhash_table(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pandas",
+                          concurrency=_concurrency()).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _to_arrow(ds) -> pa.Table:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def _concurrency():
+    from ..stages.util import default_concurrency
+    return default_concurrency()
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Brute-force cosine top-k: the query matrix (smallest ``n_queries``
+    vec_ids) is broadcast; each batch computes a local top-k via one matmul;
+    partial top-ks are merged on the driver (tiny)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    q_ids = qtbl["vec_id"].to_pylist()
+    Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Qn_ = ray.get(q_ref)
+        ids = np.array(batch["vec_id"].to_pylist(), np.int64)
+        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T                          # (B, Q)
+        # similarity as integer micros: order-stable + hash-identical to
+        # the SQL oracle (float32->double cast there, diffs ~1e-16)
+        micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        rows = {"query_id": [], "vec_id": [], "sim_micro": []}
+        kk = min(k, len(ids))
+        for qi, qid in enumerate(q_ids_):
+            s = micros[:, qi]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            for i in idx:
+                rows["query_id"].append(qid)
+                rows["vec_id"].append(int(ids[i]))
+                rows["sim_micro"].append(int(s[i]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "sim_micro": pa.array(rows["sim_micro"], pa.int64()),
+        })
+
+    partials = _to_arrow(ds.map_batches(partial_topk,
+                                        batch_format="pyarrow",
+                                        batch_size=4096,
+                                        zero_copy_batch=True))
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "sim_micro", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id", "sim_micro"]],
+        preserve_index=False)
+
+
+class LSHBucketStage:
+    """Random-hyperplane LSH bucketing of embeddings (the scale path for
+    ANN): bucket = sign bits of W·x.  Stateful: W drawn once per actor from
+    a fixed seed."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 23):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        bits = (X @ self.W) > 0
+        bucket = bits @ (1 << np.arange(bits.shape[1]))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+        })
+
+
+def ann_lsh_buckets(sf_dir: str, n_planes: int = 12):
+    """LSH bucket table + per-bucket sizes (the partition layout an
+    IVF/LSH ANN index would use at scale)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = _to_arrow(ds.limit(1))
+    dim = len(first["embedding"][0].as_py())
+    buckets = ds.map_batches(LSHBucketStage,
+                             fn_constructor_kwargs=dict(dim=dim,
+                                                        n_planes=n_planes),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             concurrency=_concurrency())
+    return (buckets.groupby("bucket").aggregate(Count(alias_name="n"))
+            .sort("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decoder stubbed; Ray-side schema/batching real)
+# ---------------------------------------------------------------------------
+
+class MultimodalFeatureStage:
+    """Actor-pool stage for opaque binary payloads.
+
+    Real media decoding needs image/audio libraries that are not in this
+    container; ``decode`` is therefore a clearly-marked stub.  The
+    deterministic fallback featurizer (byte histogram + length stats) keeps
+    the schema, batch sizing and actor plumbing real and testable."""
+
+    PAYLOAD_KIND = "binary"
+
+    def __init__(self, use_real_decoder: bool = False):
+        self.use_real_decoder = use_real_decoder
+
+    def decode(self, payload: bytes):
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg which are not available in "
+            "this environment; plug a real decoder here")
+
+    def featurize(self, payload: bytes) -> np.ndarray:
+        if self.use_real_decoder:
+            return self.decode(payload)
+        hist = np.bincount(np.frombuffer(payload, np.uint8) >> 4,
+                           minlength=16).astype(np.float64)
+        total = max(1.0, hist.sum())
+        return hist / total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(0).to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack([self.featurize(p) for p in payloads])
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "features": pa.array(list(feats),
+                                 pa.list_(pa.float64())),
+        })
+
+
+def multimodal_features(sf_dir: str):
+    """documents.text re-interpreted as opaque binary payloads — stands in
+    for an image/audio column; small batch size on purpose (large payloads
+    at real scale)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": batch.column("doc_id"),
+            "payload": pc.cast(batch.column("text"), pa.binary()),
+        })
+
+    binary = ds.map_batches(to_binary, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return binary.map_batches(MultimodalFeatureStage,
+                              batch_format="pyarrow", batch_size=64,
+                              zero_copy_batch=True,
+                              concurrency=_concurrency())
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-style queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def _cents(col, factor: float = 100.0) -> pa.Array:
+    """Exact integer cents: round-half-away like SQL round(), cast to int64.
+    Integer sums are order-independent, so distributed aggregation hashes
+    identically to the DuckDB oracle."""
+    scaled = pc.multiply(pc.cast(col, pa.float64()), pa.scalar(factor))
+    return pc.cast(pc.round(scaled, 0,
+                            round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
+def pricing_summary_exact(sf_dir: str):
+    """TPC-H Q1-style aggregate over lineitem.  Money columns are summed as
+    exact integer cents (see :func:`_cents`); Ray's hash aggregate performs
+    the partial per-block combine before the shuffle."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "base_cents": _cents(t.column("l_extendedprice")),
+            "disc_cents": _cents(rev),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty", alias_name="sum_qty"),
+                       Sum("base_cents", alias_name="sum_base_price_cents"),
+                       Sum("disc_cents", alias_name="sum_disc_price_cents"),
+                       Count(alias_name="count_order"))
+            .sort(["l_returnflag", "l_linestatus"])
+            .select_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                             "sum_base_price_cents", "sum_disc_price_cents",
+                             "count_order"]))
+
+
+def revenue_by_segment_exact(sf_dir: str):
+    """Broadcast join: customer (small side) is ray.put once and probed
+    per batch with a vectorized pandas map — never a shuffle join."""
+    cust = _to_arrow(read_table(sf_dir, "customer",
+                                columns=["c_custkey", "c_mktsegment"]))
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segments = pa.array(
+            [seg.get(k) for k in batch.column("o_custkey").to_pylist()],
+            pa.string())
+        t = pa.table({
+            "c_mktsegment": segments,
+            "price_cents": _cents(batch.column("o_totalprice")),
+        })
+        return t.filter(pc.is_valid(t.column("c_mktsegment")))
+
+    joined = orders.map_batches(join, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Sum("price_cents", alias_name="total_revenue_cents"),
+                       Count(alias_name="n_orders"))
+            .sort("c_mktsegment")
+            .select_columns(["c_mktsegment", "total_revenue_cents",
+                             "n_orders"]))
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by price (tie-broken by key for determinism)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def events_hourly_exact(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (stream-shaped workload
+    expressed as groupby over (user, window) — ray_guide streaming section)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "value_mil": _cents(t.column("value"), 1000.0),
+        })
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return (ds.groupby(["user_id", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_mil", alias_name="sum_value_mil"))
+            .sort(["user_id", "window_start"])
+            .select_columns(["user_id", "window_start", "n_events",
+                             "sum_value_mil"]))
+
+
+def event_type_stats_exact(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "value_mil": _cents(t.column("value"), 1000.0),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_mil", alias_name="sum_value_mil"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value"))
+            .sort("event_type")
+            .select_columns(["event_type", "n", "sum_value_mil",
+                             "min_value", "max_value"]))

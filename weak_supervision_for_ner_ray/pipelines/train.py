@@ -1,0 +1,73 @@
+"""Distributed EM training driver (reference: HMMAnnotator.train,
+labelling.py:243-289).
+
+Shape (SURVEY.md §3 EP2): per iteration, params are broadcast
+(``ray.put``) → ``map_batches(EStepStage)`` folds each block into one
+~2 MB sufficient-stat partial → tiny partial dataset reduced on the driver
+→ M-step → checkpoint ``em_iter_k.npz`` → loop until convergence or
+``n_iter``.  A restarted driver resumes from the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..state.checkpoints import CheckpointStore
+from ..state.hmm import HMMParams, init_params_from_counts, m_step
+from ..stages.em import (EStepStage, InitStatsStage, reduce_init_counts,
+                         reduce_suffstats)
+from ..stages.util import default_concurrency
+
+
+def _collect(ds) -> "pa.Table":
+    import pyarrow as pa
+    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
+              tol: float = 1e-2, seed: int = 42, keep_names=None,
+              concurrency=None, batch_size: int = 512,
+              verbose: bool = False) -> HMMParams:
+    """Train (or resume training) the HMM aggregator over an annotated
+    Dataset; returns the final parameters."""
+    concurrency = default_concurrency(concurrency)
+    store = CheckpointStore(workdir)
+    resumed = store.latest()
+    if resumed is not None:
+        start_iter, params, history, done = resumed
+        if done or start_iter >= n_iter:
+            return params
+    else:
+        # initialisation pass: one map_batches over the corpus
+        partials = _collect(annotated_ds.map_batches(
+            InitStatsStage, fn_constructor_args=(keep_names,),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, concurrency=concurrency))
+        init_c, trans_c, obs_c = reduce_init_counts(partials)
+        params = init_params_from_counts(init_c, trans_c, obs_c, seed=seed,
+                                         keep=[i for i in
+                                               range(obs_c.shape[0])])
+        history = []
+        start_iter = 0
+        store.save(0, params, history)
+
+    for it in range(start_iter + 1, n_iter + 1):
+        params_ref = ray.put(params)
+        partials = _collect(annotated_ds.map_batches(
+            EStepStage, fn_constructor_args=(params_ref, keep_names),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, concurrency=concurrency))
+        stats = reduce_suffstats(partials)
+        params = m_step(params, stats)
+        history.append(stats.logprob)
+        converged = (len(history) >= 2
+                     and abs(history[-1] - history[-2]) < tol)
+        store.save(it, params, history, done=converged)
+        if verbose:
+            print(f"EM iter {it}: logprob={stats.logprob:.2f} "
+                  f"n_seqs={stats.n_seqs}")
+        if converged:
+            break
+    return params

@@ -1,0 +1,453 @@
+"""HMM aggregation model: priors, Baum-Welch EM statistics, Viterbi.
+
+Reimplements the reference HMM annotator (labelling.py:235-468) from scratch
+in pure numpy (hmmlearn/numba are not available, and the distributed E-step
+needs mergeable per-block sufficient statistics anyway — SURVEY.md §2.5).
+
+Key semantics preserved:
+ * 77-state BILU space over 19 labels; per-source emission tensor
+   P(obs_label | true_state) of shape (S, 77, 77) (labelling.py:10-23).
+ * informative priors built from corpus counts + structural BILU priors +
+   the SOURCE_PRIORS precision/recall table, strength=1000
+   (labelling.py:314-424).
+ * log-likelihood of a token = sum over sources of log(X·emissionᵀ), masked
+   to -inf where a state is observed by no labelling function
+   (labelling.py:434-448 — the zero-observation constraint is load-bearing).
+ * M-step keeps structurally-zero emission entries at zero
+   (labelling.py:462-468).
+
+The per-token observation is sparse (most sources emit "O"), so the
+log-likelihood is computed as a baseline Σ_s log(emission[s,:,0]) plus
+corrections only for the (token, source) pairs that actually fired.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import LABEL_INDICES, POSITIONED_LABELS
+from ..sources.registry import (OUT_PRECISION, OUT_RECALL, SOURCE_INDICES,
+                                SOURCE_NAMES, SOURCE_PRIORS,
+                                best_coverage_source)
+
+N_STATES = len(POSITIONED_LABELS)   # 77
+N_SOURCES = len(SOURCE_NAMES)
+
+_NINF = -np.inf
+
+
+class HMMParams:
+    """Model parameters + priors (the broadcast object of the EM loop)."""
+
+    def __init__(self, startprob, transmat, emission_probs,
+                 startprob_prior=None, transmat_prior=None,
+                 emission_priors=None, keep=None):
+        self.startprob = np.asarray(startprob, np.float64)
+        self.transmat = np.asarray(transmat, np.float64)
+        self.emission_probs = np.asarray(emission_probs, np.float64)
+        self.startprob_prior = startprob_prior
+        self.transmat_prior = transmat_prior
+        self.emission_priors = emission_priors
+        self.keep = (np.arange(N_SOURCES) if keep is None
+                     else np.asarray(sorted(keep), np.int64))
+        self._refresh_logs()
+
+    def _refresh_logs(self):
+        with np.errstate(divide="ignore"):
+            self.log_start = np.log(self.startprob)
+            self.log_trans = np.log(self.transmat)
+            # baseline: sum over kept sources of log P(obs=O | state)
+            emis0 = self.emission_probs[self.keep, :, 0]
+            self.log_emis0 = np.where(emis0 > 0, np.log(
+                np.where(emis0 > 0, emis0, 1.0)), _NINF)
+            self.base_loglik = self.log_emis0.sum(axis=0)   # (77,)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, startprob=self.startprob, transmat=self.transmat,
+            emission_probs=self.emission_probs,
+            startprob_prior=self.startprob_prior,
+            transmat_prior=self.transmat_prior,
+            emission_priors=self.emission_priors, keep=self.keep)
+
+    @classmethod
+    def load(cls, path: str) -> "HMMParams":
+        z = np.load(path)
+        return cls(z["startprob"], z["transmat"], z["emission_probs"],
+                   z["startprob_prior"], z["transmat_prior"],
+                   z["emission_priors"], z["keep"])
+
+
+# ---------------------------------------------------------------------------
+# sparse observation encoding
+# ---------------------------------------------------------------------------
+
+class TurnObs:
+    """Sparse observation of one turn: for each fired (token, source) pair,
+    the weighted positioned-label distribution."""
+
+    __slots__ = ("n_tokens", "fired")
+
+    def __init__(self, n_tokens: int):
+        self.n_tokens = n_tokens
+        # (t, source_idx) -> dict[state_idx, conf]
+        self.fired: dict[tuple[int, int], dict[int, float]] = {}
+
+    def add_span(self, source_idx: int, start: int, end: int, label: str,
+                 conf: float) -> None:
+        """Spread a span's confidence over B/I/L or U cells
+        (labelling.py:164-170)."""
+        if label in ("MISC", "ENT"):
+            return
+        if start >= self.n_tokens:
+            return
+        end = min(end, self.n_tokens)
+        if end - start == 1:
+            cells = [(start, LABEL_INDICES["U-" + label])]
+        else:
+            cells = ([(start, LABEL_INDICES["B-" + label])]
+                     + [(t, LABEL_INDICES["I-" + label])
+                        for t in range(start + 1, end - 1)]
+                     + [(end - 1, LABEL_INDICES["L-" + label])])
+        for t, state in cells:
+            d = self.fired.setdefault((t, source_idx), {})
+            d[state] = d.get(state, 0.0) + conf
+
+
+def frame_log_likelihood(obs: TurnObs, params: HMMParams) -> np.ndarray:
+    """(n_tokens, 77) log P(observations_t | state) — labelling.py:434-448."""
+    T = obs.n_tokens
+    ll = np.tile(params.base_loglik, (T, 1))
+    keep = set(params.keep.tolist())
+    emis = params.emission_probs
+    log0 = {}        # source -> log emission[s,:,0]
+
+    observed = np.zeros((T, N_STATES), bool)
+    observed[:, 0] = True
+    n_fired_nonO = np.zeros(T, np.int64)
+
+    for (t, s), dist in obs.fired.items():
+        if s not in keep:
+            continue
+        probs = np.zeros(N_STATES)
+        for state, conf in dist.items():
+            probs += conf * emis[s, :, state]
+            observed[t, state] = True
+        if s not in log0:
+            with np.errstate(divide="ignore"):
+                log0[s] = np.where(emis[s, :, 0] > 0,
+                                   np.log(np.where(emis[s, :, 0] > 0,
+                                                   emis[s, :, 0], 1.0)),
+                                   _NINF)
+        with np.errstate(divide="ignore"):
+            lp = np.where(probs > 0,
+                          np.log(np.where(probs > 0, probs, 1.0)), _NINF)
+        ll[t] = ll[t] - log0[s] + lp
+        n_fired_nonO[t] += 1
+
+    # state O is unobserved only if every kept source fired at t
+    full = n_fired_nonO >= len(keep)
+    if full.any():
+        # recheck: a fired source may still have weight on O? no — fired
+        # sources have X[t,s,0]=0 by construction (labelling.py:164).
+        observed[full, 0] = False
+    ll[~observed] = _NINF
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# log-space forward / backward / viterbi (standard Rabiner recursions)
+# ---------------------------------------------------------------------------
+
+def _logsumexp(a: np.ndarray, axis=None):
+    m = np.max(a, axis=axis, keepdims=True)
+    m_safe = np.where(np.isfinite(m), m, 0.0)
+    with np.errstate(divide="ignore", under="ignore"):
+        out = np.log(np.sum(np.exp(a - m_safe), axis=axis,
+                            keepdims=True)) + m_safe
+    out = np.where(np.isfinite(m), out, _NINF)
+    return np.squeeze(out, axis=axis) if axis is not None else float(out)
+
+
+def forward(ll: np.ndarray, params: HMMParams) -> tuple[float, np.ndarray]:
+    T = ll.shape[0]
+    fwd = np.empty_like(ll)
+    fwd[0] = params.log_start + ll[0]
+    lt = params.log_trans
+    for t in range(1, T):
+        fwd[t] = _logsumexp(fwd[t - 1][:, None] + lt, axis=0) + ll[t]
+    return _logsumexp(fwd[-1], axis=0), fwd
+
+
+def backward(ll: np.ndarray, params: HMMParams) -> np.ndarray:
+    T = ll.shape[0]
+    bwd = np.empty_like(ll)
+    bwd[-1] = 0.0
+    lt = params.log_trans
+    for t in range(T - 2, -1, -1):
+        bwd[t] = _logsumexp(lt + (ll[t + 1] + bwd[t + 1])[None, :], axis=1)
+    return bwd
+
+
+def posteriors_from(fwd: np.ndarray, bwd: np.ndarray) -> np.ndarray:
+    lg = fwd + bwd
+    lg -= _logsumexp(lg, axis=1)[:, None]
+    with np.errstate(under="ignore"):
+        post = np.exp(lg)
+    post[~np.isfinite(lg)] = 0.0
+    return post
+
+
+def viterbi(ll: np.ndarray, params: HMMParams) -> tuple[float, np.ndarray]:
+    T = ll.shape[0]
+    lt = params.log_trans
+    delta = params.log_start + ll[0]
+    back = np.zeros((T, N_STATES), np.int32)
+    for t in range(1, T):
+        scores = delta[:, None] + lt
+        back[t] = np.argmax(scores, axis=0)
+        delta = scores[back[t], np.arange(N_STATES)] + ll[t]
+    states = np.empty(T, np.int32)
+    states[-1] = int(np.argmax(delta))
+    logprob = float(delta[states[-1]])
+    for t in range(T - 2, -1, -1):
+        states[t] = back[t + 1][states[t + 1]]
+    return logprob, states
+
+
+# ---------------------------------------------------------------------------
+# EM sufficient statistics (mergeable per-block partials)
+# ---------------------------------------------------------------------------
+
+class SuffStats:
+    """Additive sufficient statistics — the per-block partial of the
+    distributed E-step (SURVEY.md §2.5: partial+final aggregation)."""
+
+    def __init__(self):
+        self.start = np.zeros(N_STATES)
+        self.trans = np.zeros((N_STATES, N_STATES))
+        self.obs = np.zeros((N_SOURCES, N_STATES, N_STATES))
+        self.logprob = 0.0
+        self.n_seqs = 0
+
+    def merge(self, other: "SuffStats") -> "SuffStats":
+        self.start += other.start
+        self.trans += other.trans
+        self.obs += other.obs
+        self.logprob += other.logprob
+        self.n_seqs += other.n_seqs
+        return self
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        return {"start": self.start, "trans": self.trans, "obs": self.obs,
+                "logprob": np.array([self.logprob]),
+                "n_seqs": np.array([self.n_seqs])}
+
+    @classmethod
+    def from_arrays(cls, d) -> "SuffStats":
+        s = cls()
+        s.start = np.asarray(d["start"], np.float64).reshape(N_STATES)
+        s.trans = np.asarray(d["trans"], np.float64).reshape(N_STATES,
+                                                             N_STATES)
+        s.obs = np.asarray(d["obs"], np.float64).reshape(N_SOURCES, N_STATES,
+                                                         N_STATES)
+        s.logprob = float(np.asarray(d["logprob"]).ravel()[0])
+        s.n_seqs = int(np.asarray(d["n_seqs"]).ravel()[0])
+        return s
+
+
+def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats) -> None:
+    """Forward-backward on one turn, accumulating into ``stats``."""
+    T = obs.n_tokens
+    if T == 0:
+        return
+    ll = frame_log_likelihood(obs, params)
+    logprob, fwd = forward(ll, params)
+    if not np.isfinite(logprob):
+        return                      # degenerate turn; skip (reference prints)
+    bwd = backward(ll, params)
+    post = posteriors_from(fwd, bwd)
+
+    stats.logprob += logprob
+    stats.n_seqs += 1
+    stats.start += post[0]
+    if T > 1:
+        # xi accumulation: exp(fwd[t,i] + logT[i,j] + (ll+bwd)[t+1,j] - logP)
+        b = ll[1:] + bwd[1:]
+        with np.errstate(under="ignore", invalid="ignore"):
+            xi = np.exp(fwd[:-1, :, None] + params.log_trans[None, :, :]
+                        + b[:, None, :] - logprob)
+        xi[~np.isfinite(xi)] = 0.0
+        stats.trans += xi.sum(axis=0)
+
+    # emission stats: obs[s,:,l] += X[t,s,l] * post[t]  (labelling.py:473-480)
+    total_post = post.sum(axis=0)
+    keep = set(params.keep.tolist())
+    fired_by_source: dict[int, list] = {}
+    for (t, s), dist in obs.fired.items():
+        if s in keep:
+            fired_by_source.setdefault(s, []).append((t, dist))
+    for s in keep:
+        stats.obs[s, :, 0] += total_post
+    for s, entries in fired_by_source.items():
+        for t, dist in entries:
+            stats.obs[s, :, 0] -= post[t]
+            for state, conf in dist.items():
+                stats.obs[s, :, state] += conf * post[t]
+
+
+# ---------------------------------------------------------------------------
+# prior construction (labelling.py:314-424)
+# ---------------------------------------------------------------------------
+
+def init_params_from_counts(init_counts: np.ndarray,
+                            trans_counts: np.ndarray,
+                            obs_counts: np.ndarray,
+                            strength: float = 1000.0,
+                            seed: int = 42,
+                            keep=None,
+                            informative: bool = True) -> HMMParams:
+    """Build initial parameters from corpus count partials.
+
+    ``init_counts``/(77,): argmax state of the best-coverage source at
+    position 0 of each turn; ``trans_counts``/(77,77): pairwise argmax
+    transitions; ``obs_counts``/(S,77): summed observation mass per source.
+    """
+    rng = np.random.default_rng(seed)
+    init_counts = init_counts.astype(np.float64).copy()
+    trans_counts = trans_counts.astype(np.float64).copy()
+
+    for i, label in enumerate(POSITIONED_LABELS):
+        if i == 0 or label.startswith("B-") or label.startswith("U-"):
+            init_counts[i] += 1
+    startprob_prior = init_counts + 1
+    startprob = rng.dirichlet(init_counts + 1e-10)
+
+    for i, label in enumerate(POSITIONED_LABELS):
+        if label.startswith("B-") or label.startswith("I-"):
+            trans_counts[i, LABEL_INDICES["I-" + label[2:]]] += 1
+            trans_counts[i, LABEL_INDICES["L-" + label[2:]]] += 1
+        elif i == 0 or label.startswith("U-") or label.startswith("L-"):
+            for j, label2 in enumerate(POSITIONED_LABELS):
+                if j == 0 or label2.startswith("B-") \
+                        or label2.startswith("U-"):
+                    trans_counts[i, j] += 1
+    transmat_prior = trans_counts + 1
+    transmat = np.vstack([rng.dirichlet(row + 1e-10)
+                          for row in trans_counts])
+
+    # emission prior (labelling.py:361-423)
+    oc = obs_counts.astype(np.float64).copy()
+    for s_idx, source in enumerate(SOURCE_NAMES):
+        oc[s_idx, 0] += 1
+        priors = SOURCE_PRIORS.get(source, {})
+        for pos_index, pos_label in enumerate(POSITIONED_LABELS[1:]):
+            if pos_label[2:] in priors:
+                oc[s_idx, pos_index] += 1   # note: reference indexes the
+                # *enumerate* position over POSITIONED_LABELS[1:], i.e. the
+                # count lands on index pos_index (one left of the label) —
+                # reproduced faithfully (labelling.py:371-373).
+    obs_probs = oc / oc.sum(axis=1)[:, None]
+
+    matrix = np.zeros((N_SOURCES, N_STATES, N_STATES))
+    for s_idx, source in enumerate(SOURCE_NAMES):
+        priors = SOURCE_PRIORS.get(source, {})
+        for pos_index, pos_label in enumerate(POSITIONED_LABELS):
+            if pos_index == 0 or not informative:
+                recall = OUT_RECALL
+            elif pos_label[2:] in priors:
+                _, recall = priors[pos_label[2:]]
+            else:
+                recall = 0.0
+            matrix[s_idx, pos_index, pos_index] = recall
+            for pos_index2, pos_label2 in enumerate(POSITIONED_LABELS):
+                if pos_index2 == pos_index:
+                    continue
+                if pos_index2 == 0 or not informative:
+                    precision = OUT_PRECISION
+                elif pos_label2[2:] in priors:
+                    precision, _ = priors[pos_label2[2:]]
+                else:
+                    precision = 1.0
+                error_prob = ((1 - recall) * (1 - precision)
+                              * (0.001 + obs_probs[s_idx, pos_index2]))
+                if informative and pos_index > 0 and pos_index2 > 0 \
+                        and pos_label[2:] == pos_label2[2:]:
+                    error_prob *= 5
+                if informative and pos_index > 0 and pos_index2 > 0 \
+                        and pos_label[0] == pos_label2[0]:
+                    error_prob *= 2
+                matrix[s_idx, pos_index, pos_index2] = error_prob
+            err = [i for i in range(N_STATES) if i != pos_index]
+            esum = matrix[s_idx, pos_index, err].sum()
+            if esum > 0:
+                matrix[s_idx, pos_index, err] /= esum / (1 - recall)
+
+    return HMMParams(startprob, transmat, matrix,
+                     startprob_prior=startprob_prior,
+                     transmat_prior=transmat_prior,
+                     emission_priors=matrix * strength,
+                     keep=keep)
+
+
+def m_step(params: HMMParams, stats: SuffStats) -> HMMParams:
+    """hmmlearn-style s/t updates + the reference's emission update
+    (labelling.py:462-468)."""
+    sp = np.maximum(params.startprob_prior - 1.0 + stats.start, 0.0)
+    startprob = np.where(params.startprob == 0.0, params.startprob, sp)
+    startprob = startprob / startprob.sum()
+
+    tm = np.maximum(params.transmat_prior - 1.0 + stats.trans, 0.0)
+    transmat = np.where(params.transmat == 0.0, params.transmat, tm)
+    transmat = transmat / np.maximum(transmat.sum(axis=1)[:, None], 1e-300)
+
+    counts = params.emission_priors + stats.obs
+    probs = counts / (counts + 1e-100).sum(axis=2)[:, :, None]
+    emission = np.where(params.emission_probs > 0, probs, 0.0)
+
+    return HMMParams(startprob, transmat, emission,
+                     startprob_prior=params.startprob_prior,
+                     transmat_prior=params.transmat_prior,
+                     emission_priors=params.emission_priors,
+                     keep=params.keep)
+
+
+BEST_COVERAGE_INDEX = SOURCE_INDICES[best_coverage_source()]
+
+
+def decode_turn(obs: TurnObs, params: HMMParams
+                ) -> list[tuple[int, int, str, float]]:
+    """Viterbi decode one turn into (start, end, label, conf) spans
+    (labelling.py:116-141 UnifiedAnnotator.annotate)."""
+    if obs.n_tokens == 0:
+        return []
+    ll = frame_log_likelihood(obs, params)
+    _, states = viterbi(ll, params)
+    with np.errstate(under="ignore", over="ignore"):
+        proba = np.exp(ll - ll.max(axis=1, keepdims=True))
+    proba = proba / proba.sum(axis=1, keepdims=True)
+    conf = proba[np.arange(len(states)), states]
+
+    labels = [POSITIONED_LABELS[s] for s in states]
+    spans = []
+    i, n = 0, len(labels)
+    while i < n:
+        lab = labels[i]
+        if lab == "O":
+            i += 1
+            continue
+        if lab[0] in "UIL":
+            spans.append((i, i + 1, lab[2:], round(float(conf[i]), 3)))
+            i += 1
+        elif lab[0] == "B":
+            start = i
+            label = lab[2:]
+            i += 1
+            while i < n - 1 and labels[i] != "O" \
+                    and labels[i].startswith("I-"):
+                i += 1
+            if i < n and labels[i].startswith("L-"):
+                c = round(float(conf[start:i + 1].max()), 3)
+                spans.append((start, i + 1, label, c))
+            i += 1
+    return spans

@@ -1,0 +1,252 @@
+"""Deterministic rule tokeniser + lightweight tagger.
+
+Produces the per-token attributes every labeling function needs (shape flags,
+heuristic POS tag, compound-dependency flag, frequency rank, sentence starts)
+without any model dependency.  The tokenisation mirrors the corrections the
+reference applies on top of spaCy (spacy_wrapper.py:133-183 — currency-code
+splits, magnitude splits; utils.py:110-147 — hyphen and genitive splits),
+so gazetteer keys and turn texts tokenise identically.
+
+Token offsets are character offsets into the original text, so
+``text[tok_start:tok_end]`` always reproduces the surface form — this is the
+per-turn text-equality invariant required by the north rule.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .constants import (CURRENCY_CODES, CURRENCY_SYMBOLS, MODALS,
+                        NOT_NAMED_ENTITIES)
+from .wordlists import OOV_RANK, WORD_RANKS
+
+# single-character currency symbols are split off from adjacent digits
+_SYMBOL_CHARS = {c for c in CURRENCY_SYMBOLS if len(c) == 1}
+
+_OPEN_PUNCT = set("([{<\"'“‘«")
+_CLOSE_PUNCT = set(")]}>\"'”’»,;:!?%")
+_QUOTES = {"'", '"', "‘", "“", "”", "’"}
+
+# abbreviations that keep their trailing period as part of the token
+_KEEP_DOT = {
+    "Jan.", "Feb.", "Mar.", "Apr.", "Jun.", "Jul.", "Aug.", "Sep.",
+    "Sept.", "Oct.", "Nov.", "Dec.", "Mon.", "Tu.", "Tue.", "Tues.", "Wed.",
+    "Th.", "Thu.", "Thur.", "Thurs.", "Fri.", "Sat.", "Sun.",
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "Jr.", "Sr.", "vs.", "etc.",
+    "a.m.", "p.m.", "am.", "pm.",
+}
+# NOTE: company legal suffixes ("Corp.", "Inc.", ...) deliberately split
+# their period so sentence boundaries after "... Acme Corp." are detected —
+# gazetteer keys tokenise without the dot, improving trie hits too.
+
+_CURRENCY_PREFIX_RE = re.compile(
+    r"^(%s)([\d.,]+.*)$" % "|".join(sorted(CURRENCY_CODES)))
+_MAGNITUDE_SUFFIX_RE = re.compile(
+    r"^([\d.,]+)(bl?n?\.?|ml?n?\.?|k\.+)$", re.IGNORECASE)
+_DIGIT_RE = re.compile(r"\d")
+_NUM_RE = re.compile(r"^[\d.,]+$")
+
+_SENT_END = {".", "!", "?"}
+
+
+def _split_chunk(chunk: str, offset: int, out: list[tuple[str, int]]) -> None:
+    """Recursively split one whitespace-delimited chunk into tokens.
+
+    Appends (text, start_char) pairs to ``out``.
+    """
+    if not chunk:
+        return
+    # leading opening punctuation / currency symbols
+    c0 = chunk[0]
+    if len(chunk) > 1 and (c0 in _OPEN_PUNCT or c0 in _SYMBOL_CHARS):
+        out.append((c0, offset))
+        _split_chunk(chunk[1:], offset + 1, out)
+        return
+    if chunk in _KEEP_DOT:
+        out.append((chunk, offset))
+        return
+    # trailing closing punctuation
+    cl = chunk[-1]
+    if len(chunk) > 1 and cl in _CLOSE_PUNCT:
+        _split_chunk(chunk[:-1], offset, out)
+        out.append((cl, offset + len(chunk) - 1))
+        return
+    # trailing period: split unless the chunk is a known abbreviation,
+    # a single letter, or contains an interior period (e.g. "U.S.")
+    if (len(chunk) > 1 and cl == "." and "." not in chunk[:-1]
+            and not len(chunk) == 2
+            and not _MAGNITUDE_SUFFIX_RE.match(chunk)):
+        _split_chunk(chunk[:-1], offset, out)
+        out.append((".", offset + len(chunk) - 1))
+        return
+    # genitive: Moore's -> Moore + 's   (utils.py:139-142)
+    for gen in ("'s", "’s"):
+        if chunk.endswith(gen) and len(chunk) > 2:
+            _split_chunk(chunk[:-2], offset, out)
+            out.append((chunk[-2:], offset + len(chunk) - 2))
+            return
+    # currency code fused with a number: USD3,400 (spacy_wrapper.py:155-161)
+    m = _CURRENCY_PREFIX_RE.match(chunk)
+    if m:
+        out.append((m.group(1), offset))
+        _split_chunk(m.group(2), offset + len(m.group(1)), out)
+        return
+    # number fused with a magnitude abbreviation: 3bn (spacy_wrapper.py:164-169)
+    m = _MAGNITUDE_SUFFIX_RE.match(chunk)
+    if m:
+        out.append((m.group(1), offset))
+        out.append((m.group(2), offset + len(m.group(1))))
+        return
+    # hyphenated names: Jean-Pierre -> Jean, -, Pierre (utils.py:117-123)
+    if "-" in chunk[1:-1]:
+        i = chunk.index("-", 1)
+        _split_chunk(chunk[:i], offset, out)
+        out.append(("-", offset + i))
+        _split_chunk(chunk[i + 1:], offset + i + 1, out)
+        return
+    out.append((chunk, offset))
+
+
+def tokenise(text: str) -> list[tuple[str, int]]:
+    """Tokenise ``text`` into (surface, start_char) pairs."""
+    out: list[tuple[str, int]] = []
+    for m in re.finditer(r"\S+", text):
+        _split_chunk(m.group(0), m.start(), out)
+    return out
+
+
+@dataclass
+class Doc:
+    """A tokenised text with the per-token attributes the LFs consume.
+
+    Plays the role of the reference's ``spacy.tokens.Doc`` (SURVEY.md §1.1).
+    All attribute containers are parallel lists indexed by token position.
+    """
+
+    text: str
+    tokens: list[str] = field(default_factory=list)
+    starts: list[int] = field(default_factory=list)        # char offsets
+    lowers: list[str] = field(default_factory=list)
+    sent_start: list[bool] = field(default_factory=list)
+    is_punct: list[bool] = field(default_factory=list)
+    is_alpha: list[bool] = field(default_factory=list)
+    is_title: list[bool] = field(default_factory=list)
+    is_upper: list[bool] = field(default_factory=list)
+    likely_proper: list[bool] = field(default_factory=list)
+    tag: list[str] = field(default_factory=list)
+    compound: list[bool] = field(default_factory=list)     # dep_ == "compound"
+    rank: list[int] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+    def span_text(self, start: int, end: int) -> str:
+        """Surface text of tokens[start:end] from the original string."""
+        if start >= end:
+            return ""
+        last = self.starts[end - 1] + len(self.tokens[end - 1])
+        return self.text[self.starts[start]:last]
+
+
+def _is_punct(tok: str) -> bool:
+    return all(not ch.isalnum() for ch in tok)
+
+
+def make_doc(text: str) -> Doc:
+    """Tokenise + tag one text."""
+    pairs = tokenise(text)
+    d = Doc(text=text)
+    n = len(pairs)
+    if n == 0:
+        return d
+    d.tokens = [p[0] for p in pairs]
+    d.starts = [p[1] for p in pairs]
+    d.lowers = [t.lower() for t in d.tokens]
+    d.is_punct = [_is_punct(t) for t in d.tokens]
+    d.is_alpha = [t.isalpha() for t in d.tokens]
+    d.is_title = [t.istitle() for t in d.tokens]
+    d.is_upper = [t.isupper() and any(c.isalpha() for c in t)
+                  for t in d.tokens]
+    d.rank = [WORD_RANKS.get(lw, OOV_RANK) for lw in d.lowers]
+
+    # --- sentence starts (sentencizer + quote-aware fixes,
+    # spacy_wrapper.py:225-237) -----------------------------------------
+    ss = [False] * n
+    ss[0] = True
+    for i in range(1, n):
+        prev = d.tokens[i - 1]
+        if prev in _SENT_END:
+            ss[i] = True
+        elif prev in {"”", "’"} and i >= 2 and d.tokens[i - 2] in _SENT_END:
+            ss[i] = True
+    # token following an opening quote never starts a sentence
+    for i in range(1, n):
+        if d.tokens[i - 1] in {"‘", "“"}:
+            ss[i] = False
+    d.sent_start = ss
+
+    # --- likely_proper (annotations.py:1250-1271) -----------------------
+    lp = [False] * n
+    for i, tok in enumerate(d.tokens):
+        if len(tok) < 2:
+            continue
+        low = d.lowers[i]
+        if d.is_title[i] and low not in WORD_RANKS:
+            # stands in for "lemma is titled": spaCy keeps case for lemmas of
+            # proper nouns; frequent dictionary words lemmatise to lowercase
+            lp[i] = True
+        elif len(tok) > 2 and tok[0].islower() and tok[1].isupper() \
+                and tok[2:].islower():
+            lp[i] = True          # iPad-style casing
+        elif d.is_upper[i] and tok not in CURRENCY_CODES \
+                and tok not in NOT_NAMED_ENTITIES:
+            lp[i] = True
+        elif (d.is_title[i] and i > 0 and not ss[i]
+              and d.tokens[i - 1] not in _QUOTES
+              and not d.tokens[i - 1].endswith(".")):
+            lp[i] = True
+    d.likely_proper = lp
+
+    # --- heuristic POS tag ----------------------------------------------
+    tags = []
+    for i, tok in enumerate(d.tokens):
+        low = d.lowers[i]
+        if low in MODALS and tok.islower():
+            tags.append("MD")
+        elif _DIGIT_RE.search(tok) and _NUM_RE.match(tok):
+            tags.append("CD")
+        elif lp[i]:
+            tags.append("NNP")
+        elif d.is_punct[i]:
+            tags.append("PUNCT")
+        else:
+            tags.append("NN")
+    d.tag = tags
+
+    # --- compound dependency heuristic ----------------------------------
+    # spaCy marks non-final tokens of multi-word proper compounds with
+    # dep_ == "compound"; approximate: a likely-proper token directly
+    # followed by another likely-proper token (optionally across a name
+    # prefix such as "von", a hyphen, or a genitive) in the same sentence.
+    prefix_set = {"-", "'s", "’s", "von", "van", "de", "di", "le", "la",
+                  "het", "dem", "der", "den", "d'", "ter"}
+    comp = [False] * n
+    for i in range(n - 1):
+        if lp[i] and lp[i + 1] and not ss[i + 1]:
+            comp[i] = True
+        elif (lp[i] and i + 2 < n and d.tokens[i + 1] in prefix_set
+              and lp[i + 2] and not ss[i + 1] and not ss[i + 2]):
+            comp[i] = True
+        elif (d.tokens[i] in prefix_set and 0 < i and lp[i - 1]
+              and lp[i + 1] and not ss[i] and not ss[i + 1]):
+            comp[i] = True
+    d.compound = comp
+    return d
+
+
+def in_compound(d: Doc, i: int) -> bool:
+    """annotations.py:1279-1285."""
+    if d.compound[i]:
+        return True
+    return i > 0 and d.compound[i - 1]
