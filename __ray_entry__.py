@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the KG-construction engine over transcripts (rows-only:
         #     transcripts are synthesised outside the DuckDB views) ---
         "turns_restore_order": turns_restore_order,
+        "kg_majority_vote": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["majority_vote_table"]).majority_vote_table(
+                _turns_ds(sf), _workdir(sf)),
         "kg_mentions": kg_mentions,
         "kg_ner": kg_ner,
         "kg_triples": kg_triples,

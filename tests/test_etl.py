@@ -1,0 +1,82 @@
+"""Gazetteer ETL operators (compile_* family) and split helpers."""
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from weak_supervision_for_ner_ray.sources.etl import (compile_gazetteer,
+                                                      compile_geo,
+                                                      expand_company_aliases,
+                                                      gazetteer_table_to_dict,
+                                                      split_by_conv_hash)
+
+
+def to_arrow(ds):
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def test_compile_gazetteer_filters_and_merges(ray_session):
+    names = rd.from_arrow(pa.table({
+        "name": ["Acme Corp (company)", "Acme Corp", "Παράδειγμα",
+                 "Very Long Name " * 5, "Paris", "Paris", "Common Word"],
+        "label": ["ORG", "COMPANY", "ORG", "ORG", "LOC", "PER", "ORG"],
+        "freq": [10.0, 10.0, 1.0, 1.0, 5.0, 5.0, 99999.0],
+    }))
+    out = to_arrow(compile_gazetteer(names, freq_col="freq",
+                                     remap={"PER": "PERSON",
+                                            "LOC": "GPE"}))
+    rows = {r["name"]: r for r in out.to_pylist()}
+    # parenthetical stripped -> merged with the plain form, two labels
+    assert rows["Acme Corp"]["nb_entities"] == 2
+    assert set(rows["Acme Corp"]["labels"].split(",")) == {"COMPANY", "ORG"}
+    # class remap applied; duplicate name across classes merged
+    assert set(rows["Paris"]["labels"].split(",")) == {"GPE", "PERSON"}
+    # non-latin-1, too-long, and high-frequency names dropped
+    assert "Παράδειγμα" not in rows
+    assert all("Very Long" not in n for n in rows)
+    assert "Common Word" not in rows
+
+
+def test_compile_geo_population_threshold(ray_session):
+    geo = rd.from_arrow(pa.table({
+        "name": ["Smallville", "Metropolis"],
+        "population": [5000, 2000000],
+    }))
+    out = to_arrow(compile_geo(geo))
+    assert out.to_pydict()["name"] == ["Metropolis"]
+
+
+def test_expand_company_aliases():
+    aliases = expand_company_aliases("The Nordea Bank AB")
+    assert "nordea" in {a.lower() for a in aliases}
+    assert "the nordea bank ab" in {a.lower() for a in aliases}
+    # suffix-only / generic-only reductions present
+    lows = {a.lower() for a in aliases}
+    assert "nordea bank" in lows
+
+
+def test_gazetteer_table_roundtrip(ray_session):
+    names = rd.from_arrow(pa.table({
+        "name": ["Acme Corp", "Oslo"],
+        "label": ["COMPANY", "GPE"],
+    }))
+    d = gazetteer_table_to_dict(to_arrow(compile_gazetteer(names)))
+    assert "Acme Corp" in d["COMPANY"]
+    assert "Oslo" in d["GPE"]
+
+
+def test_split_by_conv_hash(ray_session, small_corpus):
+    turns, _, _ = small_corpus
+    ds = rd.from_arrow(turns)
+    train, dev = split_by_conv_hash(ds, dev_fraction=0.2)
+    t = to_arrow(train)
+    d = to_arrow(dev)
+    assert t.num_rows + d.num_rows == turns.num_rows
+    # conversations never straddle the split
+    tset = set(t["conv_id"].to_pylist())
+    dset = set(d["conv_id"].to_pylist())
+    assert not (tset & dset)
+    assert len(dset) > 0

@@ -1,0 +1,77 @@
+"""Evaluation metrics, majority-voter baseline, and lineage records."""
+
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from weak_supervision_for_ner_ray.pipelines.eval import (CONLL_MAPPINGS,
+                                                         evaluate_ner)
+from weak_supervision_for_ner_ray.pipelines.kg import (build_kg,
+                                                       majority_vote_table)
+
+
+def to_arrow(ds):
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def test_evaluate_ner_metrics(ray_session):
+    gold = pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 0, 1], pa.int32()),
+        "start": pa.array([0, 3, 2], pa.int32()),
+        "end": pa.array([2, 4, 4], pa.int32()),
+        "label": ["PERSON", "GPE", "COMPANY"],
+    })
+    pred = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": pa.array([0, 0, 1, 1], pa.int32()),
+        "start": pa.array([0, 3, 2, 6], pa.int32()),
+        "end": pa.array([2, 4, 4, 7], pa.int32()),
+        "label": ["PERSON", "GPE", "ORG", "DATE"],
+        "conf": pa.array([0.9, 0.4, 0.8, 0.9], pa.float32()),
+    }))
+    res = evaluate_ner(pred, gold)
+    # GPE pred below conf threshold -> FN; ORG != COMPANY -> FP + FN
+    assert res["entity"]["PERSON"]["tp"] == 1
+    assert res["entity"]["GPE"]["fn"] == 1
+    assert res["entity"]["micro"]["tp"] == 1
+    # with CoNLL mapping COMPANY->ORG the c2 prediction becomes a TP
+    res2 = evaluate_ner(pred, gold, mappings=CONLL_MAPPINGS,
+                        to_retain={"PER", "ORG", "LOC", "MISC"})
+    assert res2["entity"]["ORG"]["tp"] == 1
+
+
+def test_hmm_beats_or_matches_majority_vote(ray_session, small_corpus,
+                                            tmp_path_factory):
+    """Quality oracle: on the synthetic corpus the HMM aggregation should
+    reach high F1 vs gold spans, and at least match the majority baseline
+    (the reference's motivating result)."""
+    turns, gold_spans, _ = small_corpus
+    wd = str(tmp_path_factory.mktemp("evalkg"))
+    ds = rd.from_arrow(turns)
+    out = build_kg(ds, wd, n_iter=2, write=False)
+    hmm_res = evaluate_ner(out["ner"], gold_spans)
+    mv = majority_vote_table(ds, wd)
+    mv_res = evaluate_ner(mv, gold_spans)
+    assert hmm_res["entity"]["micro"]["f1"] >= 0.8, hmm_res["entity"]["micro"]
+    assert hmm_res["entity"]["micro"]["f1"] >= \
+        mv_res["entity"]["micro"]["f1"] - 0.05
+
+
+def test_lineage_records_written(ray_session, small_corpus,
+                                 tmp_path_factory):
+    turns, _, _ = small_corpus
+    wd = str(tmp_path_factory.mktemp("lineage"))
+    build_kg(rd.from_arrow(turns), wd, n_iter=1, write=True, lineage=True)
+    lin_dir = os.path.join(wd, "lineage")
+    assert os.path.isdir(lin_dir) and os.listdir(lin_dir)
+    lin = to_arrow(rd.read_parquet(lin_dir))
+    stages = set(lin.column("stage").to_pylist())
+    assert "encode_obs" in stages and "triples" in stages
+    assert all(r > 0 for r in lin.column("rows_in").to_pylist())
+    assert all(w >= 0 for w in lin.column("wall_ms").to_pylist())

@@ -1,0 +1,137 @@
+"""Data-ops tests: dedup family, similarity search, text analysis,
+multimodal plumbing — on constructed inputs with known answers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from weak_supervision_for_ner_ray.pipelines import ops
+
+
+def to_arrow(ds):
+    if isinstance(ds, pa.Table):
+        return ds
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    """documents.parquet with known duplicates and near-duplicates."""
+    d = tmp_path_factory.mktemp("docs")
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls on the quiet town and nobody watches the river flow")
+    near = base.replace("nobody watches", "somebody watches")
+    texts = [base, base, near,
+             "completely different content about databases and queries",
+             "another unrelated document talking about music and art",
+             "UPPER Case Text With Some Words"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(d / "documents.parquet"))
+    # embeddings: 20 vecs in 8-dim, constructed clusters
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((20, 8)).astype(np.float32)
+    X[1] = X[0] * 2.0           # same direction as 0 -> cosine 1
+    emb = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20, pa.int32()),
+    })
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_exact_dedup(ray_session, docs_dir):
+    out = to_arrow(ops.exact_dedup(docs_dir)).to_pydict()
+    by_doc = dict(zip(out["doc_id"], out["n_dups"]))
+    assert by_doc[0] == 2          # doc 0 and 1 identical, keep min id
+    assert 1 not in by_doc
+    assert by_doc[2] == 1
+
+
+def test_minhash_finds_near_duplicates(ray_session, docs_dir):
+    out = to_arrow(ops.minhash_candidates(docs_dir)).to_pydict()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs          # exact dup always a candidate
+    assert (0, 2) in pairs or (1, 2) in pairs   # near-dup found
+    assert all(a < 4 and b < 4 for a, b in pairs), pairs
+
+
+def test_ngram_jaccard_verification(ray_session, docs_dir):
+    out = ops.ngram_jaccard_verify(docs_dir, threshold=0.5)
+    d = out.to_pydict()
+    pairs = {(a, b): j for a, b, j in zip(d["a"], d["b"], d["jaccard"])}
+    assert pairs[(0, 1)] == 1.0
+    near = pairs.get((0, 2)) or pairs.get((1, 2))
+    assert near is not None and 0.5 <= near < 1.0
+
+
+def test_simhash_near_dup_distance(ray_session, docs_dir):
+    out = to_arrow(ops.simhash_table(docs_dir)).to_pydict()
+    h = dict(zip(out["doc_id"], out["simhash"]))
+    assert h[0] == h[1]
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(h[0], h[2]) <= 12          # near-dup: close hashes
+    assert hamming(h[0], h[3]) > hamming(h[0], h[2])
+
+
+def test_knn_bruteforce(ray_session, docs_dir):
+    out = ops.knn_bruteforce(docs_dir, n_queries=2, k=3).to_pydict()
+    rows = list(zip(out["query_id"], out["rank"], out["vec_id"]))
+    # rank 1 for query 0 is itself (cosine 1.0); vec 1 is collinear -> rank 2
+    assert (0, 1, 0) in rows
+    assert (0, 2, 1) in rows
+
+
+def test_ann_lsh_buckets_partition(ray_session, docs_dir):
+    out = to_arrow(ops.ann_lsh_buckets(docs_dir, n_planes=4)).to_pydict()
+    assert sum(out["n"]) == 20
+    assert all(n > 0 for n in out["n"])
+
+
+def test_lang_id_and_token_count(ray_session, docs_dir):
+    tc = to_arrow(ops.token_count(docs_dir)).to_pydict()
+    counts = dict(zip(tc["doc_id"], tc["n_tokens"]))
+    assert counts[5] == 6
+    li = to_arrow(ops.lang_id(docs_dir)).to_pydict()
+    langs = dict(zip(li["doc_id"], li["lang_pred"]))
+    assert langs[0] == "en"
+
+
+def test_multimodal_stage_stub_and_features(ray_session, docs_dir):
+    out = to_arrow(ops.multimodal_features(docs_dir))
+    assert out.num_rows == 6
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == 16 for f in feats)
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats)
+    # the real decoder is a clearly-marked stub
+    stage = ops.MultimodalFeatureStage(use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        stage.featurize(b"payload")
+
+
+def test_minhash_signature_properties():
+    mh = ops.MinHasher(num_perm=64, shingle=2)
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "alpha beta gamma delta epsilon eta"
+    sig_a1 = mh.signature(a)
+    sig_a2 = mh.signature(a)
+    assert np.array_equal(sig_a1, sig_a2)      # deterministic
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    sa, sb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.25            # unbiased estimate

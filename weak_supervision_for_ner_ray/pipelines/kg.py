@@ -18,8 +18,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..data import builtin_gazetteers, FIRST_NAMES
 from ..stages.annotate import annotate_pipeline
-from ..stages.util import default_concurrency
-from ..stages.kg import DecodeStage, TripleStage
+from ..stages.kg import make_decode_fn, make_triple_fn
 from .train import train_hmm
 
 
@@ -54,27 +53,37 @@ def mentions_table(turns_ds, **kw):
     annotated = annotate_turns(turns_ds, **kw)
 
     def explode(batch: pa.Table) -> pa.Table:
-        conv, turn, src, start, end, label, conf = [], [], [], [], [], [], []
-        cids = batch.column("conv_id").to_pylist()
-        tids = batch.column("turn_idx").to_pylist()
-        ments = batch.column("mentions").to_pylist()
-        for ci, ti, ms in zip(cids, tids, ments):
-            for m in ms:
-                conv.append(ci)
-                turn.append(ti)
-                src.append(m["source"])
-                start.append(m["start"])
-                end.append(m["end"])
-                label.append(m["label"])
-                conf.append(m["conf"])
+        import numpy as np
+        from ..sources.registry import SOURCE_NAMES
+        from ..stages.encode import LABEL_VOCAB
+        col = batch.column("mentions")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets)
+        vals = col.values
+        src_names = pa.array(
+            [SOURCE_NAMES[i] for i in
+             vals.field("source_id").to_numpy(zero_copy_only=False)],
+            pa.string())
+        labels = pa.array(
+            [LABEL_VOCAB[i] for i in
+             vals.field("label_id").to_numpy(zero_copy_only=False)],
+            pa.string())
+        conv = pa.array(np.repeat(
+            np.asarray(batch.column("conv_id").to_pylist(), dtype=object),
+            lengths), pa.string())
+        turn = pa.array(np.repeat(
+            batch.column("turn_idx").to_numpy(zero_copy_only=False),
+            lengths), pa.int32())
         return pa.table({
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": pa.array(turn, pa.int32()),
-            "source": pa.array(src, pa.string()),
-            "start": pa.array(start, pa.int32()),
-            "end": pa.array(end, pa.int32()),
-            "label": pa.array(label, pa.string()),
-            "conf": pa.array(conf, pa.float32()),
+            "conv_id": conv,
+            "turn_idx": turn,
+            "source": src_names,
+            "start": vals.field("start"),
+            "end": vals.field("end"),
+            "label": labels,
+            "conf": vals.field("conf"),
         })
 
     return annotated.map_batches(explode, batch_format="pyarrow",
@@ -83,31 +92,54 @@ def mentions_table(turns_ds, **kw):
 
 def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
              n_iter: int = 3, concurrency=None, batch_size: int = 256,
-             write: bool = True, seed: int = 42):
+             write: bool = True, seed: int = 42, lineage: bool = True):
     """Full pipeline.  Returns dict of Datasets:
-    ``annotated``, ``ner``, ``triples``, ``nodes``, ``edges``."""
+    ``annotated``, ``ner``, ``triples``, ``nodes``, ``edges``.
+
+    With ``lineage=True`` every block of the obs-encode and triple stages
+    emits a per-partition lineage record; the table is flushed to
+    ``<workdir>/lineage`` at the end (north rule)."""
+    from ..stages.util import with_lineage
+    from ..state.lineage import flush_lineage, get_lineage_actor
+
     gaz = gazetteers if gazetteers is not None else builtin_gazetteers()
     fn = first_names if first_names is not None else FIRST_NAMES
+    lin_actor = get_lineage_actor() if lineage else None
 
-    concurrency = default_concurrency(concurrency)
     annotated = annotate_turns(turns_ds, workdir, gazetteers=gaz,
                                first_names=fn, concurrency=concurrency,
                                batch_size=batch_size)
 
-    params = train_hmm(annotated, workdir, n_iter=n_iter, seed=seed,
+    # one-time observation encoding (specialise + BILU spread); EM passes
+    # and the decode/triple stages consume these flat arrays
+    from ..stages.encode import encode_obs_batch
+    obs_dir = os.path.join(workdir, "obs")
+    if not os.path.exists(os.path.join(obs_dir, "_SUCCESS")):
+        annotated.map_batches(
+            with_lineage(encode_obs_batch, "encode_obs", lin_actor),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True).write_parquet(obs_dir)
+        open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
+    obs_ds = rd.read_parquet(obs_dir)
+    obs_noth = rd.read_parquet(
+        obs_dir, columns=["conv_id", "turn_idx", "n_tokens",
+                          "o_t", "o_s", "o_state", "o_conf"])
+
+    params = train_hmm(obs_noth, workdir, n_iter=n_iter, seed=seed,
                        concurrency=concurrency)
     params_ref = ray.put(params)
     gaz_ref = ray.put(gaz)
 
-    ner = annotated.map_batches(
-        DecodeStage, fn_constructor_args=(params_ref,),
+    ner = obs_noth.map_batches(
+        make_decode_fn(params_ref),
         batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=concurrency)
+        zero_copy_batch=True)
 
-    triples = annotated.map_batches(
-        TripleStage, fn_constructor_args=(params_ref, gaz_ref),
+    triples = obs_ds.map_batches(
+        with_lineage(make_triple_fn(params_ref, gaz_ref), "triples",
+                     lin_actor),
         batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=concurrency)
+        zero_copy_batch=True)
 
     if write:
         tdir = os.path.join(workdir, "triples")
@@ -115,6 +147,8 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
             triples.write_parquet(tdir)
             open(os.path.join(tdir, "_SUCCESS"), "w").close()
         triples = rd.read_parquet(tdir)
+    if lin_actor is not None:
+        flush_lineage(lin_actor, os.path.join(workdir, "lineage"))
 
     nodes, edges = graph_tables(triples)
     if write:
@@ -125,6 +159,32 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
                 open(os.path.join(d, "_SUCCESS"), "w").close()
     return {"annotated": annotated, "ner": ner, "triples": triples,
             "nodes": nodes, "edges": edges, "params": params}
+
+
+def majority_vote_table(turns_ds, workdir: str, *, gazetteers=None,
+                        first_names=None, batch_size: int = 256,
+                        nb_sources_threshold: int = 10):
+    """MajorityVoter baseline over the annotated corpus — same schema as
+    the HMM ``ner`` table (labelling.py:503-531)."""
+    from ..stages.encode import encode_obs_batch
+    from ..stages.kg import make_majority_vote_fn
+
+    annotated = annotate_turns(turns_ds, workdir, gazetteers=gazetteers,
+                               first_names=first_names,
+                               batch_size=batch_size)
+    obs_dir = os.path.join(workdir, "obs")
+    if not os.path.exists(os.path.join(obs_dir, "_SUCCESS")):
+        annotated.map_batches(encode_obs_batch, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              zero_copy_batch=True).write_parquet(obs_dir)
+        open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
+    obs = rd.read_parquet(obs_dir,
+                          columns=["conv_id", "turn_idx", "n_tokens",
+                                   "o_t", "o_s", "o_state", "o_conf"])
+    return obs.map_batches(
+        make_majority_vote_fn(nb_sources_threshold),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
 
 
 def graph_tables(triples_ds):

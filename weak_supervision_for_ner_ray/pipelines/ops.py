@@ -206,6 +206,31 @@ class MinHasher:
             ph = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return ph.min(axis=1)
 
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorised signatures for a whole batch: hash all shingles of
+        all docs at once, then per-doc min via ``np.minimum.reduceat``."""
+        gram_lists = []
+        lengths = []
+        for text in texts:
+            g = self.shingles(text)
+            gram_lists.append(g)
+            lengths.append(len(g))
+        n = len(texts)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                       np.uint64)
+        nonempty = [i for i, L in enumerate(lengths) if L]
+        if not nonempty:
+            return sigs
+        h = np.concatenate([gram_lists[i] for i in nonempty])
+        with np.errstate(over="ignore"):
+            ph = (self.a[None, :, None] * h[None, None, :]
+                  + self.b[None, :, None]).reshape(self.num_perm, -1) \
+                % _MERSENNE
+        starts = np.cumsum([0] + [lengths[i] for i in nonempty])[:-1]
+        mins = np.minimum.reduceat(ph, starts, axis=1)   # (P, n_nonempty)
+        sigs[nonempty] = mins.T
+        return sigs
+
 
 class MinHashStage:
     """documents batch -> (band_id, band_hash, doc_id) exploded rows."""
@@ -217,24 +242,24 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
         texts = batch.column("text").to_pylist()
         n = len(doc_ids)
-        band_id, band_hash, out_doc = [], [], []
-        for did, text in zip(doc_ids, texts):
-            sig = self.mh.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1)
-                            * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8)
-                band_id.append(b)
-                band_hash.append(int.from_bytes(h.digest(), "little")
-                                 >> 1)   # fit int64
-                out_doc.append(did)
+        sigs = self.mh.signatures_batch(texts)          # (n, P)
+        # band hash: re-hash each band chunk via the same permutation trick
+        # (cheap, vectorised) instead of per-chunk blake2b
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            mix = np.zeros((n, self.bands), np.uint64)
+            for r in range(self.rows_per_band):
+                mix = (mix * np.uint64(0x9E3779B97F4A7C15)
+                       + chunks[:, :, r])
+        band_hash = (mix >> np.uint64(1)).astype(np.int64)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table({
             "band_id": pa.array(band_id, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
         })
 
 
@@ -242,27 +267,20 @@ def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3):
     """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
     bucket groupby → pairs within bucket (ray_guide pattern)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    banded = ds.map_batches(MinHashStage,
-                            fn_constructor_kwargs=dict(
-                                num_perm=num_perm, bands=bands,
-                                shingle=shingle),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=_concurrency())
+    stage = MinHashStage(num_perm=num_perm, bands=bands, shingle=shingle)
+    banded = ds.map_batches(stage.__call__, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
+    def pairs(group: dict) -> dict:
+        # numpy batch format: much cheaper per group than a DataFrame
+        ids = np.unique(group["doc_id"])
         if len(ids) < 2 or len(ids) > 200:      # guard pathological buckets
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return {"a": ids[ai], "b": ids[bi]}
 
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+        pairs, batch_format="numpy")
     # dedup pairs found in multiple bands
     return (cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
             .sort(["a", "b"]))
@@ -305,32 +323,35 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
 
 
 class SimHashStage:
-    """64-bit SimHash per document (vectorised bit accumulation)."""
+    """64-bit SimHash per document (whole batch vectorised: hash every
+    token once, scatter-add sign bits per doc)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(batch), np.uint64)
-        for row, text in enumerate(batch["text"]):
-            toks = text.lower().split()
-            if not toks:
-                continue
-            h = _stable_token_hashes(toks)
+        tok_lists = [t.lower().split() for t in batch["text"]]
+        lengths = np.array([len(t) for t in tok_lists])
+        n = len(tok_lists)
+        score = np.zeros((n, 64), np.int64)
+        flat = [w for toks in tok_lists for w in toks]
+        if flat:
+            h = _stable_token_hashes(flat)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for bit in np.where(score > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(bit)
-            out[row] = sim
+            signs = 2 * bits - 1
+            doc_idx = np.repeat(np.arange(n), lengths)
+            np.add.at(score, doc_idx, signs)
+        sim = ((score > 0).astype(np.uint64)
+               @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "simhash": out.astype(np.int64),   # reinterpret for Arrow int64
+            "simhash": sim.astype(np.int64),   # reinterpret for Arrow int64
         })
 
 
 def simhash_table(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pandas",
-                          concurrency=_concurrency()).sort("doc_id")
+    stage = SimHashStage()
+    return ds.map_batches(stage.__call__,
+                          batch_format="pandas").sort("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -14,9 +14,8 @@ import ray
 
 from ..state.checkpoints import CheckpointStore
 from ..state.hmm import HMMParams, init_params_from_counts, m_step
-from ..stages.em import (EStepStage, InitStatsStage, reduce_init_counts,
+from ..stages.em import (InitStatsStage, make_estep_fn, reduce_init_counts,
                          reduce_suffstats)
-from ..stages.util import default_concurrency
 
 
 def _collect(ds) -> "pa.Table":
@@ -28,11 +27,10 @@ def _collect(ds) -> "pa.Table":
 
 def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
               tol: float = 1e-2, seed: int = 42, keep_names=None,
-              concurrency=None, batch_size: int = 512,
+              concurrency=None, batch_size: int = 4096,
               verbose: bool = False) -> HMMParams:
     """Train (or resume training) the HMM aggregator over an annotated
     Dataset; returns the final parameters."""
-    concurrency = default_concurrency(concurrency)
     store = CheckpointStore(workdir)
     resumed = store.latest()
     if resumed is not None:
@@ -41,10 +39,10 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
             return params
     else:
         # initialisation pass: one map_batches over the corpus
+        init_fn = InitStatsStage(keep_names)
         partials = _collect(annotated_ds.map_batches(
-            InitStatsStage, fn_constructor_args=(keep_names,),
-            batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True, concurrency=concurrency))
+            init_fn, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True))
         init_c, trans_c, obs_c = reduce_init_counts(partials)
         params = init_params_from_counts(init_c, trans_c, obs_c, seed=seed,
                                          keep=[i for i in
@@ -56,9 +54,9 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
     for it in range(start_iter + 1, n_iter + 1):
         params_ref = ray.put(params)
         partials = _collect(annotated_ds.map_batches(
-            EStepStage, fn_constructor_args=(params_ref, keep_names),
+            make_estep_fn(params_ref, keep_names),
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True, concurrency=concurrency))
+            zero_copy_batch=True))
         stats = reduce_suffstats(partials)
         params = m_step(params, stats)
         history.append(stats.logprob)

@@ -184,16 +184,27 @@ def doc_majority(conv: ConversationDoc) -> None:
                 entity_counts[key] = norm
 
     # ---- occurrences (case-insensitive) across the conversation ----------
+    # first-token index instead of a full scan per entity: turns the
+    # O(entities × tokens) reference loop (annotations.py:1147-1152) into
+    # O(tokens + candidate probes) — same counts, long-conversation safe.
     lowered_turns = [tuple(d.lowers) for d in conv.docs]
+    positions: dict[str, list[tuple[int, int]]] = {}
+    for d_i, toks_lc in enumerate(lowered_turns):
+        for p, w in enumerate(toks_lc):
+            positions.setdefault(w, []).append((d_i, p))
     trie = TokenTrie()
     for entity, label_counts in entity_counts.items():
         ent_lower = tuple(t.lower() for t in entity)
         le = len(ent_lower)
         nb = 0
-        for toks_lc in lowered_turns:
-            for i in range(len(toks_lc) - le):
-                if toks_lc[i:i + le] == ent_lower:
-                    nb += 1
+        for d_i, p in positions.get(ent_lower[0], ()):
+            toks_lc = lowered_turns[d_i]
+            # reference counts matches at i in range(n - le) only
+            # (annotations.py:1150) — reproduced exactly
+            if p < len(toks_lc) - le and toks_lc[p:p + le] == ent_lower:
+                nb += 1
+                if nb > 1:
+                    break
         majority = max(label_counts,
                        key=lambda x: (label_counts[x] * 1000
                                       + (1 if x in {"PRODUCT", "COMPANY"}

@@ -22,7 +22,7 @@ import ray
 
 from ..sources.registry import LFBank
 from ..tokenizer import make_doc
-from .encode import MENTION_TYPE, MentionsBuilder, mentions_to_layers
+from .encode import MENTION_TYPE, MentionRows, MentionsBuilder
 
 ANNOTATED_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -40,6 +40,24 @@ def _get_broadcast(ref_or_value):
     return ref_or_value
 
 
+def annotate_turn_batch(bank: LFBank, batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n_tokens = []
+    builder = MentionsBuilder()
+    for text in texts:
+        doc, layers = bank.annotate_turn(text)
+        n_tokens.append(len(doc))
+        builder.add_layers(layers)
+    return pa.table({
+        "conv_id": batch.column("conv_id"),
+        "turn_idx": batch.column("turn_idx"),
+        "role": batch.column("role"),
+        "text": batch.column("text"),
+        "n_tokens": pa.array(n_tokens, pa.int32()),
+        "mentions": builder.finish(),
+    })
+
+
 class TurnAnnotateStage:
     """Actor-pool stage: text -> turn-level mentions (nested column)."""
 
@@ -50,21 +68,7 @@ class TurnAnnotateStage:
         self.bank = LFBank(gazetteers, first_names)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tokens = []
-        builder = MentionsBuilder()
-        for text in texts:
-            doc, layers = self.bank.annotate_turn(text)
-            n_tokens.append(len(doc))
-            builder.add_layers(layers)
-        return pa.table({
-            "conv_id": batch.column("conv_id"),
-            "turn_idx": batch.column("turn_idx"),
-            "role": batch.column("role"),
-            "text": batch.column("text"),
-            "n_tokens": pa.array(n_tokens, pa.int32()),
-            "mentions": builder.finish(),
-        })
+        return annotate_turn_batch(self.bank, batch)
 
 
 class ConvAnnotateStage:
@@ -81,50 +85,75 @@ class ConvAnnotateStage:
         self.bank = LFBank(gazetteers, first_names)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
-        group = group.take(order)
-        texts = group.column("text").to_pylist()
-        mention_lists = group.column("mentions").to_pylist()
-        turn_idxs = group.column("turn_idx").to_pylist()
+        return annotate_conv_group(self.bank, group)
 
-        docs = [make_doc(t) for t in texts]
-        layers_list = [mentions_to_layers(m) for m in mention_lists]
-        self.bank.finish_conversation(turn_idxs, docs, layers_list)
 
-        builder = MentionsBuilder()
-        for layers in layers_list:
-            builder.add_layers(layers)
-        return pa.table({
-            "conv_id": group.column("conv_id"),
-            "turn_idx": group.column("turn_idx"),
-            "role": group.column("role"),
-            "text": group.column("text"),
-            "n_tokens": group.column("n_tokens"),
-            "mentions": builder.finish(),
-        })
+def annotate_conv_group(bank: LFBank, group: pa.Table) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+    group = group.take(order)
+    texts = group.column("text").to_pylist()
+    turn_idxs = group.column("turn_idx").to_pylist()
+
+    docs = [make_doc(t) for t in texts]
+    rows = MentionRows(group)
+    layers_list = [rows.layers(i) for i in range(len(texts))]
+    bank.finish_conversation(turn_idxs, docs, layers_list)
+
+    builder = MentionsBuilder()
+    for layers in layers_list:
+        builder.add_layers(layers)
+    return pa.table({
+        "conv_id": group.column("conv_id"),
+        "turn_idx": group.column("turn_idx"),
+        "role": group.column("role"),
+        "text": group.column("text"),
+        "n_tokens": group.column("n_tokens"),
+        "mentions": builder.finish(),
+    })
+
+
+def _bank_from(bank_inputs) -> LFBank:
+    from .util import cached_from_ref
+    return cached_from_ref(bank_inputs,
+                           builder=lambda v: LFBank(v[0], v[1]),
+                           key_extra="lfbank")
+
+
+def make_turn_annotate_fn(bank_inputs_ref):
+    """Stateless-task variant of :class:`TurnAnnotateStage`: the LF bank is
+    built once per worker process from the broadcast ref (see
+    ``stages.util.cached_from_ref``) — actor-pool amortization without
+    per-stage actor spawn latency."""
+
+    def turn_annotate(batch: pa.Table) -> pa.Table:
+        return annotate_turn_batch(_bank_from(bank_inputs_ref), batch)
+
+    return turn_annotate
+
+
+def make_conv_annotate_fn(bank_inputs_ref):
+    def conv_annotate(group: pa.Table) -> pa.Table:
+        return annotate_conv_group(_bank_from(bank_inputs_ref), group)
+
+    return conv_annotate
 
 
 def annotate_pipeline(turns, bank_inputs_ref, *, concurrency=None,
                       batch_size: int = 256):
     """turns Dataset -> fully annotated Dataset (turn + conversation level).
 
-    ``bank_inputs_ref``: ``ray.put((gazetteers, first_names))`` — passed by
-    reference so every actor reads the same broadcast object instead of
-    re-shipping the lists per task.
+    ``bank_inputs_ref``: ``ray.put((gazetteers, first_names))`` — broadcast
+    once; every worker builds its LF bank from it exactly once.
     """
-    from .util import default_concurrency
-    concurrency = default_concurrency(concurrency)
     annotated = turns.map_batches(
-        TurnAnnotateStage,
-        fn_constructor_args=(bank_inputs_ref,),
+        make_turn_annotate_fn(bank_inputs_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
         concurrency=concurrency,
     )
     return annotated.groupby("conv_id").map_groups(
-        ConvAnnotateStage,
-        fn_constructor_args=(bank_inputs_ref,),
+        make_conv_annotate_fn(bank_inputs_ref),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

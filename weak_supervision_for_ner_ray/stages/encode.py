@@ -17,11 +17,20 @@ from ..functions.spans import Layers, get_overlaps
 from ..sources.registry import SOURCE_INDICES, SOURCE_NAMES, SOURCE_PRIORS
 from ..state.hmm import TurnObs
 
+# internal nested mention struct uses integer-coded source/label ids: ~3x
+# smaller shuffle/parquet payloads than strings, and column-wise decoding
+# without materialising python dicts.  The public long-form mentions table
+# re-expands ids to names.
+from ..constants import LABELS
+
+LABEL_VOCAB = LABELS + ["ENT", "MISC", "PER"]
+LABEL_IDS = {lab: i for i, lab in enumerate(LABEL_VOCAB)}
+
 MENTION_TYPE = pa.struct([
-    ("source", pa.string()),
+    ("source_id", pa.int16()),
     ("start", pa.int32()),
     ("end", pa.int32()),
-    ("label", pa.string()),
+    ("label_id", pa.int8()),
     ("conf", pa.float32()),
 ])
 
@@ -36,53 +45,89 @@ class MentionsBuilder:
     """Accumulates per-turn mention lists into a ListArray of structs."""
 
     def __init__(self):
-        self.source: list[str] = []
+        self.source: list[int] = []
         self.start: list[int] = []
         self.end: list[int] = []
-        self.label: list[str] = []
+        self.label: list[int] = []
         self.conf: list[float] = []
         self.offsets: list[int] = [0]
 
     def add_layers(self, layers: Layers) -> None:
+        sids = SOURCE_INDICES
+        lids = LABEL_IDS
         for source in sorted(layers.by_source):
+            sid = sids.get(source)
+            if sid is None:
+                continue
             spans = layers.by_source[source]
             for (s, e) in sorted(spans):
                 for lab, c in spans[(s, e)]:
-                    self.source.append(source)
+                    self.source.append(sid)
                     self.start.append(s)
                     self.end.append(e)
-                    self.label.append(lab)
+                    self.label.append(lids[lab])
                     self.conf.append(c)
         self.offsets.append(len(self.source))
 
     def finish(self) -> pa.ListArray:
         struct = pa.StructArray.from_arrays(
-            [pa.array(self.source, pa.string()),
+            [pa.array(self.source, pa.int16()),
              pa.array(self.start, pa.int32()),
              pa.array(self.end, pa.int32()),
-             pa.array(self.label, pa.string()),
+             pa.array(self.label, pa.int8()),
              pa.array(self.conf, pa.float32())],
             fields=list(MENTION_TYPE))
         return pa.ListArray.from_arrays(pa.array(self.offsets, pa.int32()),
                                         struct)
 
 
-def mentions_to_layers(mention_list) -> Layers:
-    """Rebuild a :class:`Layers` from one row's nested mention list.
+class MentionRows:
+    """Column-wise decoder of a nested mentions column: yields one
+    :class:`Layers` per row without materialising python dicts."""
 
-    Span dicts are rebuilt in ascending (start, end) order so the
-    binary-search exclusivity/overlap helpers keep their contract.
-    """
+    def __init__(self, batch: pa.Table):
+        col = batch.column("mentions")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        self.offsets = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values
+        self.source = vals.field("source_id").to_numpy(zero_copy_only=False)
+        self.start = vals.field("start").to_numpy(zero_copy_only=False)
+        self.end = vals.field("end").to_numpy(zero_copy_only=False)
+        self.label = vals.field("label_id").to_numpy(zero_copy_only=False)
+        self.conf = vals.field("conf").to_numpy(zero_copy_only=False)
+
+    def layers(self, i: int) -> Layers:
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        layers = Layers()
+        by_source = layers.by_source
+        names = SOURCE_NAMES
+        vocab = LABEL_VOCAB
+        for j in range(lo, hi):
+            src = by_source.setdefault(names[self.source[j]], {})
+            key = (int(self.start[j]), int(self.end[j]))
+            val = (vocab[self.label[j]], float(self.conf[j]))
+            if key in src:
+                src[key] = (*src[key], val)
+            else:
+                src[key] = (val,)
+        # mentions were emitted sorted per source; dict preserves order
+        return layers
+
+
+def mentions_to_layers(mention_list) -> Layers:
+    """Rebuild a :class:`Layers` from one row's nested mention pylist
+    (id-coded structs)."""
     layers = Layers()
     by_source = layers.by_source
     for m in mention_list:
-        src = by_source.setdefault(m["source"], {})
+        src = by_source.setdefault(SOURCE_NAMES[m["source_id"]], {})
         key = (m["start"], m["end"])
+        val = (LABEL_VOCAB[m["label_id"]], m["conf"])
         if key in src:
-            src[key] = (*src[key], (m["label"], m["conf"]))
+            src[key] = (*src[key], val)
         else:
-            src[key] = ((m["label"], m["conf"]),)
-    # mentions were emitted sorted per source; dict preserves order
+            src[key] = (val,)
     return layers
 
 
@@ -139,6 +184,83 @@ def layers_to_obs(layers: Layers, n_tokens: int,
             for label, conf in vals:
                 obs.add_span(s_idx, start, end, label, conf)
     return obs
+
+
+OBS_SCHEMA_COLS = ["conv_id", "turn_idx", "text", "n_tokens",
+                   "o_t", "o_s", "o_state", "o_conf"]
+
+
+def encode_obs_batch(batch: pa.Table) -> pa.Table:
+    """Annotated batch -> flattened observation batch.
+
+    ``specialise_annotations`` + BILU spreading run ONCE here; the EM loop
+    and decode stages then consume plain int/float arrays instead of
+    re-parsing nested mention structs every pass (the encoding does not
+    depend on HMM parameters, so it is safe to materialise)."""
+    rows = MentionRows(batch)
+    n_tokens = batch.column("n_tokens").to_pylist()
+    o_t, o_s, o_state, o_conf = [], [], [], []
+    offsets = [0]
+    for i, nt in enumerate(n_tokens):
+        layers = rows.layers(i)
+        obs = layers_to_obs(layers, nt)
+        for (t, s) in sorted(obs.fired):
+            for state, conf in obs.fired[(t, s)].items():
+                o_t.append(t)
+                o_s.append(s)
+                o_state.append(state)
+                o_conf.append(conf)
+        offsets.append(len(o_t))
+    off = pa.array(offsets, pa.int32())
+    return pa.table({
+        "conv_id": batch.column("conv_id"),
+        "turn_idx": batch.column("turn_idx"),
+        "text": batch.column("text"),
+        "n_tokens": batch.column("n_tokens"),
+        "o_t": pa.ListArray.from_arrays(off, pa.array(o_t, pa.int32())),
+        "o_s": pa.ListArray.from_arrays(off, pa.array(o_s, pa.int32())),
+        "o_state": pa.ListArray.from_arrays(off,
+                                            pa.array(o_state, pa.int32())),
+        "o_conf": pa.ListArray.from_arrays(off,
+                                           pa.array(o_conf, pa.float64())),
+    })
+
+
+class ObsRows:
+    """Zero-copy-ish iterator over an observation batch's rows."""
+
+    def __init__(self, batch: pa.Table):
+        self.n_tokens = batch.column("n_tokens").to_numpy(
+            zero_copy_only=False)
+        self.cols = {}
+        first = None
+        for name in ("o_t", "o_s", "o_state", "o_conf"):
+            arr = batch.column(name)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            self.cols[name] = arr.values.to_numpy(zero_copy_only=False)
+            if first is None:
+                self.offsets = arr.offsets.to_numpy(zero_copy_only=False)
+
+    def __len__(self):
+        return len(self.n_tokens)
+
+    def turnobs(self, i: int) -> TurnObs:
+        obs = TurnObs(int(self.n_tokens[i]))
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        fired = obs.fired
+        o_t = self.cols["o_t"]
+        o_s = self.cols["o_s"]
+        o_state = self.cols["o_state"]
+        o_conf = self.cols["o_conf"]
+        for j in range(lo, hi):
+            key = (int(o_t[j]), int(o_s[j]))
+            d = fired.get(key)
+            if d is None:
+                d = fired[key] = {}
+            st = int(o_state[j])
+            d[st] = d.get(st, 0.0) + float(o_conf[j])
+        return obs
 
 
 def obs_argmax_states(obs: TurnObs, source_idx: int) -> np.ndarray:

@@ -21,7 +21,7 @@ from ..constants import GENERIC_TOKENS, LEGAL_SUFFIXES
 from ..state.hmm import HMMParams, decode_turn
 from ..state.trie import TokenTrie
 from ..tokenizer import make_doc, tokenise
-from .encode import layers_to_obs, mentions_to_layers
+from .encode import ObsRows, layers_to_obs, mentions_to_layers
 
 CORE_ARG_LABELS = {"PERSON", "ORG", "COMPANY", "GPE", "LOC", "PRODUCT"}
 
@@ -148,16 +148,73 @@ class DecodeStage:
         self.keep_names = keep_names
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return decode_batch(self.params, self.keep_names, batch)
+
+
+def make_majority_vote_fn(nb_sources_threshold: int = 10):
+    """MajorityVoter baseline stage (labelling.py:503-531): same output
+    schema as the HMM decode, no trained parameters needed."""
+    from ..state.hmm import majority_vote_turn
+
+    def vote(batch: pa.Table) -> pa.Table:
         conv, turn = [], []
         start, end, label, conf = [], [], [], []
         conv_ids = batch.column("conv_id").to_pylist()
         turn_idxs = batch.column("turn_idx").to_pylist()
+        for ci, ti, obs in zip(conv_ids, turn_idxs, _obs_iter(batch, None)):
+            for s, e, lab, c in majority_vote_turn(
+                    obs, nb_sources_threshold=nb_sources_threshold):
+                conv.append(ci)
+                turn.append(ti)
+                start.append(s)
+                end.append(e)
+                label.append(lab)
+                conf.append(c)
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "start": pa.array(start, pa.int32()),
+            "end": pa.array(end, pa.int32()),
+            "label": pa.array(label, pa.string()),
+            "conf": pa.array(conf, pa.float32()),
+        })
+
+    return vote
+
+
+def make_decode_fn(params_ref, keep_names=None):
+    """Stateless-task decode (per-worker cached params)."""
+    from .util import cached_from_ref
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return decode_batch(cached_from_ref(params_ref), keep_names, batch)
+
+    return decode
+
+
+def _obs_iter(batch: pa.Table, keep_names):
+    """Iterate TurnObs over either a pre-encoded obs batch or a raw
+    annotated batch."""
+    if "o_t" in batch.column_names:
+        rows = ObsRows(batch)
+        for i in range(len(rows)):
+            yield rows.turnobs(i)
+    else:
         mentions = batch.column("mentions").to_pylist()
         n_tokens = batch.column("n_tokens").to_pylist()
-        for ci, ti, m, nt in zip(conv_ids, turn_idxs, mentions, n_tokens):
-            layers = mentions_to_layers(m)
-            obs = layers_to_obs(layers, nt, self.keep_names)
-            for s, e, lab, c in decode_turn(obs, self.params):
+        for m, nt in zip(mentions, n_tokens):
+            yield layers_to_obs(mentions_to_layers(m), nt, keep_names)
+
+
+def decode_batch(params, keep_names, batch: pa.Table) -> pa.Table:
+    if True:
+        conv, turn = [], []
+        start, end, label, conf = [], [], [], []
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        for ci, ti, obs in zip(conv_ids, turn_idxs,
+                               _obs_iter(batch, keep_names)):
+            for s, e, lab, c in decode_turn(obs, params):
                 conv.append(ci)
                 turn.append(ti)
                 start.append(s)
@@ -229,26 +286,41 @@ class TripleStage:
         self.keep_names = keep_names
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return triple_batch(self.params, self.index, self.keep_names, batch)
+
+
+def make_triple_fn(params_ref, gazetteers_ref, keep_names=None):
+    """Stateless-task fused decode/link/triple stage: params and the alias
+    index are built once per worker from the broadcast refs."""
+    from .util import cached_from_ref
+
+    def triples(batch: pa.Table) -> pa.Table:
+        params = cached_from_ref(params_ref)
+        index = cached_from_ref(gazetteers_ref, builder=AliasIndex,
+                                key_extra="alias_index")
+        return triple_batch(params, index, keep_names, batch)
+
+    return triples
+
+
+def triple_batch(params, index, keep_names, batch: pa.Table) -> pa.Table:
+    if True:
         cols = {k: [] for k in
                 ("conv_id", "turn_idx", "subj", "subj_label", "pred", "obj",
                  "obj_label", "subj_id", "obj_id", "conf")}
         conv_ids = batch.column("conv_id").to_pylist()
         turn_idxs = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
-        mentions = batch.column("mentions").to_pylist()
-        n_tokens = batch.column("n_tokens").to_pylist()
-        for ci, ti, text, m, nt in zip(conv_ids, turn_idxs, texts, mentions,
-                                       n_tokens):
-            if nt == 0:
+        for ci, ti, text, obs in zip(conv_ids, turn_idxs, texts,
+                                     _obs_iter(batch, keep_names)):
+            if obs.n_tokens == 0:
                 continue
-            layers = mentions_to_layers(m)
-            obs = layers_to_obs(layers, nt, self.keep_names)
-            spans = decode_turn(obs, self.params)
+            spans = decode_turn(obs, params)
             if not spans:
                 continue
             doc = make_doc(text)
             for (subj, sl, pred, obj, ol, sid, oid, conf) in \
-                    extract_triples_for_turn(doc, spans, self.index):
+                    extract_triples_for_turn(doc, spans, index):
                 cols["conv_id"].append(ci)
                 cols["turn_idx"].append(ti)
                 cols["subj"].append(subj)

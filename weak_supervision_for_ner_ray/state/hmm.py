@@ -56,11 +56,20 @@ class HMMParams:
         with np.errstate(divide="ignore"):
             self.log_start = np.log(self.startprob)
             self.log_trans = np.log(self.transmat)
-            # baseline: sum over kept sources of log P(obs=O | state)
-            emis0 = self.emission_probs[self.keep, :, 0]
-            self.log_emis0 = np.where(emis0 > 0, np.log(
+            # per-source log P(obs=O | state), cached for the sparse
+            # log-likelihood corrections (avoids re-logging per call)
+            emis0 = self.emission_probs[:, :, 0]
+            self.log_emisO = np.where(emis0 > 0, np.log(
                 np.where(emis0 > 0, emis0, 1.0)), _NINF)
-            self.base_loglik = self.log_emis0.sum(axis=0)   # (77,)
+            self.base_loglik = self.log_emisO[self.keep].sum(axis=0)  # (77,)
+            # full log-emission table, laid out (S*K_obs, K_state) so a
+            # fired (source, obs_state) pair is one row gather
+            e = self.emission_probs
+            le = np.where(e > 0, np.log(np.where(e > 0, e, 1.0)), _NINF)
+            # le[s, state, obs] -> row for (s, obs) over states
+            self.log_emis2d = np.ascontiguousarray(
+                le.transpose(0, 2, 1)).reshape(-1, N_STATES)
+        self.keep_set = set(self.keep.tolist())
 
     def save(self, path: str) -> None:
         np.savez_compressed(
@@ -115,41 +124,52 @@ class TurnObs:
 
 
 def frame_log_likelihood(obs: TurnObs, params: HMMParams) -> np.ndarray:
-    """(n_tokens, 77) log P(observations_t | state) — labelling.py:434-448."""
+    """(n_tokens, 77) log P(observations_t | state) — labelling.py:434-448.
+
+    Sparse: baseline Σ_s log P(O|state) plus corrections only for fired
+    (token, source) pairs."""
     T = obs.n_tokens
     ll = np.tile(params.base_loglik, (T, 1))
-    keep = set(params.keep.tolist())
+    keep = params.keep_set
     emis = params.emission_probs
-    log0 = {}        # source -> log emission[s,:,0]
 
     observed = np.zeros((T, N_STATES), bool)
     observed[:, 0] = True
     n_fired_nonO = np.zeros(T, np.int64)
 
+    # fast path: single-label observations (the vast majority) become one
+    # vectorized row-gather of the precomputed log-emission table
+    ts1, rows1, confs1 = [], [], []
     for (t, s), dist in obs.fired.items():
         if s not in keep:
             continue
-        probs = np.zeros(N_STATES)
-        for state, conf in dist.items():
-            probs += conf * emis[s, :, state]
-            observed[t, state] = True
-        if s not in log0:
-            with np.errstate(divide="ignore"):
-                log0[s] = np.where(emis[s, :, 0] > 0,
-                                   np.log(np.where(emis[s, :, 0] > 0,
-                                                   emis[s, :, 0], 1.0)),
-                                   _NINF)
-        with np.errstate(divide="ignore"):
-            lp = np.where(probs > 0,
-                          np.log(np.where(probs > 0, probs, 1.0)), _NINF)
-        ll[t] = ll[t] - log0[s] + lp
         n_fired_nonO[t] += 1
+        if len(dist) == 1:
+            (state, conf), = dist.items()
+            ts1.append(t)
+            rows1.append(s * N_STATES + state)
+            confs1.append(conf)
+            observed[t, state] = True
+        else:
+            states = list(dist.keys())
+            confs = np.array(list(dist.values()))
+            probs = emis[s][:, states] @ confs
+            observed[t, states] = True
+            lp = np.full(N_STATES, _NINF)
+            np.log(probs, out=lp, where=probs > 0)
+            ll[t] += lp - params.log_emisO[s]
+    if ts1:
+        ts1 = np.array(ts1)
+        rows = params.log_emis2d[np.array(rows1)]        # (n, 77)
+        srcs = np.array(rows1) // N_STATES
+        corr = rows + np.log(np.array(confs1))[:, None] \
+            - params.log_emisO[srcs]
+        np.add.at(ll, ts1, corr)
 
-    # state O is unobserved only if every kept source fired at t
+    # state O is unobserved only if every kept source fired at t (fired
+    # sources have X[t,s,0]=0 by construction, labelling.py:164)
     full = n_fired_nonO >= len(keep)
     if full.any():
-        # recheck: a fired source may still have weight on O? no — fired
-        # sources have X[t,s,0]=0 by construction (labelling.py:164).
         observed[full, 0] = False
     ll[~observed] = _NINF
     return ll
@@ -256,29 +276,60 @@ class SuffStats:
         return s
 
 
+def _forward_backward_scaled(ll: np.ndarray, params: HMMParams):
+    """Scaled (linear-space) forward-backward — Rabiner scaling.
+
+    One 77×77 mat-vec per token instead of a logsumexp over a 77×77
+    matrix; numerically equivalent to the log-space recursion (the scale
+    factors carry the magnitude) and ~10× faster."""
+    T = ll.shape[0]
+    m = np.max(ll, axis=1)
+    m[~np.isfinite(m)] = 0.0
+    with np.errstate(under="ignore"):
+        Bs = np.exp(ll - m[:, None])        # scaled emission likelihoods
+    A = params.transmat
+    alpha = np.empty_like(Bs)
+    c = np.empty(T)
+    a = params.startprob * Bs[0]
+    c[0] = a.sum()
+    if c[0] <= 0:
+        return -np.inf, None, None, None, None
+    alpha[0] = a / c[0]
+    for t in range(1, T):
+        a = (alpha[t - 1] @ A) * Bs[t]
+        c[t] = a.sum()
+        if c[t] <= 0:
+            return -np.inf, None, None, None, None
+        alpha[t] = a / c[t]
+    logprob = float(np.log(c).sum() + m.sum())
+
+    beta = np.empty_like(Bs)
+    beta[-1] = 1.0
+    for t in range(T - 2, -1, -1):
+        beta[t] = (A @ (Bs[t + 1] * beta[t + 1])) / c[t + 1]
+    return logprob, alpha, beta, Bs, c
+
+
 def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats) -> None:
     """Forward-backward on one turn, accumulating into ``stats``."""
     T = obs.n_tokens
     if T == 0:
         return
     ll = frame_log_likelihood(obs, params)
-    logprob, fwd = forward(ll, params)
+    logprob, alpha, beta, Bs, c = _forward_backward_scaled(ll, params)
     if not np.isfinite(logprob):
         return                      # degenerate turn; skip (reference prints)
-    bwd = backward(ll, params)
-    post = posteriors_from(fwd, bwd)
+    post = alpha * beta
+    post /= np.maximum(post.sum(axis=1, keepdims=True), 1e-300)
 
     stats.logprob += logprob
     stats.n_seqs += 1
     stats.start += post[0]
     if T > 1:
-        # xi accumulation: exp(fwd[t,i] + logT[i,j] + (ll+bwd)[t+1,j] - logP)
-        b = ll[1:] + bwd[1:]
-        with np.errstate(under="ignore", invalid="ignore"):
-            xi = np.exp(fwd[:-1, :, None] + params.log_trans[None, :, :]
-                        + b[:, None, :] - logprob)
-        xi[~np.isfinite(xi)] = 0.0
-        stats.trans += xi.sum(axis=0)
+        # xi_t(i,j) = alpha_t(i) A(i,j) Bs_{t+1}(j) beta_{t+1}(j) / c_{t+1};
+        # summed over t:  diag-weighted A — two matmuls, no T×77×77 temp
+        w = Bs[1:] * beta[1:] / c[1:, None]          # (T-1, 77)
+        stats.trans += params.transmat * (alpha[:-1].T @ w)
 
     # emission stats: obs[s,:,l] += X[t,s,l] * post[t]  (labelling.py:473-480)
     total_post = post.sum(axis=0)
@@ -429,6 +480,14 @@ def decode_turn(obs: TurnObs, params: HMMParams
     conf = proba[np.arange(len(states)), states]
 
     labels = [POSITIONED_LABELS[s] for s in states]
+    return bilu_to_spans(labels, conf)
+
+
+def bilu_to_spans(labels: list[str], conf: np.ndarray
+                  ) -> list[tuple[int, int, str, float]]:
+    """BILU label sequence -> spans with confidences, reproducing
+    ``UnifiedAnnotator.annotate`` (labelling.py:116-141) including its
+    boundary quirks."""
     spans = []
     i, n = 0, len(labels)
     while i < n:
@@ -451,3 +510,40 @@ def decode_turn(obs: TurnObs, params: HMMParams
                 spans.append((start, i + 1, label, c))
             i += 1
     return spans
+
+
+def majority_vote_turn(obs: TurnObs, params_keep: set[int] | None = None,
+                       nb_sources_threshold: int = 10
+                       ) -> list[tuple[int, int, str, float]]:
+    """MajorityVoter baseline (labelling.py:503-531): per-token bincount of
+    source argmax states; a token is an entity iff >= threshold sources
+    fire; label = most common positioned state."""
+    T = obs.n_tokens
+    if T == 0:
+        return []
+    counts = np.zeros((T, N_STATES), np.int64)
+    keep = params_keep if params_keep is not None else set(range(N_SOURCES))
+    fired_by_t: dict[int, set] = {}
+    for (t, s), dist in obs.fired.items():
+        if s not in keep:
+            continue
+        best_state, best_conf = 0, 0.0
+        for state, c in dist.items():
+            if c > best_conf or (c == best_conf and state < best_state):
+                best_state, best_conf = state, c
+        counts[t, best_state] += 1
+        fired_by_t.setdefault(t, set()).add(s)
+    # non-fired sources implicitly vote O
+    n_keep = len(keep)
+    labels, confs = [], np.zeros(T)
+    for t in range(T):
+        nz = counts[t, 1:]
+        fired = int(nz.sum())
+        if fired >= nb_sources_threshold:
+            state = int(nz.argmax()) + 1
+            labels.append(POSITIONED_LABELS[state])
+            confs[t] = nz.max() / fired
+        else:
+            labels.append("O")
+            confs[t] = (n_keep - fired) / n_keep
+    return bilu_to_spans(labels, confs)
