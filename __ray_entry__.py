@@ -31,7 +31,9 @@ def _workdir(sf_dir: str) -> str:
 
 def _turns_ds(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(_corpus(sf_dir), "turns.parquet"))
+    from weak_supervision_for_ner_ray.stages.util import target_blocks
+    return rd.read_parquet(os.path.join(_corpus(sf_dir), "turns.parquet"),
+                           override_num_blocks=target_blocks())
 
 
 def _kg(sf_dir: str):
@@ -79,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": ops.revenue_by_segment_exact,
         "top_orders": lambda sf: ops.top_orders(sf),
         "events_hourly": ops.events_hourly_exact,
+        "sessionize": lambda sf: ops.sessionize(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
@@ -145,6 +148,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
             ORDER BY user_id, window_start
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, event_id,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM d
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

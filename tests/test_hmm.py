@@ -146,3 +146,48 @@ def test_suffstats_merge_equals_sequential():
     assert np.allclose(both.trans, merged.trans)
     assert np.allclose(both.obs, merged.obs)
     assert abs(both.logprob - merged.logprob) < 1e-9
+
+
+def test_accumulate_block_matches_per_turn():
+    """Experimental batched E-step produces the same sufficient statistics
+    as the per-turn path (within fp tolerance)."""
+    import numpy as np
+    from weak_supervision_for_ner_ray.state.hmm import accumulate_block
+
+    p = tiny_params()
+    rng = np.random.default_rng(11)
+    observations = []
+    for _ in range(40):
+        o = TurnObs(int(rng.integers(2, 20)))
+        for _ in range(int(rng.integers(1, 6))):
+            s = int(rng.integers(0, o.n_tokens - 1))
+            o.add_span(hmm.BEST_COVERAGE_INDEX, s, s + 1, "GPE", 1.0)
+            o.add_span(int(hmm.SOURCE_INDICES["wiki_cased"]), s, s + 1,
+                       "GPE", 0.5)
+        observations.append(o)
+    # include a multi-label observation (fallback path)
+    observations[0].add_span(hmm.BEST_COVERAGE_INDEX, 0, 1, "ORG", 0.4)
+
+    n_tokens, o_t, o_s, o_state, o_conf, offsets = [], [], [], [], [], [0]
+    for ob in observations:
+        n_tokens.append(ob.n_tokens)
+        for (t, s) in sorted(ob.fired):
+            for st, c in ob.fired[(t, s)].items():
+                o_t.append(t)
+                o_s.append(s)
+                o_state.append(st)
+                o_conf.append(c)
+        offsets.append(len(o_t))
+
+    s1 = SuffStats()
+    for ob in observations:
+        hmm.accumulate(ob, p, s1)
+    s2 = SuffStats()
+    accumulate_block(p, np.array(n_tokens), np.array(offsets),
+                     np.array(o_t), np.array(o_s), np.array(o_state),
+                     np.array(o_conf), s2, chunk=16)
+    assert s1.n_seqs == s2.n_seqs
+    assert abs(s1.logprob - s2.logprob) < 1e-6
+    assert np.abs(s1.start - s2.start).max() < 1e-8
+    assert np.abs(s1.trans - s2.trans).max() < 1e-8
+    assert np.abs(s1.obs - s2.obs).max() < 1e-8

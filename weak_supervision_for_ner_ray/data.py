@@ -347,15 +347,28 @@ def generate_corpus(n_convs: int, seed: int = 13):
     return turns, gold_spans, gold_triples
 
 
-def write_corpus(out_dir: str, n_convs: int, seed: int = 13) -> str:
-    """Write turns/gold tables to ``out_dir`` (idempotent via a DONE marker)."""
-    marker = os.path.join(out_dir, f".done_{n_convs}_{seed}")
+def write_corpus(out_dir: str, n_convs: int, seed: int = 13,
+                 n_files: int = 32) -> str:
+    """Write turns/gold tables to ``out_dir`` (idempotent via a DONE marker).
+
+    ``turns.parquet`` is a *directory* of part files so distributed reads
+    parallelise (a single file caps read parallelism at its row groups)."""
+    marker = os.path.join(out_dir, f".done2_{n_convs}_{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     turns, gold_spans, gold_triples = generate_corpus(n_convs, seed)
-    pq.write_table(turns, os.path.join(out_dir, "turns.parquet"),
-                   row_group_size=64 * 1024)
+    tdir = os.path.join(out_dir, "turns.parquet")
+    import shutil
+    if os.path.isfile(tdir):
+        os.remove(tdir)
+    os.makedirs(tdir, exist_ok=True)
+    n = turns.num_rows
+    parts = min(n_files, max(1, n // 1000))
+    step = (n + parts - 1) // parts
+    for i in range(parts):
+        pq.write_table(turns.slice(i * step, step),
+                       os.path.join(tdir, f"part-{i:04d}.parquet"))
     pq.write_table(gold_spans, os.path.join(out_dir, "gold_spans.parquet"))
     pq.write_table(gold_triples,
                    os.path.join(out_dir, "gold_triples.parquet"))

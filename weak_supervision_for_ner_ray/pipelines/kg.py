@@ -19,7 +19,7 @@ from ray.data.aggregate import Count, Sum
 from ..data import builtin_gazetteers, FIRST_NAMES
 from ..stages.annotate import annotate_pipeline
 from ..stages.kg import make_decode_fn, make_triple_fn
-from .train import train_hmm
+from .train import train_hmm, train_hmm_sharded
 
 
 def default_bank_inputs():
@@ -106,27 +106,39 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
     fn = first_names if first_names is not None else FIRST_NAMES
     lin_actor = get_lineage_actor() if lineage else None
 
-    annotated = annotate_turns(turns_ds, workdir, gazetteers=gaz,
-                               first_names=fn, concurrency=concurrency,
-                               batch_size=batch_size)
-
-    # one-time observation encoding (specialise + BILU spread); EM passes
-    # and the decode/triple stages consume these flat arrays
+    # single materialization point: annotate -> conv stage -> obs encoding
+    # fused into one pipeline, one parquet write.  The obs table keeps the
+    # text + nested mentions columns, so it serves as annotated corpus, EM
+    # input (column-pruned read) and decode/triple input (north rule resume
+    # point: a rerun skips everything up to here via the _SUCCESS marker).
+    from ..stages.annotate import annotate_pipeline
     from ..stages.encode import encode_obs_batch
+    from ..stages.util import target_blocks
+    nblocks = target_blocks()
     obs_dir = os.path.join(workdir, "obs")
     if not os.path.exists(os.path.join(obs_dir, "_SUCCESS")):
+        bank_ref = ray.put((gaz, fn))
+        annotated = annotate_pipeline(turns_ds, bank_ref,
+                                      concurrency=concurrency,
+                                      batch_size=batch_size)
+        # small row groups -> downstream reads can split into enough
+        # blocks to pack the pool (single-row-group files cap parallelism)
         annotated.map_batches(
             with_lineage(encode_obs_batch, "encode_obs", lin_actor),
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True).write_parquet(obs_dir)
+            zero_copy_batch=True).write_parquet(
+                obs_dir, row_group_size=1024)
         open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
-    obs_ds = rd.read_parquet(obs_dir)
+    obs_ds = rd.read_parquet(obs_dir, override_num_blocks=nblocks)
+    annotated = obs_ds          # contains text + mentions columns
     obs_noth = rd.read_parquet(
         obs_dir, columns=["conv_id", "turn_idx", "n_tokens",
-                          "o_t", "o_s", "o_state", "o_conf"])
+                          "o_t", "o_s", "o_state", "o_conf"],
+        override_num_blocks=nblocks)
 
-    params = train_hmm(obs_noth, workdir, n_iter=n_iter, seed=seed,
-                       concurrency=concurrency)
+    # EM runs on persistent shard actors: obs loaded once, one RPC per
+    # shard per iteration (no per-pass dataset execution overhead)
+    params = train_hmm_sharded(obs_dir, workdir, n_iter=n_iter, seed=seed)
     params_ref = ray.put(params)
     gaz_ref = ray.put(gaz)
 

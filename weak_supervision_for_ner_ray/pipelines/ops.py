@@ -622,6 +622,30 @@ def events_hourly_exact(sf_dir: str):
                              "sum_value_mil"]))
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a gap of more
+    than ``gap_minutes`` (streaming-shaped op as sorted ``map_groups`` —
+    ray_guide 'Streaming-shaped workloads').  Ties broken by event_id so
+    the session numbering is deterministic and matches the SQL oracle."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session_id = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_id=session_id).groupby(
+            "session_id", sort=True).agg(
+                n_events=("event_id", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (ds.groupby("user_id").map_groups(sessions,
+                                             batch_format="pandas")
+            .sort(["user_id", "session_id"]))
+
+
 def event_type_stats_exact(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 

@@ -10,11 +10,14 @@ Shape (SURVEY.md §3 EP2): per iteration, params are broadcast
 
 from __future__ import annotations
 
+import os
+
 import ray
 
 from ..state.checkpoints import CheckpointStore
 from ..state.hmm import HMMParams, init_params_from_counts, m_step
-from ..stages.em import (InitStatsStage, make_estep_fn, reduce_init_counts,
+from ..stages.em import (InitStatsStage, make_estep_fn,
+                         merge_suffstat_partials, reduce_init_counts,
                          reduce_suffstats)
 
 
@@ -27,7 +30,7 @@ def _collect(ds) -> "pa.Table":
 
 def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
               tol: float = 1e-2, seed: int = 42, keep_names=None,
-              concurrency=None, batch_size: int = 4096,
+              concurrency=None, batch_size: int = 1024,
               verbose: bool = False) -> HMMParams:
     """Train (or resume training) the HMM aggregator over an annotated
     Dataset; returns the final parameters."""
@@ -53,10 +56,14 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
 
     for it in range(start_iter + 1, n_iter + 1):
         params_ref = ray.put(params)
-        partials = _collect(annotated_ds.map_batches(
+        partials_ds = annotated_ds.map_batches(
             make_estep_fn(params_ref, keep_names),
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True))
+            zero_copy_batch=True)
+        # distributed tree-reduction before the (small) driver collect
+        partials = _collect(partials_ds.map_batches(
+            merge_suffstat_partials, batch_format="pyarrow",
+            batch_size=16, zero_copy_batch=True))
         stats = reduce_suffstats(partials)
         params = m_step(params, stats)
         history.append(stats.logprob)
@@ -68,4 +75,62 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
                   f"n_seqs={stats.n_seqs}")
         if converged:
             break
+    return params
+
+
+def train_hmm_sharded(obs_dir: str, workdir: str, *, n_iter: int = 10,
+                      tol: float = 1e-2, seed: int = 42, keep_names=None,
+                      n_shards: int | None = None,
+                      verbose: bool = False) -> HMMParams:
+    """EM over persistent shard actors (stages/em_actors.py): the obs
+    parquet is loaded once into actor memory; each iteration is one RPC per
+    shard.  Checkpoint/resume semantics identical to :func:`train_hmm`."""
+    import glob
+
+    from ..sources.registry import SOURCE_INDICES
+    from ..stages.em_actors import (make_shards, shard_estep,
+                                    shard_init_counts)
+
+    store = CheckpointStore(workdir)
+    resumed = store.latest()
+    if resumed is not None and (resumed[3] or resumed[0] >= n_iter):
+        return resumed[1]
+
+    files = sorted(glob.glob(os.path.join(obs_dir, "*.parquet")))
+    if n_shards is None:
+        try:
+            n_shards = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            n_shards = 8
+    shards = make_shards(files, n_shards)
+    keep = None
+    if keep_names is not None:
+        keep = sorted(SOURCE_INDICES[n] for n in keep_names)
+
+    try:
+        if resumed is not None:
+            start_iter, params, history, _ = resumed
+        else:
+            init_c, trans_c, obs_c = shard_init_counts(shards)
+            params = init_params_from_counts(init_c, trans_c, obs_c,
+                                             seed=seed, keep=keep)
+            history = []
+            start_iter = 0
+            store.save(0, params, history)
+
+        for it in range(start_iter + 1, n_iter + 1):
+            stats = shard_estep(shards, params)
+            params = m_step(params, stats)
+            history.append(stats.logprob)
+            converged = (len(history) >= 2
+                         and abs(history[-1] - history[-2]) < tol)
+            store.save(it, params, history, done=converged)
+            if verbose:
+                print(f"EM iter {it}: logprob={stats.logprob:.2f} "
+                      f"n_seqs={stats.n_seqs}")
+            if converged:
+                break
+    finally:
+        for sh in shards:
+            ray.kill(sh)
     return params

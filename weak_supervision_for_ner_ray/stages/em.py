@@ -115,6 +115,25 @@ class InitStatsStage:
         })
 
 
+def merge_suffstat_partials(batch: pa.Table) -> pa.Table:
+    """Tree-reduction stage: fold many ~2 MB partial rows into one, so the
+    driver fetches a handful of partials instead of hundreds (the driver
+    collect was a serial bottleneck at high parallelism)."""
+    S, K = hmm.N_SOURCES, hmm.N_STATES
+    return pa.table({
+        "start": pa.array([_col_matrix(batch, "start", K)
+                           .sum(axis=0).ravel()]),
+        "trans": pa.array([_col_matrix(batch, "trans", K * K)
+                           .sum(axis=0).ravel()]),
+        "obs": pa.array([_col_matrix(batch, "obs", S * K * K)
+                         .sum(axis=0).ravel()]),
+        "logprob": pa.array([float(np.asarray(
+            batch.column("logprob").to_numpy(zero_copy_only=False)).sum())]),
+        "n_seqs": pa.array([int(np.asarray(
+            batch.column("n_seqs").to_numpy(zero_copy_only=False)).sum())]),
+    })
+
+
 def _col_matrix(partials: pa.Table, name: str, width: int) -> np.ndarray:
     """(n_rows, width) float64 view of a list column — zero-copy from the
     Arrow child buffer, no per-element python conversion."""

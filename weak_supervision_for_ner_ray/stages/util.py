@@ -55,6 +55,18 @@ def with_lineage(fn, stage_name: str, actor):
     return wrapped
 
 
+def target_blocks(per_cpu: int = 8, cap: int = 512) -> int:
+    """Block-count target so every stage schedules ~``per_cpu`` tasks per
+    core — with blocks == cores a stage runs in 2 uneven waves and wastes
+    half the pool at high parallelism (measured: EM eff 0.32 with 64 blocks
+    on 32 cpus)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return min(cap, max(16, per_cpu * cpus))
+
+
 def default_concurrency(concurrency=None):
     """Actor-pool sizing: autoscale between 1 and the cluster CPU count.
 

@@ -347,6 +347,208 @@ def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats) -> None:
                 stats.obs[s, :, state] += conf * post[t]
 
 
+def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
+                     offsets: np.ndarray, o_t: np.ndarray, o_s: np.ndarray,
+                     o_state: np.ndarray, o_conf: np.ndarray,
+                     stats: SuffStats, chunk: int = 512) -> None:
+    """Batched E-step over a whole block of turns (flat observation arrays).
+
+    Mathematically identical to per-turn :func:`accumulate` (same scaled
+    recursions, batched over N turns with padding masks); turns containing
+    multi-label (t, source) observations fall back to the per-turn path.
+    One (N,77)x(77,77) matmul per time step replaces N tiny per-turn steps.
+    """
+    N = len(n_tokens)
+    if N == 0:
+        return
+    keep_mask = np.zeros(N_SOURCES, bool)
+    keep_mask[params.keep] = True
+    n_keep = int(keep_mask.sum())
+    A = params.transmat
+
+    n_tokens = np.asarray(n_tokens, np.int64)
+    offsets = np.asarray(offsets, np.int64)
+    pair_turn_all = np.repeat(np.arange(N), np.diff(offsets))
+
+    # length-bucketing: process turns in ascending-length order so each
+    # chunk's padding (Tmax - len) is small — without it the longest turn
+    # in a chunk dominates the tensor shapes
+    order_by_len = np.argsort(n_tokens, kind="stable")
+    inv = np.empty(N, np.int64)
+    inv[order_by_len] = np.arange(N)
+    new_turn_of_pair = inv[pair_turn_all]
+    pair_sort = np.argsort(new_turn_of_pair, kind="stable")
+    pt_sorted = {
+        "turn": new_turn_of_pair[pair_sort],
+        "t": o_t[pair_sort].astype(np.int64),
+        "s": o_s[pair_sort].astype(np.int64),
+        "state": o_state[pair_sort].astype(np.int64),
+        "conf": o_conf[pair_sort].astype(np.float64),
+    }
+    lens_sorted = n_tokens[order_by_len]
+    # offsets of sorted pairs per sorted turn
+    counts_sorted = np.diff(offsets)[order_by_len]
+    offs_sorted = np.concatenate([[0], np.cumsum(counts_sorted)])
+
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        idx = slice(offs_sorted[lo], offs_sorted[hi])
+        p_turn = pt_sorted["turn"][idx] - lo
+        p_t = pt_sorted["t"][idx]
+        p_s = pt_sorted["s"][idx]
+        p_state = pt_sorted["state"][idx]
+        p_conf = pt_sorted["conf"][idx]
+        lens = lens_sorted[lo:hi]
+        n = hi - lo
+
+        # drop pairs from non-kept sources
+        km = keep_mask[p_s]
+        p_turn, p_t, p_s, p_state, p_conf = (
+            p_turn[km], p_t[km], p_s[km], p_state[km], p_conf[km])
+
+        # route turns with duplicate (turn, t, s) keys (multi-label span
+        # observations) through the exact per-turn path
+        key_ts = (p_turn * 1_000_000 + p_t) * N_SOURCES + p_s
+        uniq, counts = np.unique(key_ts, return_counts=True)
+        if (counts > 1).any():
+            dup_keys = set(uniq[counts > 1].tolist())
+            dup_turns = {int(k // (1_000_000 * N_SOURCES))
+                         for k in dup_keys}
+        else:
+            dup_turns = set()
+        simple = np.ones(n, bool)
+        for dt in dup_turns:
+            simple[dt] = False
+        if dup_turns:
+            for dt in sorted(dup_turns):
+                obs = TurnObs(int(lens[dt]))
+                sel = p_turn == dt
+                for t_, s_, st_, c_ in zip(p_t[sel], p_s[sel],
+                                           p_state[sel], p_conf[sel]):
+                    d = obs.fired.setdefault((int(t_), int(s_)), {})
+                    d[int(st_)] = d.get(int(st_), 0.0) + float(c_)
+                accumulate(obs, params, stats)
+            keep_pairs = simple[p_turn]
+            p_turn, p_t, p_s, p_state, p_conf = (
+                p_turn[keep_pairs], p_t[keep_pairs], p_s[keep_pairs],
+                p_state[keep_pairs], p_conf[keep_pairs])
+
+        act_turns = np.where(simple & (lens > 0))[0]
+        if len(act_turns) == 0:
+            continue
+        remap = -np.ones(n, np.int64)
+        remap[act_turns] = np.arange(len(act_turns))
+        m_ = len(act_turns)
+        lens_c = lens[act_turns]
+        Tmax = int(lens_c.max())
+
+        # -- frame log-likelihood tensor (m_, Tmax, 77) -------------------
+        ll = np.broadcast_to(params.base_loglik,
+                             (m_, Tmax, N_STATES)).copy()
+        pr = remap[p_turn]
+        ok = pr >= 0
+        pr, pt, ps, pst, pc = pr[ok], p_t[ok], p_s[ok], p_state[ok], \
+            p_conf[ok]
+        corr = params.log_emis2d[ps * N_STATES + pst] \
+            + np.log(pc)[:, None] - params.log_emisO[ps]
+        np.add.at(ll, (pr, pt), corr)
+
+        observed = np.zeros((m_, Tmax, N_STATES), bool)
+        observed[:, :, 0] = True
+        observed[pr, pt, pst] = True
+        fired_counts = np.zeros((m_, Tmax), np.int64)
+        np.add.at(fired_counts, (pr, pt), 1)
+        observed[:, :, 0] &= fired_counts < n_keep
+        ll[~observed] = _NINF
+
+        # padding: beyond each turn's length force state O with ll = 0 so
+        # padded steps multiply by exactly 1 in the recursion
+        t_grid = np.arange(Tmax)[None, :]
+        valid = t_grid < lens_c[:, None]
+
+        mx = np.max(ll, axis=2)
+        mx[~np.isfinite(mx)] = 0.0
+        with np.errstate(under="ignore"):
+            Bs = np.exp(ll - mx[:, :, None])
+        # padded steps: uniform 1 so alpha passes through unchanged modulo
+        # the transition mix — instead freeze alpha explicitly below
+        alpha = np.empty_like(Bs)
+        c = np.ones((m_, Tmax))
+        a0 = params.startprob[None, :] * Bs[:, 0, :]
+        c0 = a0.sum(axis=1)
+        bad = c0 <= 0
+        c0[bad] = 1.0
+        alpha[:, 0, :] = a0 / c0[:, None]
+        c[:, 0] = c0
+        for t in range(1, Tmax):
+            act = valid[:, t] & ~bad
+            a_new = (alpha[:, t - 1, :] @ A) * Bs[:, t, :]
+            ct = a_new.sum(axis=1)
+            zero = ct <= 0
+            bad |= zero & valid[:, t]
+            ct[ct <= 0] = 1.0
+            alpha[:, t, :] = np.where(act[:, None],
+                                      a_new / ct[:, None],
+                                      alpha[:, t - 1, :])
+            c[:, t] = np.where(act, ct, 1.0)
+
+        beta = np.empty_like(Bs)
+        beta[:, Tmax - 1, :] = 1.0
+        for t in range(Tmax - 2, -1, -1):
+            act = valid[:, t + 1]
+            b_new = (Bs[:, t + 1, :] * beta[:, t + 1, :]) @ A.T \
+                / c[:, t + 1][:, None]
+            beta[:, t, :] = np.where(act[:, None], b_new,
+                                     beta[:, t + 1, :])
+
+        good = ~bad
+        if not good.any():
+            continue
+        with np.errstate(divide="ignore"):
+            logc = np.where(valid, np.log(c) + mx, 0.0)
+        logprob_per = logc.sum(axis=1)
+
+        post = alpha * beta
+        psum = post.sum(axis=2, keepdims=True)
+        psum[psum <= 0] = 1.0
+        post = post / psum
+        post[~valid] = 0.0
+        post[~good] = 0.0
+
+        stats.logprob += float(logprob_per[good].sum())
+        stats.n_seqs += int(good.sum())
+        stats.start += post[:, 0, :][good].sum(axis=0)
+
+        # transitions: xi summed = A * sum_{n,t} alpha[n,t]^T w[n,t+1]
+        w = Bs[:, 1:, :] * beta[:, 1:, :] / c[:, 1:, None]
+        w = np.where((valid[:, 1:] & good[:, None])[:, :, None], w, 0.0)
+        al = np.where((valid[:, :-1] & good[:, None])[:, :, None],
+                      alpha[:, :-1, :], 0.0)
+        stats.trans += A * np.einsum("nti,ntj->ij", al, w)
+
+        # emission stats
+        total_post = post.sum(axis=(0, 1))          # (77,)
+        stats.obs[params.keep, :, 0] += total_post[None, :]
+        if len(pr):
+            pair_good = good[pr]
+            P = post[pr, pt]                         # (n_pairs, 77)
+            P = np.where(pair_good[:, None], P, 0.0)
+            order = np.argsort(ps, kind="stable")
+            s_sorted = ps[order]
+            P_sorted = P[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(s_sorted) > 0])
+            sums = np.add.reduceat(P_sorted, starts, axis=0)
+            stats.obs[s_sorted[starts], :, 0] -= sums
+            key = ps * N_STATES + pst
+            order2 = np.argsort(key, kind="stable")
+            k_sorted = key[order2]
+            CP = (pc[:, None] * P)[order2]
+            starts2 = np.flatnonzero(np.r_[True, np.diff(k_sorted) > 0])
+            sums2 = np.add.reduceat(CP, starts2, axis=0)
+            ks = k_sorted[starts2]
+            stats.obs[ks // N_STATES, :, ks % N_STATES] += sums2
+
+
 # ---------------------------------------------------------------------------
 # prior construction (labelling.py:314-424)
 # ---------------------------------------------------------------------------
