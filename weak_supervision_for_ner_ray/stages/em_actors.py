@@ -74,10 +74,30 @@ class EMShard:
 
 
 def make_shards(obs_files: list[str], n_shards: int):
-    """Round-robin file assignment -> actor handles."""
+    """Row-balanced file assignment -> actor handles.
+
+    Greedy longest-processing-time packing on parquet row counts (from
+    footer metadata, no data read) — round-robin by file COUNT leaves
+    straggler shards when file sizes vary, and the E-step wall time is the
+    max shard, not the mean."""
+    import heapq
     n_shards = max(1, min(n_shards, len(obs_files)))
-    assignments = [obs_files[i::n_shards] for i in range(n_shards)]
-    return [EMShard.remote(files) for files in assignments]
+    sized = []
+    for f in obs_files:
+        try:
+            rows = pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            rows = 1
+        sized.append((rows, f))
+    sized.sort(reverse=True)
+    heap = [(0, i) for i in range(n_shards)]
+    heapq.heapify(heap)
+    assignments: list[list[str]] = [[] for _ in range(n_shards)]
+    for rows, f in sized:
+        load, i = heapq.heappop(heap)
+        assignments[i].append(f)
+        heapq.heappush(heap, (load + rows, i))
+    return [EMShard.remote(files) for files in assignments if files]
 
 
 def shard_init_counts(shards):
