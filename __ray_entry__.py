@@ -116,11 +116,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                       AS sum_base_price_cents,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                            AS BIGINT)) AS sum_disc_price_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS sum_disc_price_cents,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -128,8 +129,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_segment": """
             SELECT c.c_mktsegment,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                       AS total_revenue_cents,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_revenue_cents,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
@@ -144,7 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_mil
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_mil
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
             ORDER BY user_id, window_start
@@ -160,10 +162,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts, event_id,
-                     sum(new_s) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING)
-                         AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM d
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -173,7 +175,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_mil,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_mil,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,

@@ -74,7 +74,10 @@ def main():
         if ok_rows and ok_cols:
             g, e = canon(got), canon(exp)
             try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                # dtype-strict: the driver hashes typed values, so an
+                # int64 engine column vs a float64 oracle column fails
+                # even when the values are numerically equal.
+                pd.testing.assert_frame_equal(g, e, check_dtype=True,
                                               check_exact=True)
                 ok_vals = True
             except AssertionError as err:

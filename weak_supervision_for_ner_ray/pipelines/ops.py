@@ -608,18 +608,30 @@ def events_hourly_exact(sf_dir: str):
     def add_window(t: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": t.column("user_id"),
-            "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+            # timestamp[us] so the hashed dtype matches DuckDB date_trunc
+            "window_start": pc.floor_temporal(t.column("ts"), unit="hour")
+                .cast(pa.timestamp("us")),
             "value_mil": _cents(t.column("value"), 1000.0),
         })
 
     ds = ds.map_batches(add_window, batch_format="pyarrow",
                         zero_copy_batch=True)
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        # Ray's hash aggregate narrows the timestamp key to [s]; restore
+        # [us] so the hashed dtype matches DuckDB date_trunc.
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            t.column("window_start").cast(pa.timestamp("us")))
+
     return (ds.groupby(["user_id", "window_start"])
             .aggregate(Count(alias_name="n_events"),
                        Sum("value_mil", alias_name="sum_value_mil"))
             .sort(["user_id", "window_start"])
             .select_columns(["user_id", "window_start", "n_events",
-                             "sum_value_mil"]))
+                             "sum_value_mil"])
+            .map_batches(fix_unit, batch_format="pyarrow",
+                         zero_copy_batch=True))
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
