@@ -44,6 +44,65 @@ def test_evaluate_ner_metrics(ray_session):
     res2 = evaluate_ner(pred, gold, mappings=CONLL_MAPPINGS,
                         to_retain={"PER", "ORG", "LOC", "MISC"})
     assert res2["entity"]["ORG"]["tp"] == 1
+    # macro / weighted summaries over gold-supported labels
+    assert "macro" in res["entity"] and "weighted" in res["entity"]
+    labs = ["COMPANY", "GPE", "PERSON"]
+    exp_macro_p = sum(res["entity"][l]["p"] for l in labs) / 3
+    assert abs(res["entity"]["macro"]["p"] - exp_macro_p) < 1e-4
+    # all three gold labels have support 1 -> weighted == macro here
+    assert res["entity"]["weighted"]["r"] == res["entity"]["macro"]["r"]
+
+
+def test_evaluate_ner_duplicate_predictions_count_once(ray_session):
+    gold = pa.table({
+        "conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+        "start": pa.array([0], pa.int32()), "end": pa.array([2], pa.int32()),
+        "label": ["PERSON"],
+    })
+    pred = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1"], "turn_idx": pa.array([0, 0], pa.int32()),
+        "start": pa.array([0, 0], pa.int32()),
+        "end": pa.array([2, 2], pa.int32()),
+        "label": ["PERSON", "PERSON"],
+        "conf": pa.array([0.9, 0.8], pa.float32()),
+    }))
+    res = evaluate_ner(pred, gold)
+    # duplicate span counts once (set semantics), never as a second TP
+    assert res["entity"]["PERSON"]["tp"] == 1
+    assert res["entity"]["PERSON"]["fp"] == 0
+    assert res["token"]["PERSON"]["tp"] == 2
+    assert res["entity"]["micro"]["p"] == 1.0
+
+
+def test_token_cross_entropy(ray_session):
+    import math
+
+    from weak_supervision_for_ner_ray.pipelines.eval import \
+        token_cross_entropy
+
+    gold = pa.table({
+        "conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+        "start": pa.array([1], pa.int32()), "end": pa.array([2], pa.int32()),
+        "label": ["PERSON"],
+    })
+    # perfect single-token prediction with conf 0.5
+    pred = rd.from_arrow(pa.table({
+        "conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+        "start": pa.array([1], pa.int32()), "end": pa.array([2], pa.int32()),
+        "label": ["PERSON"], "conf": pa.array([0.5], pa.float32()),
+    }))
+    total_tokens = 10
+    cee = token_cross_entropy(pred, gold, total_tokens)
+    # one token with P(U-PERSON)=0.5 -> loss=-log(0.5); others ~0
+    assert abs(cee - (-math.log(0.5)) / total_tokens) < 1e-6
+    # absent prediction -> gold token scored against eps-clipped zero
+    empty = rd.from_arrow(pa.table({
+        "conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+        "start": pa.array([5], pa.int32()), "end": pa.array([6], pa.int32()),
+        "label": ["GPE"], "conf": pa.array([0.0], pa.float32()),
+    }))
+    cee2 = token_cross_entropy(empty, gold, total_tokens)
+    assert cee2 > cee
 
 
 def test_hmm_beats_or_matches_majority_vote(ray_session, small_corpus,

@@ -191,3 +191,67 @@ def test_accumulate_block_matches_per_turn():
     assert np.abs(s1.start - s2.start).max() < 1e-8
     assert np.abs(s1.trans - s2.trans).max() < 1e-8
     assert np.abs(s1.obs - s2.obs).max() < 1e-8
+
+
+def test_keep_subset_never_masks_O():
+    """With a keep subset the reference sums X over ALL sources, so state O
+    stays observable even when every kept source fires
+    (labelling.py:444-446)."""
+    from weak_supervision_for_ner_ray.constants import LABEL_INDICES
+
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    obs_counts = np.zeros((S, K))
+    obs_counts[:, 0] = 10000.0
+    keep = [hmm.BEST_COVERAGE_INDEX]
+    p = init_params_from_counts(np.zeros(K), np.zeros((K, K)), obs_counts,
+                                seed=1, keep=keep)
+    o = obs_with_span()          # the single kept source fires on tokens 1-2
+    ll = frame_log_likelihood(o, p)
+    assert np.isfinite(ll[1, 0])          # O NOT masked despite full firing
+    assert np.isfinite(ll[1, LABEL_INDICES["B-PERSON"]])
+    # full source set: firing all sources masks O (original semantics)
+    p_full = tiny_params()
+    o2 = TurnObs(3)
+    for s in range(S):
+        o2.add_span(s, 1, 2, "GPE", 1.0)
+    llf = frame_log_likelihood(o2, p_full)
+    assert np.isinf(llf[1, 0])
+
+
+def test_accumulate_block_keep_subset_parity():
+    """Batched kernel matches per-turn accumulate under a keep subset."""
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    obs_counts = np.zeros((S, K))
+    obs_counts[:, 0] = 10000.0
+    keep = sorted({hmm.BEST_COVERAGE_INDEX,
+                   int(hmm.SOURCE_INDICES["wiki_cased"])})
+    p = init_params_from_counts(np.zeros(K), np.zeros((K, K)), obs_counts,
+                                seed=3, keep=keep)
+    rng = np.random.default_rng(5)
+    observations = []
+    for _ in range(25):
+        o = TurnObs(int(rng.integers(2, 15)))
+        for _ in range(int(rng.integers(1, 4))):
+            s = int(rng.integers(0, o.n_tokens - 1))
+            o.add_span(hmm.BEST_COVERAGE_INDEX, s, s + 1, "GPE", 1.0)
+        observations.append(o)
+    n_tokens, o_t, o_s, o_state, o_conf, offsets = [], [], [], [], [], [0]
+    for ob in observations:
+        n_tokens.append(ob.n_tokens)
+        for (t, s) in sorted(ob.fired):
+            for st, c in ob.fired[(t, s)].items():
+                o_t.append(t)
+                o_s.append(s)
+                o_state.append(st)
+                o_conf.append(c)
+        offsets.append(len(o_t))
+    s1 = SuffStats()
+    for ob in observations:
+        hmm.accumulate(ob, p, s1)
+    s2 = SuffStats()
+    hmm.accumulate_block(p, np.array(n_tokens), np.array(offsets),
+                         np.array(o_t), np.array(o_s), np.array(o_state),
+                         np.array(o_conf), s2, chunk=8)
+    assert s1.n_seqs == s2.n_seqs
+    assert abs(s1.logprob - s2.logprob) < 1e-6
+    assert np.abs(s1.obs - s2.obs).max() < 1e-8

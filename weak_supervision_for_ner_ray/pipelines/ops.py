@@ -387,8 +387,10 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = Xn @ Qn_.T                          # (B, Q)
         # similarity as integer micros: order-stable + hash-identical to
-        # the SQL oracle (float32->double cast there, diffs ~1e-16)
-        micros = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        # the SQL oracle; half-away-from-zero to match DuckDB round()
+        # (floor(x+0.5) would differ for negative sims on exact .5 ties)
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
         rows = {"query_id": [], "vec_id": [], "sim_micro": []}
         kk = min(k, len(ids))
         for qi, qid in enumerate(q_ids_):

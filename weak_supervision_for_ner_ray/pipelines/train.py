@@ -34,6 +34,8 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
               verbose: bool = False) -> HMMParams:
     """Train (or resume training) the HMM aggregator over an annotated
     Dataset; returns the final parameters."""
+    from ..sources.registry import SOURCE_INDICES
+
     store = CheckpointStore(workdir)
     resumed = store.latest()
     if resumed is not None:
@@ -47,9 +49,15 @@ def train_hmm(annotated_ds, workdir: str, *, n_iter: int = 10,
             init_fn, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True))
         init_c, trans_c, obs_c = reduce_init_counts(partials)
+        # keep_names → source indices, same as train_hmm_sharded: the
+        # source filter lives in params.keep so BOTH the raw-mention and
+        # pre-encoded ObsRows E-step paths respect sources_to_keep
+        # (reference labelling.py:253-257 sources_to_keep semantics).
+        keep = None
+        if keep_names is not None:
+            keep = sorted(SOURCE_INDICES[n] for n in keep_names)
         params = init_params_from_counts(init_c, trans_c, obs_c, seed=seed,
-                                         keep=[i for i in
-                                               range(obs_c.shape[0])])
+                                         keep=keep)
         history = []
         start_iter = 0
         store.save(0, params, history)

@@ -166,11 +166,14 @@ def frame_log_likelihood(obs: TurnObs, params: HMMParams) -> np.ndarray:
             - params.log_emisO[srcs]
         np.add.at(ll, ts1, corr)
 
-    # state O is unobserved only if every kept source fired at t (fired
-    # sources have X[t,s,0]=0 by construction, labelling.py:164)
-    full = n_fired_nonO >= len(keep)
-    if full.any():
-        observed[full, 0] = False
+    # state O is unobserved only if ALL sources fired at t (fired sources
+    # have X[t,s,0]=0 by construction, labelling.py:164; the reference sums
+    # X over ALL sources, labelling.py:444-446, so with a keep subset the
+    # non-kept sources always contribute X[t,s,0]=1 and O is never masked)
+    if len(keep) == N_SOURCES:
+        full = n_fired_nonO >= N_SOURCES
+        if full.any():
+            observed[full, 0] = False
     ll[~observed] = _NINF
     return ll
 
@@ -456,9 +459,12 @@ def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
         observed = np.zeros((m_, Tmax, N_STATES), bool)
         observed[:, :, 0] = True
         observed[pr, pt, pst] = True
-        fired_counts = np.zeros((m_, Tmax), np.int64)
-        np.add.at(fired_counts, (pr, pt), 1)
-        observed[:, :, 0] &= fired_counts < n_keep
+        # O-mask only with the full source set — see frame_log_likelihood:
+        # with a keep subset the reference never masks state O.
+        if n_keep == N_SOURCES:
+            fired_counts = np.zeros((m_, Tmax), np.int64)
+            np.add.at(fired_counts, (pr, pt), 1)
+            observed[:, :, 0] &= fired_counts < n_keep
         ll[~observed] = _NINF
 
         # padding: beyond each turn's length force state O with ll = 0 so
