@@ -113,7 +113,212 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from weak_supervision_for_ner_ray.pipelines.ops import _STOPWORDS
+
+    # language-id oracle: same stopword lists as the engine, same
+    # first-on-tie argmax (ORDER BY n DESC, lang ASC) and the same
+    # float64 floor(n * 1e6 / total) scoring
+    lang_votes = "\n              UNION ALL ".join(
+        "SELECT doc_id, '{lg}' AS lang, len(list_filter(tk, "
+        "x -> list_contains([{words}], x))) AS n FROM toks".format(
+            lg=lg, words=", ".join(f"'{w}'" for w in sorted(ws)))
+        for lg, ws in sorted(_STOPWORDS.items()))
+    lang_id_sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), v AS (
+              {lang_votes}
+        ), tot AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS total
+          FROM v GROUP BY doc_id
+        ), best AS (
+          SELECT v.doc_id, v.lang, v.n, t.total,
+                 row_number() OVER (PARTITION BY v.doc_id
+                                    ORDER BY v.n DESC, v.lang ASC) AS rk
+          FROM v JOIN tot t ON v.doc_id = t.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN total > 0 THEN lang ELSE 'und' END AS lang_pred,
+               CASE WHEN total > 0
+                    THEN CAST(floor(n * 1000000.0 / total) AS BIGINT)
+                    ELSE 0 END AS score_micro
+        FROM best WHERE rk = 1
+    """
+
+    # the transcripts corpus is synthesised deterministically under /tmp
+    # (BASELINE.json input_hint); the driver gate runs at sf0.01, so the
+    # oracle reads that corpus directly (and ensures it exists)
+    turns_path = os.path.join(_corpus("/root/testdata/sf0.01"),
+                              "turns.parquet", "*.parquet")
+    turns_sql = f"""
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM read_parquet('{turns_path}')
+        ORDER BY conv_id, turn_idx
+    """
+
+    # simhash oracle: token hash = md5_number_lower (same md5-low-8-bytes
+    # hash the engine uses); bit votes per doc, sign bits packed into a
+    # signed int64 (engine reinterprets uint64 -> int64)
+    simhash_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                                                          '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ), h AS (
+          SELECT doc_id, md5_number_lower(w) AS hv FROM toks
+        ), bits AS (
+          SELECT doc_id, b.b AS bit,
+                 CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        ), sc AS (
+          SELECT doc_id, bit, sum(sgn) AS s FROM bits GROUP BY doc_id, bit
+        ), v AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << bit
+                     ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN COALESCE(v.u, 0) >= 9223372036854775808
+                         THEN COALESCE(v.u, 0) - 18446744073709551616
+                         ELSE COALESCE(v.u, 0) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # LSH bucket oracle: the seeded hyperplane matrix W is materialised as
+    # SQL literals so DuckDB computes the identical sign-bit buckets
+    import numpy as np
+    dim, n_planes = 64, 12
+    W = np.random.default_rng(23).standard_normal((dim, n_planes))
+    plane_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{w}]) > 0 THEN {p} ELSE 0 END)"
+        .format(w=", ".join(repr(float(x)) for x in W[:, j]), p=1 << j)
+        for j in range(n_planes))
+    ann_sql = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM e)
+        SELECT bucket, count(*) AS n FROM b
+        GROUP BY bucket ORDER BY bucket
+    """
+
+    # ngram-jaccard oracle: brute-force all-pairs true Jaccard over word
+    # 3-gram sets (the engine's LSH candidate generation has ~1.0 recall at
+    # threshold 0.7 with 128 perms / 32 bands, so verified pairs == all
+    # true pairs on the deterministic corpus)
+    ngram_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) = 0 THEN []
+                      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                      ELSE list_distinct(list_transform(
+                          range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 END AS grams
+          FROM toks
+        ), p AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.grams, b.grams)) AS li,
+                 len(list_distinct(list_concat(a.grams, b.grams))) AS lu
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        )
+        SELECT a, b,
+               CAST(floor(li * 1000000.0 / lu) AS BIGINT) AS jaccard_micro
+        FROM p WHERE li * 1.0 / lu >= 0.7
+        ORDER BY a, b
+    """
+
+    # minhash-LSH oracle: exact replica of the engine's signature pipeline
+    # in SQL — shingle hash = md5_number_lower of the word 3-gram, permuted
+    # hash = ((a*h) mod 2^64 + b) mod 2^64 mod (2^61-1) (UHUGEINT models
+    # numpy's uint64 wraparound), per-perm min, 32 bands of 4 rows mixed by
+    # the same multiply-add constant, then bucket self-join for pairs.
+    # engine draws a then b from the same generator stream (seed 17)
+    _rng = np.random.default_rng(17)
+    mh_a = _rng.integers(1, (1 << 61) - 1, 128, dtype=np.uint64)
+    mh_b = _rng.integers(0, (1 << 61) - 1, 128, dtype=np.uint64)
+    W64 = 1 << 64
+    MERS = (1 << 61) - 1
+    MIXC = 0x9E3779B97F4A7C15
+    a_lits = ", ".join(str(int(x)) for x in mh_a)
+    b_lits = ", ".join(str(int(x)) for x in mh_b)
+    minhash_sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) = 0 THEN [NULL]
+                      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                      ELSE list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 END AS grams
+          FROM toks
+        ), h AS (
+          SELECT doc_id, md5_number_lower(unnest(grams)) AS hv FROM g
+        ), perms AS (
+          SELECT unnest(range(128)) AS p,
+                 unnest([{a_lits}]) AS pa, unnest([{b_lits}]) AS pb
+        ), sig AS (
+          SELECT doc_id, p,
+                 COALESCE(min(CAST(
+                     ((CAST(pa AS UHUGEINT) * hv) % {W64} + pb)
+                     % {W64} % {MERS} AS UBIGINT)),
+                     18446744073709551615) AS s
+          FROM h CROSS JOIN perms GROUP BY doc_id, p
+        ), piv AS (
+          SELECT doc_id, CAST(p // 4 AS INTEGER) AS band_id,
+                 max(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+                 max(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+                 max(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+                 max(CASE WHEN p % 4 = 3 THEN s END) AS s3
+          FROM sig GROUP BY doc_id, p // 4
+        ), banded AS (
+          SELECT doc_id, band_id,
+                 CAST((((((((CAST(s0 AS UHUGEINT) * {MIXC}) % {W64}
+                            + s1) % {W64})
+                       * {MIXC} % {W64} + s2) % {W64})
+                       * {MIXC} % {W64} + s3) % {W64}) >> 1 AS BIGINT)
+                     AS band_hash
+          FROM piv
+        ), ok AS (
+          SELECT band_id, band_hash FROM banded
+          GROUP BY band_id, band_hash
+          HAVING count(DISTINCT doc_id) BETWEEN 2 AND 200
+        ), pr AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, x.band_id
+          FROM banded x
+          JOIN banded y ON x.band_id = y.band_id
+                       AND x.band_hash = y.band_hash
+                       AND x.doc_id < y.doc_id
+          JOIN ok o ON o.band_id = x.band_id
+                   AND o.band_hash = x.band_hash
+        )
+        SELECT a, b, count(*) AS n_bands FROM pr
+        GROUP BY a, b ORDER BY a, b
+    """
+
     return {
+        "lang_id": lang_id_sql,
+        "turns_restore_order": turns_sql,
+        "dedup_simhash": simhash_sql,
+        "ann_lsh_buckets": ann_sql,
+        "dedup_ngram_jaccard": ngram_sql,
+        "dedup_minhash": minhash_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

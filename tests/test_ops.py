@@ -72,11 +72,12 @@ def test_minhash_finds_near_duplicates(ray_session, docs_dir):
 
 def test_ngram_jaccard_verification(ray_session, docs_dir):
     out = ops.ngram_jaccard_verify(docs_dir, threshold=0.5)
-    d = out.to_pydict()
-    pairs = {(a, b): j for a, b, j in zip(d["a"], d["b"], d["jaccard"])}
-    assert pairs[(0, 1)] == 1.0
+    d = to_arrow(out).to_pydict()
+    pairs = {(a, b): j
+             for a, b, j in zip(d["a"], d["b"], d["jaccard_micro"])}
+    assert pairs[(0, 1)] == 1_000_000
     near = pairs.get((0, 2)) or pairs.get((1, 2))
-    assert near is not None and 0.5 <= near < 1.0
+    assert near is not None and 500_000 <= near < 1_000_000
 
 
 def test_simhash_near_dup_distance(ray_session, docs_dir):
@@ -135,3 +136,14 @@ def test_minhash_signature_properties():
     sa, sb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(est - true_j) < 0.25            # unbiased estimate
+
+
+def test_minhash_dropped_buckets_not_silent(ray_session, docs_dir, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="weak_supervision_for_ner_ray.pipelines.ops"):
+        out = to_arrow(ops.minhash_candidates(docs_dir, max_bucket=1))
+    # every >=2-doc bucket dropped -> no pairs, no sentinel rows leak out
+    assert out.num_rows == 0 or all(a >= 0
+                                    for a in out.column("a").to_pylist())

@@ -107,22 +107,32 @@ def lang_id(sf_dir: str):
     stop_sets = [_STOPWORDS[lg] for lg in langs]
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorised voting: one flat token array, membership per language
+        # via pandas isin, segment-sum per doc (no per-row Python loop)
         toks = batch["text"].str.lower().str.split()
-        votes = np.zeros((len(batch), len(langs)), np.float64)
-        for row, words in enumerate(toks):
-            if not isinstance(words, list) or not words:
-                continue
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        n = len(batch)
+        votes = np.zeros((n, len(langs)), np.float64)
+        if lens.sum():
+            flat = pd.Series(
+                [w for words in toks for w in (words or [])], dtype=object)
+            doc_idx = np.repeat(np.arange(n), lens)
             for j, ss in enumerate(stop_sets):
-                votes[row, j] = sum(1 for w in words if w in ss)
+                hit = flat.isin(ss).to_numpy()
+                np.add.at(votes[:, j], doc_idx[hit], 1.0)
         total = votes.sum(axis=1)
-        best = votes.argmax(axis=1)
-        score = np.where(total > 0, votes.max(axis=1) / np.maximum(total, 1),
-                         0.0)
+        best = votes.argmax(axis=1)     # ties -> first (alphabetical) lang
+        # exact integer micros (floor in float64, mirroring the SQL oracle
+        # floor(n * 1000000.0 / total)) so values hash identically
+        micro = np.where(
+            total > 0,
+            np.floor(votes.max(axis=1) * 1e6 / np.maximum(total, 1)),
+            0.0).astype(np.int64)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "lang_pred": [langs[b] if t > 0 else "und"
                           for b, t in zip(best, total)],
-            "score": np.round(score, 6),
+            "score_micro": micro,
         })
 
     return ds.map_batches(f, batch_format="pandas")
@@ -165,11 +175,18 @@ def exact_dedup(sf_dir: str):
 
 
 def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
-    """Vectorised stable 64-bit hashes of a token list."""
+    """Stable 64-bit hashes of a token list: low 8 bytes (little-endian) of
+    md5 — bit-identical to DuckDB ``md5_number_lower`` so every op built on
+    these hashes (minhash, simhash, jaccard) has an exact SQL oracle.
+    Deduplicated before hashing so repeated tokens cost one digest."""
     if not tokens:
         return np.empty(0, np.uint64)
-    return pd.util.hash_array(np.asarray(tokens, dtype=object)) \
-        .astype(np.uint64)
+    uniq, inv = np.unique(np.asarray(tokens, object), return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:],
+                        "little") for w in uniq),
+        np.uint64, len(uniq))
+    return hu[inv]
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -263,7 +280,8 @@ class MinHashStage:
         })
 
 
-def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3):
+def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3,
+                       max_bucket: int = 200):
     """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
     bucket groupby → pairs within bucket (ray_guide pattern)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -274,7 +292,12 @@ def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3):
     def pairs(group: dict) -> dict:
         # numpy batch format: much cheaper per group than a DataFrame
         ids = np.unique(group["doc_id"])
-        if len(ids) < 2 or len(ids) > 200:      # guard pathological buckets
+        if len(ids) > max_bucket:               # guard pathological buckets
+            # no silent caps: a dropped bucket leaves a sentinel row
+            # (a=-1, b=bucket hash) so the tail filter can count and log it
+            return {"a": np.array([-1], np.int64),
+                    "b": np.asarray(group["band_hash"][:1], np.int64)}
+        if len(ids) < 2:
             return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
         ai, bi = np.triu_indices(len(ids), k=1)
         return {"a": ids[ai], "b": ids[bi]}
@@ -282,49 +305,139 @@ def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3):
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="numpy")
     # dedup pairs found in multiple bands
-    return (cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
-            .sort(["a", "b"]))
+    deduped = (cand.groupby(["a", "b"])
+               .aggregate(Count(alias_name="n_bands"))
+               .sort(["a", "b"]))
+
+    def drop_sentinels(t: pa.Table) -> pa.Table:
+        mask = pc.less(t.column("a"), 0)
+        n_dropped = pc.sum(mask).as_py() or 0
+        if n_dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash_candidates: %d bucket(s) over %d docs dropped "
+                "(band-hash collision or heavy duplicate cluster)",
+                n_dropped, max_bucket)
+        return t.filter(pc.invert(mask))
+
+    return deduped.map_batches(drop_sentinels, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
-    """Near-dup pairs verified by exact n-gram Jaccard similarity.
+    """Near-dup pairs verified by exact n-gram Jaccard similarity —
+    fully distributed (no driver-side text loop):
 
-    Broadcast verification: candidate pairs are few (LSH output), so their
-    texts are fetched via a broadcast id->text map instead of a join."""
+    1. candidate (a, b) pairs from MinHash/LSH; only their *ids* (int64s,
+       tiny vs the texts) are broadcast as a semi-join filter;
+    2. ``map_batches`` over documents computes shingle-hash sets for the
+       needed docs only (column-pruned read, vectorised hashing);
+    3. one shuffle co-locates each pair with its two shingle sets
+       (union + ``groupby(doc_id)`` attach, then ``groupby(a, b)``);
+    4. Jaccard computed per pair inside ``map_groups``.
+
+    The driver never sees a document text; it only holds the candidate id
+    set (O(#candidates), the same order as the verified output)."""
     cands = minhash_candidates(sf_dir, shingle=shingle)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    id_text = {}
+
+    # semi-join filter: distinct candidate doc ids (ints only)
+    id_parts = cands.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(pa.chunked_array(
+            [t.column("a"), t.column("b")]).combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True)
     needed: set[int] = set()
-    cand_tbl = _to_arrow(cands)
-    needed.update(cand_tbl["a"].to_pylist())
-    needed.update(cand_tbl["b"].to_pylist())
-    if needed:
-        for batch in docs.iter_batches(batch_size=8192,
-                                       batch_format="pyarrow"):
-            for did, text in zip(batch["doc_id"].to_pylist(),
-                                 batch["text"].to_pylist()):
-                if did in needed:
-                    id_text[did] = text
+    for b in id_parts.iter_batches(batch_format="pyarrow"):
+        needed.update(b.column("doc_id").to_pylist())
+    if not needed:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    needed_ref = ray.put(needed)
     mh = MinHasher(shingle=shingle)
-    rows = {"a": [], "b": [], "jaccard": []}
-    for a, b in zip(cand_tbl["a"].to_pylist(), cand_tbl["b"].to_pylist()):
-        sa = set(mh.shingles(id_text.get(a, "")).tolist())
-        sb = set(mh.shingles(id_text.get(b, "")).tolist())
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        from ..stages.util import cached_from_ref
+        want = cached_from_ref(needed_ref)
+        ids = t.column("doc_id").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in want]
+        out = {"doc_id": [], "a": [], "b": [], "sh": []}
+        texts = t.column("text").take(pa.array(keep)).to_pylist() \
+            if keep else []
+        for i, text in zip(keep, texts):
+            out["doc_id"].append(ids[i])
+            out["a"].append(-1)
+            out["b"].append(-1)
+            out["sh"].append(np.unique(mh.shingles(text))
+                             .astype(np.int64).tolist())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "a": pa.array(out["a"], pa.int64()),
+            "b": pa.array(out["b"], pa.int64()),
+            "sh": pa.array(out["sh"], pa.list_(pa.int64())),
+        })
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(a + b, pa.int64()),
+            "a": pa.array(a + a, pa.int64()),
+            "b": pa.array(b + b, pa.int64()),
+            "sh": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
+        })
+
+    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(cands.map_batches(pair_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per doc_id: copy the doc's shingle set onto each pair
+        # row referencing it
+        is_doc = g["a"] < 0
+        if not is_doc.any():
+            return g.iloc[0:0]
+        sh = g.loc[is_doc, "sh"].iloc[0]
+        pairs = g.loc[~is_doc, ["doc_id", "a", "b"]].copy()
+        pairs["sh"] = [sh] * len(pairs)
+        return pairs
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard_micro": pd.Series([], dtype="int64")})
+
+    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:            # one side missing entirely
+            return _empty()
+        sa = set(g["sh"].iloc[0])
+        sb = set(g["sh"].iloc[1])
         if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            rows["a"].append(a)
-            rows["b"].append(b)
-            rows["jaccard"].append(round(j, 6))
-    return pa.table({"a": pa.array(rows["a"], pa.int64()),
-                     "b": pa.array(rows["b"], pa.int64()),
-                     "jaccard": pa.array(rows["jaccard"], pa.float64())})
+            return _empty()
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter / union < threshold:
+            return _empty()
+        # exact integer micros via float64 floor — mirrors the SQL oracle
+        return pd.DataFrame({"a": [int(g["a"].iloc[0])],
+                             "b": [int(g["b"].iloc[0])],
+                             "jaccard_micro": [int(np.floor(
+                                 inter * 1e6 / union))]})
+
+    return (tagged.groupby("doc_id").map_groups(attach,
+                                                batch_format="pandas")
+            .groupby(["a", "b"]).map_groups(jaccard,
+                                            batch_format="pandas")
+            .sort(["a", "b"]))
 
 
 class SimHashStage:
     """64-bit SimHash per document (whole batch vectorised: hash every
-    token once, scatter-add sign bits per doc)."""
+    *unique* token once, scatter-add sign bits per doc).
+
+    Token hash = low 8 bytes (little-endian) of md5 — bit-identical to
+    DuckDB ``md5_number_lower`` so the op has an exact SQL oracle."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         tok_lists = [t.lower().split() for t in batch["text"]]
