@@ -69,9 +69,11 @@ def test_forward_backward_agree():
 def test_viterbi_decodes_span():
     p = tiny_params()
     o = TurnObs(6)
-    # several agreeing sources, as the LF bank produces for a real mention
-    for src in ("core_web_md", "core_web_md+c", "wiki_cased",
-                "full_name_detector", "crunchbase_cased"):
+    # agreeing sources, as the LF bank produces for a real mention (a clear
+    # name also fires the proper/NNP shape detectors and the conll stand-in)
+    for src in ("core_web_md", "core_web_md+c", "conll2003", "wiki_cased",
+                "full_name_detector", "crunchbase_cased", "proper_detector",
+                "proper2_detector", "nnp_detector"):
         o.add_span(hmm.SOURCE_INDICES[src], 1, 3, "PERSON", 1.0)
     spans = decode_turn(o, p)
     assert any(lab == "PERSON" and (s, e) == (1, 3) for s, e, lab, _ in spans)

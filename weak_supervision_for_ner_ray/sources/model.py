@@ -168,6 +168,101 @@ class HeuristicNER:
         return ents
 
 
+class ConllNER:
+    """Stand-in for the reference's ``data/conll2003`` spaCy model
+    (annotations.py:331): newswire profile — entity labels only
+    (PERSON/ORG/COMPANY/GPE/LOC), no numeric/date/money output, prefers
+    cleanly-capitalised spans.  Built over the base heuristic model with a
+    newswire filter so its knowledge/recall profile differs from
+    core_web_md (priors labelling.py:16,36-37)."""
+
+    KEEP = {"PERSON", "ORG", "COMPANY", "GPE", "LOC"}
+
+    def __init__(self, base: HeuristicNER):
+        self.base = base
+
+    def predict(self, doc: Doc) -> list[tuple[int, int, str]]:
+        out = []
+        for s, e, lab in self.base.predict(doc):
+            if lab not in self.KEEP:
+                continue
+            # newswire: all tokens cleanly title- or upper-cased, no digits
+            if any(doc.tokens[k][:1].isdigit() for k in range(s, e)):
+                continue
+            if not all(doc.is_title[k] or doc.is_upper[k]
+                       or doc.lowers[k] in {"of", "de", "van", "von", "&"}
+                       for k in range(s, e)):
+                continue
+            out.append((s, e, lab))
+        return out
+
+
+class BtcNER:
+    """Stand-in for ``data/BTC`` (Broad Twitter Corpus, annotations.py:332):
+    social-media profile — short mentions (≤3 tokens), PERSON/ORG/COMPANY/
+    GPE only, and additionally fires on *uncased* knowledge matches (tweets
+    lose capitalisation), giving the noisy high-variance profile its priors
+    encode (labelling.py:30-31, (0.4, 0.4))."""
+
+    KEEP = {"PERSON", "ORG", "COMPANY", "GPE"}
+
+    def __init__(self, base: HeuristicNER):
+        self.base = base
+
+    def predict(self, doc: Doc) -> list[tuple[int, int, str]]:
+        out = []
+        taken = [False] * len(doc)
+        for s, e, lab in self.base.predict(doc):
+            if lab in self.KEEP and e - s <= 3:
+                out.append((s, e, lab))
+                for k in range(s, e):
+                    taken[k] = True
+        # uncased knowledge lookup (lossy-capitalisation recall path)
+        i, n = 0, len(doc)
+        while i < n:
+            if taken[i] or doc.is_punct[i]:
+                i += 1
+                continue
+            length, value = self.base.knowledge.longest_prefix(
+                doc.lowers, False, start=i, max_len=LOOKAHEAD)
+            if length and length <= 3 \
+                    and not any(taken[k] for k in range(i, i + length)):
+                label = value[0]
+                label = "ORG" if label == "COMPANY" else label
+                if label in self.KEEP:
+                    out.append((i, i + length, label))
+                    for k in range(i, i + length):
+                        taken[k] = True
+                    i += length
+                    continue
+            i += 1
+        out.sort()
+        return out
+
+
+class SecNER:
+    """Stand-in for ``data/SEC-filings`` (annotations.py:333): financial-
+    filings profile — very sparse output (priors (0.1, 0.1),
+    labelling.py:32-33): only legal-suffix organisations, full person names
+    and country mentions."""
+
+    def __init__(self, base: HeuristicNER):
+        self.base = base
+
+    def predict(self, doc: Doc) -> list[tuple[int, int, str]]:
+        out = []
+        for s, e, lab in self.base.predict(doc):
+            last = doc.lowers[e - 1].rstrip(".")
+            if lab in {"ORG", "COMPANY"} and last in LEGAL_SUFFIXES:
+                out.append((s, e, "ORG"))
+            elif lab == "PERSON" and e - s >= 2 \
+                    and doc.tokens[s] in self.base.first_names:
+                out.append((s, e, lab))
+            elif lab == "GPE" and doc.span_text(s, e) in COUNTRIES:
+                out.append((s, e, lab))
+        return out
+
+
 def correct_entities(doc: Doc,
                      ents: list[tuple[int, int, str]],
                      recursive: bool = True) -> list[tuple[int, int, str]]:

@@ -18,13 +18,17 @@ from ..state.trie import TokenTrie
 from ..tokenizer import Doc, in_compound, make_doc
 from .doclevel import ConversationDoc, doc_history, doc_majority, standardise
 from .gazetteers import GazetteerMatcher, build_trie
-from .model import HeuristicNER, correct_entities
+from .model import (BtcNER, ConllNER, HeuristicNER, SecNER,
+                    correct_entities)
 
 GAZETTEER_NAMES = ["wiki", "wiki_small", "geo", "crunchbase", "product"]
 
+MODEL_NAMES = ["core_web_md", "conll2003", "BTC", "SEC"]
+
 SOURCE_NAMES = sorted(
     ["company_type_detector", "compound_detector", "core_web_md",
-     "core_web_md+c", "date_detector", "doc_history", "doc_majority_cased",
+     "core_web_md+c", "conll2003", "conll2003+c", "BTC", "BTC+c",
+     "SEC", "SEC+c", "date_detector", "doc_history", "doc_majority_cased",
      "doc_majority_uncased", "full_name_detector",
      "infrequent_compound_detector", "infrequent_nnp_detector",
      "infrequent_proper2_detector", "infrequent_proper_detector",
@@ -38,7 +42,21 @@ SOURCE_NAMES = sorted(
 SOURCE_INDICES = {s: i for i, s in enumerate(SOURCE_NAMES)}
 
 # (precision, recall) priors per source and label — labelling.py:27-78.
+_ENT5 = ["COMPANY", "ORG", "PERSON", "GPE", "LOC"]
+
 SOURCE_PRIORS: dict[str, dict[str, tuple[float, float]]] = {
+    'BTC': {l: (0.4, 0.4) if l in _ENT5 else (0.3, 0.3)
+            for l in LABELS if l not in NUMBER_NERS},
+    'BTC+c': {l: (0.5, 0.5) if l in _ENT5 + ["MONEY"] else (0.4, 0.4)
+              for l in LABELS},
+    'SEC': {l: (0.1, 0.1) if l in _ENT5 else (0.05, 0.05)
+            for l in LABELS if l not in NUMBER_NERS},
+    'SEC+c': {l: (0.1, 0.1) if l in _ENT5 + ["MONEY"] else (0.05, 0.05)
+              for l in LABELS},
+    'conll2003': {l: (0.7, 0.7) if l in _ENT5 else (0.4, 0.4)
+                  for l in LABELS if l not in NUMBER_NERS},
+    'conll2003+c': {l: (0.7, 0.7) if l in _ENT5 else (0.4, 0.4)
+                    for l in LABELS},
     'company_type_detector': {'COMPANY': (0.9999, 0.4)},
     'compound_detector': {l: (0.7, 0.8) if l not in NUMBER_NERS
                           else (0.01, 0.01) for l in LABELS},
@@ -111,6 +129,11 @@ SOURCE_PRIORS: dict[str, dict[str, tuple[float, float]]] = {
                                              "COMPANY", "PRODUCT"]},
 }
 
+# rare specialisation/correction labels for the trained-model sources
+# (labelling.py:76-78)
+for _src in ["BTC", "BTC+c", "SEC", "SEC+c", "conll2003", "conll2003+c"]:
+    SOURCE_PRIORS[_src].update({l: (0.8, 0.01) for l in NUMBER_NERS})
+
 OUT_RECALL = 0.9     # labelling.py:80
 OUT_PRECISION = 0.8  # labelling.py:81
 
@@ -148,6 +171,14 @@ class LFBank:
                 if knowledge.get(key) is None:
                     knowledge.add(key, value)
         self.model = HeuristicNER(knowledge, self.first_names)
+        # the reference's four trained spaCy models (annotations.py:326-334)
+        # — heuristic stand-ins with distinct knowledge/recall profiles
+        self.models = {
+            "core_web_md": self.model,
+            "conll2003": ConllNER(self.model),
+            "BTC": BtcNER(self.model),
+            "SEC": SecNER(self.model),
+        }
 
         self.proper_gen = SpanGenerator(lambda d, i: d.likely_proper[i])
         self.proper2_gen = SpanGenerator(
@@ -207,14 +238,16 @@ class LFBank:
             self._EXC_DTML + ("company_type_detector",))
         run(det.snips_detector, "snips")
 
-        # model sources: raw + corrected layer (annotations.py:503-515)
-        layers.clear_source("core_web_md")
-        layers.clear_source("core_web_md+c")
-        ents = self.model.predict(doc)
-        for start, end, label in ents:
-            add(start, end, label, "core_web_md")
-        for start, end, label in correct_entities(doc, ents):
-            add(start, end, label, "core_web_md+c")
+        # model sources: raw + corrected layer per model
+        # (annotations.py:326-334, 503-515)
+        for mname in MODEL_NAMES:
+            layers.clear_source(mname)
+            layers.clear_source(mname + "+c")
+            ents = self.models[mname].predict(doc)
+            for start, end, label in ents:
+                add(start, end, label, mname)
+            for start, end, label in correct_entities(doc, ents):
+                add(start, end, label, mname + "+c")
 
         # gazetteers (annotations.py:336-359); product excludes only d/t/m
         for name in GAZETTEER_NAMES:
