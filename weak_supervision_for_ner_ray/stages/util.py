@@ -12,7 +12,7 @@ import ray
 # without per-stage actor spawn latency — important for the EM loop, which
 # launches a fresh stage every iteration.
 _WORKER_CACHE: OrderedDict = OrderedDict()
-_WORKER_CACHE_MAX = 8
+_WORKER_CACHE_MAX = 32
 
 
 def cached_from_ref(ref, builder=None, key_extra: str = ""):
