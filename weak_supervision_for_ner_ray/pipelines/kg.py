@@ -210,32 +210,57 @@ def graph_tables(triples_ds):
     triple slots.  edges: weight = triple multiplicity, sorted by
     (src_id, pred) for a deterministic, resumable layout."""
 
-    def endpoint(batch: pa.Table, side: str) -> pa.Table:
+    def tagged_rows(batch: pa.Table) -> pa.Table:
+        # one pass emits node-endpoint rows (kind 'n') and edge rows
+        # (kind 'e') into a unified key schema, so ONE shuffle aggregates
+        # both tables instead of two separate groupby exchanges
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        k1 = pa.chunked_array([batch.column("subj_id"),
+                               batch.column("obj_id"),
+                               batch.column("subj_id")]).combine_chunks()
+        k2 = pa.chunked_array([batch.column("subj"),
+                               batch.column("obj"),
+                               batch.column("pred")]).combine_chunks()
+        k3 = pa.chunked_array([batch.column("subj_label"),
+                               batch.column("obj_label"),
+                               batch.column("obj_id")]).combine_chunks()
+        kind = pa.array(["n"] * (2 * n) + ["e"] * n, pa.string())
+        return pa.table({"kind": kind, "k1": k1, "k2": k2, "k3": k3})
+
+    # materialize the aggregated counts (small: one row per distinct
+    # node/edge, not per input row) so the nodes and edges branches don't
+    # re-run the shuffle twice when consumed separately
+    agg = (triples_ds.map_batches(tagged_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+           .groupby(["kind", "k1", "k2", "k3"])
+           .aggregate(Count(alias_name="n"))
+           .materialize())
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b.column("kind"), "n"))
         return pa.table({
-            "entity_id": batch.column(f"{side}_id"),
-            "canonical": batch.column(side),
-            "label": batch.column(f"{side}_label"),
+            "entity_id": b.column("k1"),
+            "canonical": b.column("k2"),
+            "label": b.column("k3"),
+            "n_mentions": b.column("n"),
         })
 
-    subj = triples_ds.map_batches(lambda b: endpoint(b, "subj"),
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    obj = triples_ds.map_batches(lambda b: endpoint(b, "obj"),
-                                 batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    nodes = (subj.union(obj)
-             .groupby(["entity_id", "canonical", "label"])
-             .aggregate(Count(alias_name="n_mentions"))
-             .sort("entity_id"))
+    def to_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b.column("kind"), "e"))
+        return pa.table({
+            "src_id": b.column("k1"),
+            "pred": b.column("k2"),
+            "dst_id": b.column("k3"),
+            "weight": b.column("n").cast(pa.float64()),
+        })
 
-    edges = (triples_ds
-             .groupby(["subj_id", "pred", "obj_id"])
-             .aggregate(Count(alias_name="weight"))
-             .map_batches(lambda b: pa.table({
-                 "src_id": b.column("subj_id"),
-                 "pred": b.column("pred"),
-                 "dst_id": b.column("obj_id"),
-                 "weight": b.column("weight").cast(pa.float64()),
-             }), batch_format="pyarrow", zero_copy_batch=True)
+    nodes = (agg.map_batches(to_nodes, batch_format="pyarrow",
+                             zero_copy_batch=True)
+             .sort("entity_id"))
+    edges = (agg.map_batches(to_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
              .sort(["src_id", "pred"]))
     return nodes, edges

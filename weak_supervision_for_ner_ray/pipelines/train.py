@@ -107,9 +107,12 @@ def train_hmm_sharded(obs_dir: str, workdir: str, *, n_iter: int = 10,
     files = sorted(glob.glob(os.path.join(obs_dir, "*.parquet")))
     if n_shards is None:
         try:
-            n_shards = int(ray.cluster_resources().get("CPU", 8))
+            # 2 shards per core at 0.5 CPU each: the OS timeshares the
+            # doubled actor count, smoothing per-shard cost imbalance
+            # (~5% faster passes than 1 shard/core measured at sf0.1)
+            n_shards = 2 * int(ray.cluster_resources().get("CPU", 8))
         except Exception:
-            n_shards = 8
+            n_shards = 16
     shards = make_shards(files, n_shards)
     keep = None
     if keep_names is not None:

@@ -161,22 +161,37 @@ def make_conv_annotate_fn(bank_inputs_ref):
     return conv_annotate
 
 
+def make_full_conv_annotate_fn(bank_inputs_ref):
+    """Whole-conversation annotate (turn + doc level in one grouped call).
+
+    Shuffling RAW turns (conv_id, turn_idx, role, text) before any
+    annotation moves ~10× less data through the groupby exchange than
+    shuffling annotated rows with their nested mention column; the LF bank
+    then runs once per conversation on the grouped side (per-worker bank +
+    per-worker text memo still apply)."""
+
+    def full_conv_annotate(group: pa.Table) -> pa.Table:
+        from .util import cached_from_ref
+        bank = _bank_from(bank_inputs_ref)
+        memo = cached_from_ref(bank_inputs_ref, builder=lambda _: {},
+                               key_extra="turn_memo")
+        turn_table = annotate_turn_batch(bank, group, memo=memo)
+        return annotate_conv_group(bank, turn_table)
+
+    return full_conv_annotate
+
+
 def annotate_pipeline(turns, bank_inputs_ref, *, concurrency=None,
                       batch_size: int = 256):
     """turns Dataset -> fully annotated Dataset (turn + conversation level).
 
     ``bank_inputs_ref``: ``ray.put((gazetteers, first_names))`` — broadcast
-    once; every worker builds its LF bank from it exactly once.
+    once; every worker builds its LF bank from it exactly once.  The one
+    shuffle of the pipeline happens FIRST, over the raw turn rows, so the
+    exchange never carries annotation payloads (SURVEY.md §3 EP1).
     """
-    annotated = turns.map_batches(
-        make_turn_annotate_fn(bank_inputs_ref),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
-    return annotated.groupby("conv_id").map_groups(
-        make_conv_annotate_fn(bank_inputs_ref),
+    return turns.groupby("conv_id").map_groups(
+        make_full_conv_annotate_fn(bank_inputs_ref),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -194,7 +194,11 @@ def make_shards(obs_files: list[str], n_shards: int):
         i = min(n_shards - 1, (acc + cost // 2) * n_shards // max(total, 1))
         groups[i].setdefault(f, []).append(rg)
         acc += cost
-    return [EMShard.remote([(f, rgs) for f, rgs in g.items()])
+    # 0.5 CPU per actor pairs with the 2-shards-per-core default in
+    # train_hmm_sharded: twice as many actors timeshare the cores and the
+    # E-step tail shrinks (stragglers overlap instead of serialising)
+    cls = EMShard.options(num_cpus=0.5)
+    return [cls.remote([(f, rgs) for f, rgs in g.items()])
             for g in groups if g]
 
 
