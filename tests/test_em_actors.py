@@ -130,3 +130,30 @@ def test_weighted_accumulate_equals_repeated():
     assert abs(s_rep.logprob - s_w.logprob) < 1e-9
     assert np.abs(s_rep.obs - s_w.obs).max() < 1e-9
     assert np.abs(s_rep.trans - s_w.trans).max() < 1e-9
+
+
+def test_emshard_streaming_mode_parity(ray_session, tmp_path):
+    """A shard over budget streams row groups per pass and produces the
+    identical partial as the resident path."""
+    tbl = _obs_table(seed=21, n_turns=80)
+    f = str(tmp_path / "obs.parquet")
+    pq.write_table(tbl, f, row_group_size=16)
+    p = _params()
+
+    resident = EMShard.remote([(f, None)], None)
+    streaming = EMShard.remote([(f, None)], 1)     # 1 byte -> must stream
+    assert ray.get(streaming.n_turns.remote()) == tbl.num_rows
+
+    a = shard_estep([resident], p)
+    b = shard_estep([streaming], p)
+    assert a.n_seqs == b.n_seqs
+    assert abs(a.logprob - b.logprob) < 1e-8
+    assert np.abs(a.obs - b.obs).max() < 1e-9
+    assert np.abs(a.trans - b.trans).max() < 1e-9
+
+    ia = shard_init_counts([resident])
+    ib = shard_init_counts([streaming])
+    for x, y in zip(ia, ib):
+        assert np.abs(x - y).max() < 1e-9
+    ray.kill(resident)
+    ray.kill(streaming)

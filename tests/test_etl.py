@@ -80,3 +80,48 @@ def test_split_by_conv_hash(ray_session, small_corpus):
     dset = set(d["conv_id"].to_pylist())
     assert not (tset & dset)
     assert len(dset) > 0
+
+
+def test_expand_person_variants():
+    from weak_supervision_for_ner_ray.sources.etl import \
+        expand_person_variants
+
+    v = expand_person_variants("Mary Jane", "Watson")
+    assert "Mary Jane Watson" in v
+    assert "M. Watson" in v
+    assert "Mary Watson" in v
+    assert "Mary J. Watson" in v
+    assert "M. J. Watson" in v
+    # too-short and legal-suffix variants dropped
+    assert all(len(x) > 2 for x in v)
+
+
+def test_compile_crunchbase(ray_session):
+    from weak_supervision_for_ner_ray.sources.etl import compile_crunchbase
+
+    orgs = rd.from_arrow(pa.table({
+        "name": ["The Nordea Bank AB", "Open Data Group"],
+        "role": ["company", "nonprofit"],
+    }))
+    people = rd.from_arrow(pa.table({
+        "first_name": ["Ada"], "last_name": ["Lovelace"],
+    }))
+    d = gazetteer_table_to_dict(to_arrow(compile_crunchbase(orgs, people)))
+    assert any("Nordea" in n for n in d["COMPANY"])
+    assert any("Open Data" in n for n in d.get("ORG", []))
+    assert "Ada Lovelace" in d["PERSON"]
+    assert "A. Lovelace" in d["PERSON"]
+
+
+def test_compile_products_variants(ray_session):
+    from weak_supervision_for_ner_ray.sources.etl import compile_products
+
+    names = rd.from_arrow(pa.table({
+        "name": ["IPad", "Road Bike", "Widget (toy)"],
+    }))
+    d = gazetteer_table_to_dict(to_arrow(compile_products(names)))
+    prods = set(d["PRODUCT"])
+    assert "iPad" in prods            # lowercase-first variant
+    assert "IPads" in prods           # plural
+    assert "Road Bikes" in prods
+    assert not any("Widget" in p for p in prods)   # parenthesised dropped

@@ -131,3 +131,46 @@ def test_graph_tables(ray_session, small_corpus, tmp_path_factory):
     assert len(ids) == len(set(ids))
     # linked entities dominate: gazetteer ids look like LABEL:name
     assert sum(1 for i in ids if not i.startswith("m:")) > 0
+
+
+def test_pathological_conversation_windows(ray_session):
+    """A conversation far beyond the window size is split into bounded
+    (conv_id, window) groups: the pipeline completes, every turn is
+    annotated, and doc-level history does not leak across windows."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from weak_supervision_for_ner_ray.data import (FIRST_NAMES,
+                                                   builtin_gazetteers)
+    from weak_supervision_for_ner_ray.stages.annotate import annotate_pipeline
+
+    n = 120
+    texts = []
+    for i in range(n):
+        if i == 0:
+            texts.append("Maria Vandermeer joined the project .")
+        else:
+            texts.append(f"Vandermeer sent update number {i} .")
+    turns = pa.table({
+        "conv_id": pa.array(["big"] * n),
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(texts),
+    })
+    bank_ref = ray.put((builtin_gazetteers(), FIRST_NAMES))
+    out_tables = [ray.get(r) for r in annotate_pipeline(
+        rd.from_arrow(turns), bank_ref,
+        max_conv_window=50).to_arrow_refs()]
+    out = pa.concat_tables([t for t in out_tables if t.num_rows])
+    assert out.num_rows == n
+    # window isolation: turn 0's full-name seed lives in window 0 only;
+    # doc_history never fires on the FIRST turn of a later window's seed
+    # (its trie is rebuilt per window), so per-window it re-seeds from the
+    # window's own full mentions.  Check turn 1 (same window) got history.
+    from weak_supervision_for_ner_ray.stages.encode import MentionRows
+    from weak_supervision_for_ner_ray.sources.registry import SOURCE_INDICES
+    rows = MentionRows(out.sort_by("turn_idx"))
+    hist_id = SOURCE_INDICES["doc_history"]
+    l1 = rows.layers(1)
+    assert "doc_history" in l1.by_source and l1.by_source["doc_history"]

@@ -97,3 +97,36 @@ def test_compound_heuristic():
 
 def test_empty_text():
     assert len(make_doc("")) == 0
+
+
+def test_truecase_text():
+    from weak_supervision_for_ner_ray.tokenizer import truecase_text
+
+    freqs = {"apple": {"apple": 0.9, "Apple": 0.1},
+             "paris": {"Paris": 0.95, "paris": 0.05}}
+    # mid-sentence mis-cased common word is lowered
+    assert truecase_text("I Ate An Apple Today", freqs) == \
+        "I Ate An apple Today"
+    # frequent form (>= min_prob) untouched
+    assert truecase_text("He visited Paris today", freqs) == \
+        "He visited Paris today"
+    # sentence-start tokens never touched
+    assert truecase_text("Apple pie is nice", freqs) == "Apple pie is nice"
+    # long docs returned unchanged
+    long = "The Apple " + "word " * 30
+    assert truecase_text(long, freqs) == long
+
+
+def test_build_form_frequencies(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from weak_supervision_for_ner_ray.sources.etl import \
+        build_form_frequencies
+
+    texts = ["we ate an apple .", "he had an apple too .",
+             "the Apple on the table .", "an apple a day ."]
+    ds = rd.from_arrow(pa.table({"text": texts}))
+    t = build_form_frequencies(ds, min_count=1)
+    assert abs(t["apple"]["apple"] - 0.75) < 1e-9
+    assert abs(t["apple"]["Apple"] - 0.25) < 1e-9

@@ -23,10 +23,10 @@ _COMPANY_SOURCES = ["company_type_detector", "crunchbase_cased",
                     "crunchbase_uncased", "doc_majority_cased",
                     "doc_majority_uncased"]
 
-# sources feeding the doc-majority vote (annotations.py:1174-1177, restricted
-# to the sources this engine implements)
+# sources feeding the doc-majority vote (annotations.py:1174-1177)
 DOC_MAJORITY_SOURCES = [
-    "company_type_detector", "core_web_md", "core_web_md+c",
+    "BTC", "BTC+c", "company_type_detector", "conll2003", "conll2003+c",
+    "core_web_md", "core_web_md+c",
     "crunchbase_cased", "crunchbase_uncased", "date_detector", "doc_history",
     "full_name_detector", "geo_cased", "geo_uncased", "legal_detector",
     "misc_detector", "money_detector", "number_detector", "product_cased",
@@ -35,8 +35,8 @@ DOC_MAJORITY_SOURCES = [
 ]
 
 # sources whose spans seed the doc-history trie (annotations.py:1085-1088)
-_HISTORY_SEED_SOURCES = {"core_web_md+c", "full_name_detector",
-                         "company_type_detector"}
+_HISTORY_SEED_SOURCES = {"core_web_md+c", "conll2003+c",
+                         "full_name_detector", "company_type_detector"}
 
 
 def standardise(doc: Doc, layers: Layers) -> None:

@@ -114,6 +114,102 @@ def expand_company_aliases(name: str) -> set[str]:
     return {" ".join(a) for a in out if a}
 
 
+def expand_person_variants(first_name: str, last_name: str) -> set[str]:
+    """Crunchbase person-name variants (annotations.py:1608-1617):
+    "First Last", "F. Last"; for two-part first names also
+    "First1 Last", "First1 F2. Last" and "F1. F2. Last".  Variants
+    shorter than 3 chars or equal to a legal suffix are dropped
+    (annotations.py:1620-1621)."""
+    out = set()
+    if first_name and last_name:
+        out.add(f"{first_name} {last_name}")
+        out.add(f"{first_name[0]}. {last_name}")
+        if " " in first_name:
+            f1, f2 = first_name.split(" ", 1)
+            if f1 and f2:
+                out.add(f"{f1} {last_name}")
+                out.add(f"{f1} {f2[0]}. {last_name}")
+                out.add(f"{f1[0]}. {f2[0]}. {last_name}")
+    return {alt for alt in out
+            if len(alt) > 2 and alt.lower().rstrip(".") not in LEGAL_SUFFIXES}
+
+
+def compile_crunchbase(org_ds, people_ds):
+    """Crunchbase-style (organisations, people) tables -> gazetteer table
+    with the reference's variant expansion (compile_crunchbase_data,
+    annotations.py:1578-1625): company alias fixpoint for org rows tagged
+    company/investor (else ORG), first-initial person variants for people.
+
+    ``org_ds`` columns: name, role ('company'/'investor'/other);
+    ``people_ds`` columns: first_name, last_name."""
+
+    def orgs(batch: pd.DataFrame) -> pd.DataFrame:
+        names, labels = [], []
+        for name, role in zip(batch["name"], batch["role"]):
+            label = "COMPANY" if str(role) in {"company", "investor"} \
+                else "ORG"
+            for alt in expand_company_aliases(str(name)):
+                names.append(alt)
+                labels.append(label)
+        return pd.DataFrame({"name": names, "label": labels})
+
+    def people(batch: pd.DataFrame) -> pd.DataFrame:
+        names = []
+        for fn, ln in zip(batch["first_name"], batch["last_name"]):
+            names.extend(expand_person_variants(str(fn), str(ln)))
+        return pd.DataFrame({"name": names,
+                             "label": ["PERSON"] * len(names)})
+
+    both = org_ds.map_batches(orgs, batch_format="pandas").union(
+        people_ds.map_batches(people, batch_format="pandas"))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        labels = sorted(set(group["label"]))
+        return pd.DataFrame({"name": [group["name"].iloc[0]],
+                             "labels": [",".join(labels)],
+                             "nb_entities": [len(group)]})
+
+    return both.groupby("name").map_groups(merge, batch_format="pandas")
+
+
+def expand_product_variants(name: str) -> set[str]:
+    """Product-name variants (compile_product_data /
+    compile_wiki_product_data, annotations.py:1627-1683): skip
+    parenthesised titles; add the iPad-style lowercase-first variant for
+    I/E + Upper + lower titles; add plural ('es' after s) for names of at
+    most two words."""
+    if "(" in name or len(name) <= 2:
+        return set()
+    out = {name}
+    if name[0] in {"I", "E"} and name[1].isupper() and name[2].islower():
+        out.add(name[0].lower() + name[1:])
+    for n in list(out):
+        if len(n.split()) <= 2:
+            out.add(n + ("es" if name.endswith("s") else "s"))
+    return out
+
+
+def compile_products(names_ds, *, name_col: str = "name"):
+    """Product-name table -> PRODUCT gazetteer with plural/lowercase
+    variant expansion (annotations.py:1627-1683)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        names = []
+        for name in batch[name_col]:
+            names.extend(expand_product_variants(str(name)))
+        return pd.DataFrame({"name": names,
+                             "label": ["PRODUCT"] * len(names)})
+
+    cleaned = names_ds.map_batches(f, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"name": [group["name"].iloc[0]],
+                             "labels": ["PRODUCT"],
+                             "nb_entities": [len(group)]})
+
+    return cleaned.groupby("name").map_groups(merge, batch_format="pandas")
+
+
 def gazetteer_table_to_dict(table: pa.Table) -> dict[str, list[str]]:
     """Collected gazetteer table -> {label: [names]} broadcast shape."""
     out: dict[str, list[str]] = {}
@@ -150,3 +246,47 @@ def split_by_conv_hash(ds, dev_fraction: float = 0.1, key: str = "conv_id"):
     train = ds.map_batches(lambda b: split(b, False), batch_format="pandas")
     dev = ds.map_batches(lambda b: split(b, True), batch_format="pandas")
     return train, dev
+
+
+def build_form_frequencies(turns_ds, *, text_col: str = "text",
+                           min_count: int = 2) -> dict[str, dict[str, float]]:
+    """Corpus-derived case-form frequency table for truecasing
+    (stands in for the reference's prebuilt FORM_FREQUENCIES blob,
+    spacy_wrapper.py:199-205).
+
+    Distributed shape: per-batch partial (lower, form, n) counts ->
+    ``groupby(lower, form).Sum`` -> vocabulary-sized result collected to a
+    broadcastable dict.  Sentence-start tokens are excluded so sentence
+    capitalisation does not bias the counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..tokenizer import make_doc
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch[text_col]:
+            d = make_doc(str(text))
+            for i, tok in enumerate(d.tokens):
+                if d.is_alpha[i] and not d.sent_start[i]:
+                    key = (d.lowers[i], tok)
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pd.DataFrame({"lower": [], "form": [], "n": []})
+        lowers, forms = zip(*counts)
+        return pd.DataFrame({"lower": lowers, "form": forms,
+                             "n": list(counts.values())})
+
+    agg = (turns_ds.map_batches(partial, batch_format="pandas")
+           .groupby(["lower", "form"]).aggregate(Sum("n", alias_name="n")))
+    table: dict[str, dict[str, float]] = {}
+    for b in agg.iter_batches(batch_format="pandas"):
+        for lower, form, n in zip(b["lower"], b["form"], b["n"]):
+            if n >= min_count:
+                table.setdefault(lower, {})[form] = float(n)
+    # normalise to relative frequencies
+    for lower, forms in table.items():
+        total = sum(forms.values())
+        for form in forms:
+            forms[form] /= total
+    return table

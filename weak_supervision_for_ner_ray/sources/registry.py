@@ -157,7 +157,11 @@ class LFBank:
     _EXC_DTMN = _EXC_DTM + ("number_detector",)
 
     def __init__(self, gazetteers: dict[str, dict[str, list[str]]],
-                 first_names: list[str]):
+                 first_names: list[str],
+                 form_frequencies: dict[str, dict[str, float]] | None = None):
+        # optional truecasing table for short mis-cased turns
+        # (spacy_wrapper.py:186-221; built by etl.build_form_frequencies)
+        self.form_frequencies = form_frequencies
         self.tries = {name: build_trie(gaz)
                       for name, gaz in gazetteers.items()}
         self.matchers = {name: GazetteerMatcher(trie)
@@ -192,6 +196,9 @@ class LFBank:
 
     # -- single turn ------------------------------------------------------
     def annotate_turn(self, text: str) -> tuple[Doc, Layers]:
+        if self.form_frequencies is not None:
+            from ..tokenizer import truecase_text
+            text = truecase_text(text, self.form_frequencies)
         doc = make_doc(text)
         layers = Layers()
         self.run_turn_sources(doc, layers)

@@ -83,8 +83,7 @@ class TurnAnnotateStage:
     def __init__(self, bank_inputs):
         """``bank_inputs``: (gazetteers, first_names) or an ObjectRef to it —
         broadcast once, materialised once per actor."""
-        gazetteers, first_names = _get_broadcast(bank_inputs)
-        self.bank = LFBank(gazetteers, first_names)
+        self.bank = LFBank(*_get_broadcast(bank_inputs))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return annotate_turn_batch(self.bank, batch)
@@ -100,8 +99,7 @@ class ConvAnnotateStage:
     """
 
     def __init__(self, bank_inputs):
-        gazetteers, first_names = _get_broadcast(bank_inputs)
-        self.bank = LFBank(gazetteers, first_names)
+        self.bank = LFBank(*_get_broadcast(bank_inputs))
 
     def __call__(self, group: pa.Table) -> pa.Table:
         return annotate_conv_group(self.bank, group)
@@ -132,9 +130,10 @@ def annotate_conv_group(bank: LFBank, group: pa.Table) -> pa.Table:
 
 
 def _bank_from(bank_inputs) -> LFBank:
+    # bank_inputs: (gazetteers, first_names[, form_frequencies])
     from .util import cached_from_ref
     return cached_from_ref(bank_inputs,
-                           builder=lambda v: LFBank(v[0], v[1]),
+                           builder=lambda v: LFBank(*v),
                            key_extra="lfbank")
 
 
@@ -181,17 +180,39 @@ def make_full_conv_annotate_fn(bank_inputs_ref):
     return full_conv_annotate
 
 
+MAX_CONV_WINDOW = 5000
+
+
 def annotate_pipeline(turns, bank_inputs_ref, *, concurrency=None,
-                      batch_size: int = 256):
+                      batch_size: int = 256,
+                      max_conv_window: int = MAX_CONV_WINDOW):
     """turns Dataset -> fully annotated Dataset (turn + conversation level).
 
     ``bank_inputs_ref``: ``ray.put((gazetteers, first_names))`` — broadcast
     once; every worker builds its LF bank from it exactly once.  The one
     shuffle of the pipeline happens FIRST, over the raw turn rows, so the
     exchange never carries annotation payloads (SURVEY.md §3 EP1).
+
+    Skew control: the group key is ``(conv_id, turn_idx // max_conv_window)``
+    — for every conversation at or under the window size (the normal case)
+    this is identical to grouping by conv_id alone, while a pathological
+    million-turn conversation splits into bounded windows, each annotated
+    with conversation-level sources over its own window (the reference's
+    per-field sub-document processing, annotations.py:1071-1078; no group
+    can exceed the window, so neither straggler time nor group memory is
+    unbounded by one hot key).
     """
-    return turns.groupby("conv_id").map_groups(
-        make_full_conv_annotate_fn(bank_inputs_ref),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        win = pc.cast(pc.divide(t.column("turn_idx"),
+                                max_conv_window), pa.int32())
+        return t.append_column("_win", win)
+
+    grouped = turns.map_batches(add_window, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby(["conv_id", "_win"]).map_groups(
+            make_full_conv_annotate_fn(bank_inputs_ref),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    return grouped

@@ -54,21 +54,37 @@ class EMShard:
     turns heavily (measured 3.8× at sf0.01), so this cuts the per-pass
     compute 2-4× with bit-identical results."""
 
-    def __init__(self, units: list):
+    def __init__(self, units: list, max_bytes: int | None = None):
         """``units``: list of (file, row_group_indices | None) — None
-        reads the whole file."""
-        import pyarrow as pa
-        tables = []
-        for f, rgs in units:
-            pf = pq.ParquetFile(f)
-            if rgs is None:
-                tables.append(pf.read(columns=_OBS_COLS))
-            else:
-                tables.append(pf.read_row_groups(list(rgs),
-                                                 columns=_OBS_COLS))
-        batch = pa.concat_tables(tables) if tables else None
+        reads the whole file.
+
+        ``max_bytes``: in-memory budget for the resident (deduped) shard.
+        When the parquet metadata estimates the shard above budget, the
+        shard runs in STREAMING mode: nothing is held resident and every
+        ``estep``/``init_stats`` call re-reads + re-dedups one row group at
+        a time — a per-pass IO/dedup cost traded for bounded actor memory
+        (the large-scale fallback; selection is automatic and logged)."""
+        self.units = units
         self.rows = None
         self.weights = None
+        self.streaming = False
+        self.n_raw = 0
+        est = 0
+        for f, rgs in units:
+            md = pq.ParquetFile(f).metadata
+            idx = range(md.num_row_groups) if rgs is None else rgs
+            for rg in idx:
+                est += md.row_group(rg).total_byte_size
+                self.n_raw += md.row_group(rg).num_rows
+        if max_bytes is not None and est > max_bytes:
+            import logging
+            logging.getLogger(__name__).warning(
+                "EMShard: estimated %.0f MB exceeds budget %.0f MB -> "
+                "streaming mode (per-pass re-read)",
+                est / 1e6, max_bytes / 1e6)
+            self.streaming = True
+            return
+        batch = self._read_units(units)
         if batch is None:
             return
         rows = ObsRows(batch)
@@ -80,6 +96,39 @@ class EMShard:
         else:
             self.rows = rows
             self.weights = None
+
+    @staticmethod
+    def _read_units(units: list):
+        import pyarrow as pa
+        tables = []
+        for f, rgs in units:
+            pf = pq.ParquetFile(f)
+            if rgs is None:
+                tables.append(pf.read(columns=_OBS_COLS))
+            else:
+                tables.append(pf.read_row_groups(list(rgs),
+                                                 columns=_OBS_COLS))
+        return pa.concat_tables(tables) if tables else None
+
+    def _iter_deduped(self):
+        """Yield (rows, weights) chunks — the resident shard in one chunk,
+        or per-row-group chunks in streaming mode."""
+        if not self.streaming:
+            if self.rows is not None:
+                yield self.rows, self.weights
+            return
+        for f, rgs in self.units:
+            pf = pq.ParquetFile(f)
+            idx = range(pf.metadata.num_row_groups) if rgs is None else rgs
+            for rg in idx:
+                batch = pf.read_row_groups([rg], columns=_OBS_COLS)
+                rows = ObsRows(batch)
+                uniq_idx, counts = self._dedup(rows)
+                if len(uniq_idx) < len(rows):
+                    yield _take_rows(rows, uniq_idx), \
+                        counts.astype(np.float64)
+                else:
+                    yield rows, None
 
     @staticmethod
     def _dedup(rows: ObsRows):
@@ -108,7 +157,7 @@ class EMShard:
         return np.asarray(uniq_idx, np.int64), np.asarray(counts, np.int64)
 
     def n_turns(self) -> int:
-        return 0 if self.rows is None else getattr(self, "n_raw", 0)
+        return getattr(self, "n_raw", 0)
 
     def init_stats(self):
         """Prior-count partials (labelling.py:314-373), dedup-weighted."""
@@ -116,22 +165,21 @@ class EMShard:
         init_counts = np.zeros(K)
         trans_counts = np.zeros((K, K))
         obs_counts = np.zeros((S, K))
-        if self.rows is None:
-            return init_counts, trans_counts, obs_counts
-        for i in range(len(self.rows)):
-            w = 1.0 if self.weights is None else self.weights[i]
-            obs = self.rows.turnobs(i)
-            if obs.n_tokens == 0:
-                continue
-            states = obs_argmax_states(obs, BEST_COVERAGE_INDEX)
-            init_counts[states[0]] += w
-            if obs.n_tokens > 1:
-                np.add.at(trans_counts, (states[:-1], states[1:]), w)
-            obs_counts[:, 0] += obs.n_tokens * w
-            for (t, s), dist in obs.fired.items():
-                obs_counts[s, 0] -= w
-                for state, conf in dist.items():
-                    obs_counts[s, state] += conf * w
+        for rows, weights in self._iter_deduped():
+            for i in range(len(rows)):
+                w = 1.0 if weights is None else weights[i]
+                obs = rows.turnobs(i)
+                if obs.n_tokens == 0:
+                    continue
+                states = obs_argmax_states(obs, BEST_COVERAGE_INDEX)
+                init_counts[states[0]] += w
+                if obs.n_tokens > 1:
+                    np.add.at(trans_counts, (states[:-1], states[1:]), w)
+                obs_counts[:, 0] += obs.n_tokens * w
+                for (t, s), dist in obs.fired.items():
+                    obs_counts[s, 0] -= w
+                    for state, conf in dist.items():
+                        obs_counts[s, state] += conf * w
         return init_counts, trans_counts, obs_counts
 
     def estep(self, params) -> dict:
@@ -144,11 +192,16 @@ class EMShard:
         32 shard actors it saturates the memory bus and runs ~3× slower
         end-to-end (measured 37 s vs 11 s per pass at sf0.1/32 cpus)."""
         stats = SuffStats()
-        if self.rows is not None:
-            for i in range(len(self.rows)):
-                w = 1.0 if self.weights is None else self.weights[i]
-                hmm.accumulate(self.rows.turnobs(i), params, stats,
-                               weight=w)
+        defer_o = np.zeros(hmm.N_STATES)
+        any_rows = False
+        for rows, weights in self._iter_deduped():
+            any_rows = True
+            for i in range(len(rows)):
+                w = 1.0 if weights is None else weights[i]
+                hmm.accumulate(rows.turnobs(i), params, stats,
+                               weight=w, defer_o=defer_o)
+        if any_rows:
+            stats.obs[params.keep, :, 0] += defer_o[None, :]
         return stats.to_arrays()
 
 
@@ -197,8 +250,11 @@ def make_shards(obs_files: list[str], n_shards: int):
     # 0.5 CPU per actor pairs with the 2-shards-per-core default in
     # train_hmm_sharded: twice as many actors timeshare the cores and the
     # E-step tail shrinks (stragglers overlap instead of serialising)
+    import os
+    max_bytes = int(os.environ.get("GRAFT_EM_SHARD_MAX_BYTES",
+                                   str(4 * 1024 ** 3)))
     cls = EMShard.options(num_cpus=0.5)
-    return [cls.remote([(f, rgs) for f, rgs in g.items()])
+    return [cls.remote([(f, rgs) for f, rgs in g.items()], max_bytes)
             for g in groups if g]
 
 

@@ -314,12 +314,20 @@ def _forward_backward_scaled(ll: np.ndarray, params: HMMParams):
 
 
 def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats,
-               weight: float = 1.0) -> None:
+               weight: float = 1.0,
+               defer_o: np.ndarray | None = None) -> None:
     """Forward-backward on one turn, accumulating into ``stats``.
 
     ``weight`` scales every contribution — used for exact turn
     deduplication: N identical turns contribute exactly N× the stats of
-    one (every statistic is linear in the per-turn quantities)."""
+    one (every statistic is linear in the per-turn quantities).
+
+    ``defer_o``: optional (77,) accumulator.  The baseline O-column update
+    ``obs[s,:,0] += total_post`` for every kept source touches ~48 strided
+    616-byte rows of the 2.3 MB obs tensor PER TURN — the dominant DRAM
+    traffic of a shard pass.  With ``defer_o`` the caller sums total_post
+    across turns and applies ``stats.obs[keep,:,0] += defer_o`` once per
+    shard (identical result; the statistic is linear)."""
     T = obs.n_tokens
     if T == 0:
         return
@@ -348,8 +356,11 @@ def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats,
     for (t, s), dist in obs.fired.items():
         if s in keep:
             fired_by_source.setdefault(s, []).append((t, dist))
-    for s in keep:
-        stats.obs[s, :, 0] += total_post
+    if defer_o is not None:
+        defer_o += total_post
+    else:
+        for s in keep:
+            stats.obs[s, :, 0] += total_post
     for s, entries in fired_by_source.items():
         for t, dist in entries:
             stats.obs[s, :, 0] -= post[t]

@@ -250,3 +250,37 @@ def in_compound(d: Doc, i: int) -> bool:
     if d.compound[i]:
         return True
     return i > 0 and d.compound[i - 1]
+
+
+def truecase_text(text: str, form_frequencies: dict[str, dict[str, float]],
+                  min_prob: float = 0.25,
+                  skip_doc_longer_than: int = 25) -> str:
+    """Truecasing of short texts (spacy_wrapper.py:186-221 semantics).
+
+    Tokens that (1) are alphabetic with an uppercase first letter, (2) do
+    not start a sentence, and (3) whose observed form has relative
+    frequency below ``min_prob`` in ``form_frequencies`` (lowercase ->
+    {form: rel_freq}) are replaced by their most likely case form.  Texts
+    longer than ``skip_doc_longer_than`` tokens are returned unchanged
+    (mis-casings concentrate in titles, not paragraphs).  The reference
+    loads its frequency table from a prebuilt blob; here the table is
+    derived from the corpus (see ``sources.etl.build_form_frequencies``).
+    """
+    d = make_doc(text)
+    if len(d) > skip_doc_longer_than:
+        return text
+    replacements = []
+    for i, tok in enumerate(d.tokens):
+        if d.is_alpha[i] and not d.sent_start[i] and tok[0].isupper():
+            freqs = form_frequencies.get(d.lowers[i])
+            if freqs and freqs.get(tok, 0.0) < min_prob:
+                # exact reference tie-break: last of the freq-sorted keys
+                alt = sorted(freqs.keys(), key=lambda x: freqs[x])[-1]
+                if alt != tok and len(alt) == len(tok):
+                    replacements.append((d.starts[i], tok, alt))
+    if not replacements:
+        return text
+    chars = list(text)
+    for start, tok, alt in replacements:
+        chars[start:start + len(tok)] = alt
+    return "".join(chars)
