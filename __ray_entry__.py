@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
+        "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
@@ -312,6 +313,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a, b ORDER BY a, b
     """
 
+    # embedding-cosine near-dup: same integer-micros rounding as the knn
+    # oracle; the >= filter compares the SAME integers on both sides
+    emb_dedup_sql = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                    AS BIGINT) AS sim_micro
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                   AS BIGINT) >= 400000
+        ORDER BY a, b
+    """
+
     return {
         "lang_id": lang_id_sql,
         "turns_restore_order": turns_sql,
@@ -319,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": ann_sql,
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
+        "dedup_embedding": emb_dedup_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -147,3 +147,13 @@ def test_minhash_dropped_buckets_not_silent(ray_session, docs_dir, caplog):
     # every >=2-doc bucket dropped -> no pairs, no sentinel rows leak out
     assert out.num_rows == 0 or all(a >= 0
                                     for a in out.column("a").to_pylist())
+
+
+def test_dedup_embedding_cosine(ray_session, docs_dir):
+    out = to_arrow(ops.dedup_embedding_cosine(docs_dir,
+                                              threshold_micro=990_000))
+    d = out.to_pydict()
+    pairs = set(zip(d["a"], d["b"]))
+    assert (0, 1) in pairs                 # collinear vectors: cosine 1.0
+    sims = dict(zip(zip(d["a"], d["b"]), d["sim_micro"]))
+    assert sims[(0, 1)] == 1_000_000

@@ -629,6 +629,49 @@ def multimodal_features(sf_dir: str):
                               concurrency=_concurrency())
 
 
+def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
+    similarity ≥ threshold (exact integer micros, so the ≥ filter is an
+    integer comparison on BOTH the engine and the SQL-oracle side — no
+    float boundary ties).
+
+    Baseline shape: the normalised embedding matrix is broadcast once
+    (``ray.put``) and each block computes its rows × all-columns block of
+    the similarity matrix (numpy matmul), emitting only above-threshold
+    pairs with a < b.  This is the right layout up to ~10M vectors (the
+    broadcast side); beyond that, bucket with :func:`ann_lsh_buckets` and
+    compare within buckets (same kernel, candidate-restricted)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = _to_arrow(ds)
+    ids_all = np.asarray(full["vec_id"].to_pylist(), np.int64)
+    X = np.array(full["embedding"].to_pylist(), np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids_all, Xn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_from_ref
+        ids_a, M = cached_from_ref(mat_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        Y = np.array(batch["embedding"].to_pylist(), np.float64)
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        sims = Yn @ M.T                              # (B, N)
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
+        bi, aj = np.nonzero(micros >= threshold_micro)
+        a_ids = ids[bi]
+        b_ids = ids_a[aj]
+        keep = a_ids < b_ids                         # dedup + drop self
+        return pa.table({
+            "a": pa.array(a_ids[keep], pa.int64()),
+            "b": pa.array(b_ids[keep], pa.int64()),
+            "sim_micro": pa.array(micros[bi, aj][keep], pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=4096,
+                          zero_copy_batch=True).sort(["a", "b"])
+
+
 # ---------------------------------------------------------------------------
 # relational / streaming-style queries over the TPC-H-ish tables
 # ---------------------------------------------------------------------------

@@ -350,65 +350,64 @@ def make_triple_fn(params_ref, gazetteers_ref, keep_names=None):
 
 def triple_batch(params, index, keep_names, batch: pa.Table,
                  memo: dict | None = None) -> pa.Table:
-    if True:
-        cols = {k: [] for k in
-                ("conv_id", "turn_idx", "subj", "subj_label", "pred", "obj",
-                 "obj_label", "subj_id", "obj_id", "conf")}
-        conv_ids = batch.column("conv_id").to_pylist()
-        turn_idxs = batch.column("turn_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
-        encoded = "o_t" in batch.column_names
-        rows = ObsRows(batch) if encoded else None
+    cols = {k: [] for k in
+            ("conv_id", "turn_idx", "subj", "subj_label", "pred", "obj",
+             "obj_label", "subj_id", "obj_id", "conf")}
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    encoded = "o_t" in batch.column_names
+    rows = ObsRows(batch) if encoded else None
 
-        def triples_for(i, text):
-            # triples depend on (text, obs pattern) only — memoise whole
-            # rows (duplicate turns are adjacent in the fp-sorted table)
-            key = None
-            if memo is not None and encoded:
-                key = text.encode("utf-8") + b"\0" + _row_key(rows, i)
-                hit = memo.get(key)
-                if hit is not None:
-                    return hit
-            if encoded:
-                obs = rows.turnobs(i)
-            else:
-                obs = layers_to_obs(
-                    mentions_to_layers(batch.column("mentions")[i].as_py()),
-                    batch.column("n_tokens")[i].as_py(), keep_names)
-            out = []
-            if obs.n_tokens:
-                spans = decode_turn(obs, params)
-                if spans:
-                    out = extract_triples_for_turn(make_doc(text), spans,
-                                                   index)
-            if key is not None:
-                if len(memo) > _CACHE_CAP:
-                    memo.clear()
-                memo[key] = out
-            return out
+    def triples_for(i, text):
+        # triples depend on (text, obs pattern) only — memoise whole
+        # rows (duplicate turns are adjacent in the fp-sorted table)
+        key = None
+        if memo is not None and encoded:
+            key = text.encode("utf-8") + b"\0" + _row_key(rows, i)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+        if encoded:
+            obs = rows.turnobs(i)
+        else:
+            obs = layers_to_obs(
+                mentions_to_layers(batch.column("mentions")[i].as_py()),
+                batch.column("n_tokens")[i].as_py(), keep_names)
+        out = []
+        if obs.n_tokens:
+            spans = decode_turn(obs, params)
+            if spans:
+                out = extract_triples_for_turn(make_doc(text), spans,
+                                               index)
+        if key is not None:
+            if len(memo) > _CACHE_CAP:
+                memo.clear()
+            memo[key] = out
+        return out
 
-        for i, (ci, ti, text) in enumerate(zip(conv_ids, turn_idxs, texts)):
-            for (subj, sl, pred, obj, ol, sid, oid, conf) in \
-                    triples_for(i, text):
-                cols["conv_id"].append(ci)
-                cols["turn_idx"].append(ti)
-                cols["subj"].append(subj)
-                cols["subj_label"].append(sl)
-                cols["pred"].append(pred)
-                cols["obj"].append(obj)
-                cols["obj_label"].append(ol)
-                cols["subj_id"].append(sid)
-                cols["obj_id"].append(oid)
-                cols["conf"].append(conf)
-        return pa.table({
-            "conv_id": pa.array(cols["conv_id"], pa.string()),
-            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
-            "subj": pa.array(cols["subj"], pa.string()),
-            "subj_label": pa.array(cols["subj_label"], pa.string()),
-            "pred": pa.array(cols["pred"], pa.string()),
-            "obj": pa.array(cols["obj"], pa.string()),
-            "obj_label": pa.array(cols["obj_label"], pa.string()),
-            "subj_id": pa.array(cols["subj_id"], pa.string()),
-            "obj_id": pa.array(cols["obj_id"], pa.string()),
-            "conf": pa.array(cols["conf"], pa.float32()),
-        })
+    for i, (ci, ti, text) in enumerate(zip(conv_ids, turn_idxs, texts)):
+        for (subj, sl, pred, obj, ol, sid, oid, conf) in \
+                triples_for(i, text):
+            cols["conv_id"].append(ci)
+            cols["turn_idx"].append(ti)
+            cols["subj"].append(subj)
+            cols["subj_label"].append(sl)
+            cols["pred"].append(pred)
+            cols["obj"].append(obj)
+            cols["obj_label"].append(ol)
+            cols["subj_id"].append(sid)
+            cols["obj_id"].append(oid)
+            cols["conf"].append(conf)
+    return pa.table({
+        "conv_id": pa.array(cols["conv_id"], pa.string()),
+        "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+        "subj": pa.array(cols["subj"], pa.string()),
+        "subj_label": pa.array(cols["subj_label"], pa.string()),
+        "pred": pa.array(cols["pred"], pa.string()),
+        "obj": pa.array(cols["obj"], pa.string()),
+        "obj_label": pa.array(cols["obj_label"], pa.string()),
+        "subj_id": pa.array(cols["subj_id"], pa.string()),
+        "obj_id": pa.array(cols["obj_id"], pa.string()),
+        "conf": pa.array(cols["conf"], pa.float32()),
+    })
