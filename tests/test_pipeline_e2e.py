@@ -174,3 +174,23 @@ def test_pathological_conversation_windows(ray_session):
     hist_id = SOURCE_INDICES["doc_history"]
     l1 = rows.layers(1)
     assert "doc_history" in l1.by_source and l1.by_source["doc_history"]
+
+
+def test_partitioning_invariance(ray_session, small_corpus,
+                                 tmp_path_factory):
+    """Distribution-determinism (SURVEY.md §5): the same corpus run with
+    different block splits and batch sizes produces byte-identical sorted
+    triples (seeded EM, same iteration count)."""
+    turns, _, _ = small_corpus
+    outs = []
+    for tag, (nblocks, bs) in (("a", (2, 64)), ("b", (7, 17))):
+        wd = str(tmp_path_factory.mktemp(f"det_{tag}"))
+        ds = rd.from_arrow(turns).repartition(nblocks)
+        out = build_kg(ds, wd, n_iter=2, write=False, seed=42,
+                       batch_size=bs, lineage=False)
+        t = to_arrow(out["triples"])
+        df = t.to_pandas().sort_values(list(t.column_names)) \
+            .reset_index(drop=True)
+        outs.append(df)
+    import pandas as pd
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
