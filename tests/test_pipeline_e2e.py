@@ -194,3 +194,32 @@ def test_partitioning_invariance(ray_session, small_corpus,
         outs.append(df)
     import pandas as pd
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+
+def test_edge_case_turns_flow_through(ray_session, tmp_path_factory):
+    """Empty, whitespace-only, unicode and punctuation-only turns survive
+    the full pipeline (annotate -> EM -> decode -> triples) without
+    crashing or corrupting neighbouring turns."""
+    texts = [
+        "",                       # empty
+        "   ",                    # whitespace only
+        "!!! ??? ...",            # punctuation only
+        "Maria Østergård visited Zürich .",      # unicode names
+        "数据 处理 引擎",           # CJK
+        "Maria Jensen joined Acme Corp .",       # normal control
+    ] * 4                          # repeat so EM has a few sequences
+    n = len(texts)
+    turns = pa.table({
+        "conv_id": pa.array([f"c{i % 4}" for i in range(n)]),
+        "turn_idx": pa.array([i // 4 for i in range(n)], pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(texts),
+    })
+    wd = str(tmp_path_factory.mktemp("edge"))
+    out = build_kg(rd.from_arrow(turns), wd, n_iter=1, write=False,
+                   lineage=False)
+    ner = to_arrow(out["ner"]) if out["ner"].count() else None
+    # the control turn still produces a PERSON mention
+    assert ner is not None
+    labs = set(ner.column("label").to_pylist())
+    assert "PERSON" in labs or "COMPANY" in labs or "ORG" in labs
