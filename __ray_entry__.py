@@ -93,11 +93,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
         "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
+        "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
         "lang_id": ops.lang_id,
         "multimodal_features": ops.multimodal_features,
+        "multimodal_frame_sample": lambda sf: ops.multimodal_frame_sample(sf),
         # --- the KG-construction engine over transcripts (rows-only:
         #     transcripts are synthesised outside the DuckDB views) ---
         "turns_restore_order": turns_restore_order,
@@ -207,6 +209,38 @@ def oracle_sql() -> dict[str, str]:
         b AS (SELECT vec_id, CAST({plane_terms} AS BIGINT) AS bucket FROM e)
         SELECT bucket, count(*) AS n FROM b
         GROUP BY bucket ORDER BY bucket
+    """
+
+    # bucket-probe ANN oracle: same hyperplanes, global probe set =
+    # query buckets ∪ their Hamming-1 neighbours, rank candidates by the
+    # same rounded-micros similarity
+    ann_query_sql = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({plane_terms} AS BIGINT) AS bucket
+              FROM e),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
+              FROM b ORDER BY vec_id LIMIT 8),
+        probes AS (
+          SELECT DISTINCT qb AS pb FROM q
+          UNION
+          SELECT DISTINCT CAST(xor(qb, 1 << j.j) AS BIGINT) AS pb
+          FROM q CROSS JOIN (SELECT unnest(range({n_planes})) AS j) j
+        ),
+        cand AS (SELECT vec_id, v FROM b
+                 WHERE bucket IN (SELECT pb FROM probes)),
+        ranked AS (
+          SELECT q.qid AS query_id, c.vec_id,
+                 CAST(round(list_cosine_similarity(c.v, q.qv) * 1000000)
+                      AS BIGINT) AS sim_micro,
+                 row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_cosine_similarity(c.v, q.qv)
+                                    * 1000000) DESC, c.vec_id) AS rank
+          FROM cand c CROSS JOIN q)
+        SELECT query_id, rank, vec_id, sim_micro
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
     """
 
     # ngram-jaccard oracle: brute-force all-pairs true Jaccard over word
@@ -335,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
         "dedup_embedding": emb_dedup_sql,
+        "ann_lsh_query": ann_query_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -157,3 +157,43 @@ def test_dedup_embedding_cosine(ray_session, docs_dir):
     assert (0, 1) in pairs                 # collinear vectors: cosine 1.0
     sims = dict(zip(zip(d["a"], d["b"]), d["sim_micro"]))
     assert sims[(0, 1)] == 1_000_000
+
+
+def test_ann_lsh_query_recall(ray_session, docs_dir):
+    """Bucket-probe ANN finds most of the brute-force top-k (and always
+    the exact-duplicate neighbour, which shares every hyperplane sign)."""
+    exact = ops.knn_bruteforce(docs_dir, n_queries=4, k=3).to_pydict()
+    approx = ops.ann_lsh_query(docs_dir, n_queries=4, k=3, n_planes=4,
+                               multiprobe=1).to_pydict()
+    exact_set = set(zip(exact["query_id"], exact["vec_id"]))
+    approx_set = set(zip(approx["query_id"], approx["vec_id"]))
+    # collinear pair (0, 1): identical buckets, must be found
+    assert (0, 1) in approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, (recall, exact_set, approx_set)
+    # sims for shared pairs are identical to brute force
+    ex = dict(zip(zip(exact["query_id"], exact["vec_id"]),
+                  exact["sim_micro"]))
+    ap = dict(zip(zip(approx["query_id"], approx["vec_id"]),
+                  approx["sim_micro"]))
+    for key in exact_set & approx_set:
+        assert ex[key] == ap[key]
+
+
+def test_multimodal_frame_sample_and_resize(ray_session, docs_dir):
+    out = to_arrow(ops.multimodal_frame_sample(docs_dir, n_frames=3))
+    # every non-empty doc yields up to 3 frames with stable indices
+    items = set(out.column("item_id").to_pylist())
+    assert items == set(range(6))
+    assert set(out.column("frame_idx").to_pylist()) <= {0, 1, 2}
+    # resize stage: fixed-length grid per item, stub decoder marked
+    import pyarrow as pa
+    stage = ops.ImageResizeStage(h=4, w=4)
+    batch = pa.table({"item_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"abcdef" * 10], pa.binary())})
+    grid = stage(batch)
+    assert len(grid.column("grid")[0].as_py()) == 16
+    with pytest.raises(NotImplementedError):
+        ops.ImageResizeStage(use_real_decoder=True).grid(b"x")
+    with pytest.raises(NotImplementedError):
+        ops.FrameSampleStage(use_real_decoder=True).decode_video(b"x")

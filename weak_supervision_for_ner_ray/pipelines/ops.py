@@ -609,6 +609,109 @@ class MultimodalFeatureStage:
         })
 
 
+class FrameSampleStage:
+    """Actor-pool stage: opaque video payload -> one row per sampled frame.
+
+    Real frame extraction needs ffmpeg (not in this container), so
+    ``decode_video`` is a clearly-marked stub; the deterministic fallback
+    treats the payload as a byte stream and samples ``n_frames`` evenly
+    spaced fixed-size windows — keeping the flat-map output layout
+    (item_id, frame_idx, frame_payload), batch sizing and actor plumbing
+    real and testable."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 64,
+                 use_real_decoder: bool = False):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+        self.use_real_decoder = use_real_decoder
+
+    def decode_video(self, payload: bytes):
+        raise NotImplementedError(
+            "video frame extraction requires ffmpeg, which is not "
+            "available in this environment; plug a real decoder here")
+
+    def sample(self, payload: bytes) -> list[bytes]:
+        if self.use_real_decoder:
+            return self.decode_video(payload)
+        if not payload:
+            return []
+        step = max(1, len(payload) // self.n_frames)
+        return [payload[i * step:i * step + self.frame_bytes]
+                for i in range(min(self.n_frames,
+                                   (len(payload) + step - 1) // step))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for item, payload in zip(batch.column("item_id").to_pylist(),
+                                 batch.column("payload").to_pylist()):
+            for j, fr in enumerate(self.sample(payload)):
+                ids.append(item)
+                fidx.append(j)
+                frames.append(fr)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        })
+
+
+class ImageResizeStage:
+    """Actor-pool stage: opaque image payload -> fixed (h*w) feature grid.
+
+    ``decode_image`` is a clearly-marked stub (no PIL in this container);
+    the deterministic fallback folds the payload bytes into an h×w float
+    grid (mean byte value per cell) so the output schema — a fixed-length
+    ``list<double>`` ready for an embedding model — is real."""
+
+    def __init__(self, h: int = 8, w: int = 8,
+                 use_real_decoder: bool = False):
+        self.h, self.w = h, w
+        self.use_real_decoder = use_real_decoder
+
+    def decode_image(self, payload: bytes):
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not available in this "
+            "environment; plug a real decoder here")
+
+    def grid(self, payload: bytes) -> np.ndarray:
+        if self.use_real_decoder:
+            return self.decode_image(payload)
+        cells = self.h * self.w
+        buf = np.frombuffer(payload, np.uint8)
+        if buf.size == 0:
+            return np.zeros(cells)
+        pad = (-buf.size) % cells
+        buf = np.pad(buf, (0, pad)).astype(np.float64)
+        return buf.reshape(cells, -1).mean(axis=1) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.grid(p).tolist()
+                 for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "grid": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+def multimodal_frame_sample(sf_dir: str, n_frames: int = 4):
+    """Frame-sampling pipeline over opaque binary payloads (documents.text
+    stands in for a video column; small batches for large real payloads)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": batch.column("doc_id"),
+            "payload": pc.cast(batch.column("text"), pa.binary()),
+        })
+
+    return (ds.map_batches(to_binary, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(FrameSampleStage,
+                         fn_constructor_kwargs=dict(n_frames=n_frames),
+                         batch_format="pyarrow", batch_size=64,
+                         zero_copy_batch=True, concurrency=_concurrency()))
+
+
 def multimodal_features(sf_dir: str):
     """documents.text re-interpreted as opaque binary payloads — stands in
     for an image/audio column; small batch size on purpose (large payloads
@@ -627,6 +730,82 @@ def multimodal_features(sf_dir: str):
                               batch_format="pyarrow", batch_size=64,
                               zero_copy_batch=True,
                               concurrency=_concurrency())
+
+
+def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
+                  n_planes: int = 12, seed: int = 23, multiprobe: int = 1):
+    """Approximate top-k neighbours via LSH bucket probing — the scale
+    path complementing :func:`knn_bruteforce` (which scans every vector).
+
+    The query vectors' buckets (plus all Hamming-``multiprobe`` neighbour
+    buckets) are broadcast; each batch hashes its rows with the same
+    seeded hyperplanes and computes similarities ONLY for rows landing in
+    a probed bucket — at scale this touches |bucket| · (1 + planes ·
+    multiprobe) vectors instead of all of them.  Output schema matches
+    ``knn_bruteforce`` (query_id, rank, vec_id, sim_micro); recall is
+    approximate by construction (no SQL oracle; recall bound tested in
+    tests/test_ops.py)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    q_ids = qtbl["vec_id"].to_pylist()
+    Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
+    dim = Q.shape[1]
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    W = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    qb = ((Q @ W) > 0) @ (1 << np.arange(n_planes))
+    probe: set[int] = set(int(b) for b in qb)
+    if multiprobe >= 1:
+        for b in list(probe):
+            for j in range(n_planes):
+                probe.add(b ^ (1 << j))
+    state_ref = ray.put((q_ids, Qn, W, frozenset(probe)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_from_ref
+        q_ids_, Qn_, W_, probe_ = cached_from_ref(state_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        buckets = ((X @ W_) > 0) @ (1 << np.arange(W_.shape[1]))
+        keep = np.array([int(b) in probe_ for b in buckets], bool)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        ids, X = ids[keep], X[keep]
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
+        rows = {"query_id": [], "vec_id": [], "sim_micro": []}
+        kk = min(k, len(ids))
+        for qi, qid in enumerate(q_ids_):
+            s = micros[:, qi]
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) \
+                else np.arange(len(ids))
+            for i in idx:
+                rows["query_id"].append(qid)
+                rows["vec_id"].append(int(ids[i]))
+                rows["sim_micro"].append(int(s[i]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "sim_micro": pa.array(rows["sim_micro"], pa.int64()),
+        })
+
+    partials = _to_arrow(ds.map_batches(partial_topk,
+                                        batch_format="pyarrow",
+                                        batch_size=4096,
+                                        zero_copy_batch=True))
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "sim_micro", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id", "sim_micro"]],
+        preserve_index=False)
 
 
 def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000):
