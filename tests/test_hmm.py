@@ -257,3 +257,52 @@ def test_accumulate_block_keep_subset_parity():
     assert s1.n_seqs == s2.n_seqs
     assert abs(s1.logprob - s2.logprob) < 1e-6
     assert np.abs(s1.obs - s2.obs).max() < 1e-8
+
+
+def test_flat_kernels_match_dict_kernels():
+    """accumulate_flat / decode_turn_flat over encoder-ordered flat arrays
+    produce identical stats and spans to the TurnObs dict path, including
+    multi-label observations and keep subsets."""
+    rng = np.random.default_rng(17)
+    for keep in (None, sorted({hmm.BEST_COVERAGE_INDEX,
+                               int(hmm.SOURCE_INDICES["wiki_cased"])})):
+        K, S = hmm.N_STATES, hmm.N_SOURCES
+        obs_counts = np.zeros((S, K))
+        obs_counts[:, 0] = 10000.0
+        p = init_params_from_counts(np.zeros(K), np.zeros((K, K)),
+                                    obs_counts, seed=2, keep=keep)
+        s_dict, s_flat = SuffStats(), SuffStats()
+        defer = np.zeros(K)
+        for trial in range(30):
+            o = TurnObs(int(rng.integers(2, 18)))
+            for _ in range(int(rng.integers(1, 6))):
+                t0 = int(rng.integers(0, o.n_tokens - 1))
+                o.add_span(hmm.BEST_COVERAGE_INDEX, t0, t0 + 1, "GPE", 1.0)
+                if rng.random() < 0.4:       # multi-label same (t, s)
+                    o.add_span(hmm.BEST_COVERAGE_INDEX, t0, t0 + 1,
+                               "ORG", 0.5)
+            # flat arrays in encoder order: sorted (t, s), states within
+            pt, ps, pst, pc = [], [], [], []
+            for (t, s) in sorted(o.fired):
+                for st, c in o.fired[(t, s)].items():
+                    pt.append(t)
+                    ps.append(s)
+                    pst.append(st)
+                    pc.append(c)
+            pt = np.array(pt, np.int64)
+            ps = np.array(ps, np.int64)
+            pst = np.array(pst, np.int64)
+            pc = np.array(pc, np.float64)
+            w = float(rng.integers(1, 4))
+            hmm.accumulate(o, p, s_dict, weight=w)
+            hmm.accumulate_flat(p, o.n_tokens, pt, ps, pst, pc, s_flat,
+                                weight=w, defer_o=defer)
+            spans_a = decode_turn(o, p)
+            spans_b = hmm.decode_turn_flat(p, o.n_tokens, pt, ps, pst, pc)
+            assert spans_a == spans_b
+        s_flat.obs[p.keep, :, 0] += defer[None, :]
+        assert s_dict.n_seqs == s_flat.n_seqs
+        assert abs(s_dict.logprob - s_flat.logprob) < 1e-8
+        assert np.abs(s_dict.start - s_flat.start).max() < 1e-10
+        assert np.abs(s_dict.trans - s_flat.trans).max() < 1e-9
+        assert np.abs(s_dict.obs - s_flat.obs).max() < 1e-9

@@ -196,10 +196,19 @@ class EMShard:
         any_rows = False
         for rows, weights in self._iter_deduped():
             any_rows = True
+            off = rows.offsets
+            o_t = rows.cols["o_t"].astype(np.int64)
+            o_s = rows.cols["o_s"].astype(np.int64)
+            o_state = rows.cols["o_state"].astype(np.int64)
+            o_conf = rows.cols["o_conf"].astype(np.float64)
+            nt = rows.n_tokens
             for i in range(len(rows)):
                 w = 1.0 if weights is None else weights[i]
-                hmm.accumulate(rows.turnobs(i), params, stats,
-                               weight=w, defer_o=defer_o)
+                lo, hi = off[i], off[i + 1]
+                hmm.accumulate_flat(params, int(nt[i]), o_t[lo:hi],
+                                    o_s[lo:hi], o_state[lo:hi],
+                                    o_conf[lo:hi], stats,
+                                    weight=w, defer_o=defer_o)
         if any_rows:
             stats.obs[params.keep, :, 0] += defer_o[None, :]
         return stats.to_arrays()

@@ -230,12 +230,27 @@ def _obs_iter(batch: pa.Table, keep_names):
 
 def decode_batch(params, keep_names, batch: pa.Table,
                  memo: dict | None = None) -> pa.Table:
+    import numpy as np
+
+    from ..state.hmm import decode_turn_flat
+
     conv, turn = [], []
     start, end, label, conf = [], [], [], []
     conv_ids = batch.column("conv_id").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
     encoded = "o_t" in batch.column_names
     rows = ObsRows(batch) if encoded else None
+    if encoded:
+        f_t = rows.cols["o_t"].astype(np.int64)
+        f_s = rows.cols["o_s"].astype(np.int64)
+        f_state = rows.cols["o_state"].astype(np.int64)
+        f_conf = rows.cols["o_conf"].astype(np.float64)
+
+    def _decode_row(i):
+        lo, hi = rows.offsets[i], rows.offsets[i + 1]
+        return decode_turn_flat(params, int(rows.n_tokens[i]),
+                                f_t[lo:hi], f_s[lo:hi],
+                                f_state[lo:hi], f_conf[lo:hi])
 
     def spans_for(i):
         if not encoded:
@@ -249,12 +264,12 @@ def decode_batch(params, keep_names, batch: pa.Table,
             hit = memo.get(key)
             if hit is not None:
                 return hit
-            spans = decode_turn(rows.turnobs(i), params)
+            spans = _decode_row(i)
             if len(memo) > _CACHE_CAP:
                 memo.clear()
             memo[key] = spans
             return spans
-        return decode_turn(rows.turnobs(i), params)
+        return _decode_row(i)
 
     for i, (ci, ti) in enumerate(zip(conv_ids, turn_idxs)):
         for s, e, lab, c in spans_for(i):
@@ -353,11 +368,20 @@ def triple_batch(params, index, keep_names, batch: pa.Table,
     cols = {k: [] for k in
             ("conv_id", "turn_idx", "subj", "subj_label", "pred", "obj",
              "obj_label", "subj_id", "obj_id", "conf")}
+    import numpy as np
+
+    from ..state.hmm import decode_turn_flat
+
     conv_ids = batch.column("conv_id").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
     texts = batch.column("text").to_pylist()
     encoded = "o_t" in batch.column_names
     rows = ObsRows(batch) if encoded else None
+    if encoded:
+        f_t = rows.cols["o_t"].astype(np.int64)
+        f_s = rows.cols["o_s"].astype(np.int64)
+        f_state = rows.cols["o_state"].astype(np.int64)
+        f_conf = rows.cols["o_conf"].astype(np.float64)
 
     def triples_for(i, text):
         # triples depend on (text, obs pattern) only — memoise whole
@@ -369,17 +393,19 @@ def triple_batch(params, index, keep_names, batch: pa.Table,
             if hit is not None:
                 return hit
         if encoded:
-            obs = rows.turnobs(i)
+            nt = int(rows.n_tokens[i])
+            lo, hi = rows.offsets[i], rows.offsets[i + 1]
+            spans = decode_turn_flat(params, nt, f_t[lo:hi], f_s[lo:hi],
+                                     f_state[lo:hi], f_conf[lo:hi]) \
+                if nt else []
         else:
             obs = layers_to_obs(
                 mentions_to_layers(batch.column("mentions")[i].as_py()),
                 batch.column("n_tokens")[i].as_py(), keep_names)
+            spans = decode_turn(obs, params) if obs.n_tokens else []
         out = []
-        if obs.n_tokens:
-            spans = decode_turn(obs, params)
-            if spans:
-                out = extract_triples_for_turn(make_doc(text), spans,
-                                               index)
+        if spans:
+            out = extract_triples_for_turn(make_doc(text), spans, index)
         if key is not None:
             if len(memo) > _CACHE_CAP:
                 memo.clear()

@@ -69,7 +69,12 @@ class HMMParams:
             # le[s, state, obs] -> row for (s, obs) over states
             self.log_emis2d = np.ascontiguousarray(
                 le.transpose(0, 2, 1)).reshape(-1, N_STATES)
+            # linear-space twin of log_emis2d for multi-label mixtures
+            self.emis_cols = np.ascontiguousarray(
+                e.transpose(0, 2, 1)).reshape(-1, N_STATES)
         self.keep_set = set(self.keep.tolist())
+        self.keep_mask = np.zeros(N_SOURCES, bool)
+        self.keep_mask[self.keep] = True
 
     def save(self, path: str) -> None:
         np.savez_compressed(
@@ -366,6 +371,118 @@ def accumulate(obs: TurnObs, params: HMMParams, stats: SuffStats,
             stats.obs[s, :, 0] -= post[t]
             for state, conf in dist.items():
                 stats.obs[s, :, state] += conf * post[t]
+
+
+def frame_ll_flat(T: int, p_t: np.ndarray, p_s: np.ndarray,
+                  p_state: np.ndarray, p_conf: np.ndarray,
+                  params: HMMParams):
+    """:func:`frame_log_likelihood` over one turn's FLAT pair arrays as the
+    obs encoder emits them (sorted by (t, source); duplicate (t, source)
+    rows = multi-label observations, adjacent by construction).  No
+    TurnObs dict is built — the dict construction + iteration were ~40%
+    of the per-turn decode/E-step cost.
+
+    Returns (ll, g_t, g_s, kept) where g_* are the distinct fired
+    (token, source) group representatives and ``kept`` the keep-filtered
+    pair arrays (t, s, state, conf) — both reused by the caller's
+    emission-statistics pass."""
+    ll = np.tile(params.base_loglik, (T, 1))
+    observed = np.zeros((T, N_STATES), bool)
+    observed[:, 0] = True
+    km = params.keep_mask[p_s]
+    if not km.all():
+        p_t, p_s, p_state, p_conf = (p_t[km], p_s[km], p_state[km],
+                                     p_conf[km])
+    n = len(p_t)
+    if n == 0:
+        ll[:, 1:] = _NINF
+        e = np.empty(0, np.int64)
+        return ll, e, e, (e, e, e, np.empty(0, np.float64))
+    observed[p_t, p_state] = True
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = (p_t[1:] != p_t[:-1]) | (p_s[1:] != p_s[:-1])
+    starts = np.flatnonzero(first)
+    g_t, g_s = p_t[starts], p_s[starts]
+    if len(starts) == n:            # all singleton groups: log-table path
+        with np.errstate(divide="ignore"):
+            corr = params.log_emis2d[p_s * N_STATES + p_state] \
+                + np.log(p_conf)[:, None] - params.log_emisO[p_s]
+        np.add.at(ll, p_t, corr)
+    else:                           # multi-label mixture via segment-sum
+        P = params.emis_cols[p_s * N_STATES + p_state] * p_conf[:, None]
+        mix = np.add.reduceat(P, starts, axis=0)
+        corr = np.full_like(mix, _NINF)
+        np.log(mix, out=corr, where=mix > 0)
+        corr -= params.log_emisO[g_s]
+        np.add.at(ll, g_t, corr)
+    # O-mask: only with the full source set (see frame_log_likelihood)
+    if len(params.keep) == N_SOURCES:
+        fired_counts = np.bincount(g_t, minlength=T)
+        full = fired_counts >= N_SOURCES
+        if full.any():
+            observed[full, 0] = False
+    ll[~observed] = _NINF
+    return ll, g_t, g_s, (p_t, p_s, p_state, p_conf)
+
+
+def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
+                    p_s: np.ndarray, p_state: np.ndarray,
+                    p_conf: np.ndarray, stats: SuffStats,
+                    weight: float = 1.0,
+                    defer_o: np.ndarray | None = None) -> None:
+    """:func:`accumulate` over flat pair arrays — identical statistics,
+    no per-turn dict construction, vectorised emission updates."""
+    if T == 0:
+        return
+    ll, g_t, g_s, (p_t, p_s, p_state, p_conf) = frame_ll_flat(
+        T, p_t, p_s, p_state, p_conf, params)
+    logprob, alpha, beta, Bs, c = _forward_backward_scaled(ll, params)
+    if not np.isfinite(logprob):
+        return
+    post = alpha * beta
+    post /= np.maximum(post.sum(axis=1, keepdims=True), 1e-300)
+    if weight != 1.0:
+        post = post * weight
+
+    stats.logprob += logprob * weight
+    stats.n_seqs += int(weight) if weight == int(weight) else weight
+    stats.start += post[0]
+    if T > 1:
+        w = Bs[1:] * beta[1:] / c[1:, None]
+        stats.trans += (params.transmat * (alpha[:-1].T @ w)) * weight
+
+    total_post = post.sum(axis=0)
+    if defer_o is not None:
+        defer_o += total_post
+    else:
+        for s in params.keep:
+            stats.obs[s, :, 0] += total_post
+    if len(g_t):
+        # subtract the baseline column once per fired (t, source) group
+        np.subtract.at(stats.obs[:, :, 0], g_s, post[g_t])
+        # conf-weighted add per pair: obs[s, :, state] += conf * post[t]
+        CP = p_conf[:, None] * post[p_t]                 # (n_pairs, 77)
+        flat = stats.obs.reshape(N_SOURCES, N_STATES * N_STATES)
+        cols = np.arange(N_STATES)[None, :] * N_STATES + p_state[:, None]
+        np.add.at(flat, (p_s[:, None], cols), CP)
+
+
+def decode_turn_flat(params: HMMParams, T: int, p_t: np.ndarray,
+                     p_s: np.ndarray, p_state: np.ndarray,
+                     p_conf: np.ndarray
+                     ) -> list[tuple[int, int, str, float]]:
+    """:func:`decode_turn` over flat pair arrays (same spans)."""
+    if T == 0:
+        return []
+    ll, _, _, _ = frame_ll_flat(T, p_t, p_s, p_state, p_conf, params)
+    _, states = viterbi(ll, params)
+    with np.errstate(under="ignore", over="ignore"):
+        proba = np.exp(ll - ll.max(axis=1, keepdims=True))
+    proba = proba / proba.sum(axis=1, keepdims=True)
+    conf = proba[np.arange(len(states)), states]
+    labels = [POSITIONED_LABELS[s] for s in states]
+    return bilu_to_spans(labels, conf)
 
 
 def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
