@@ -31,6 +31,7 @@ def _obs_table(seed=7, n_turns=60, dup_every=3):
         st = rng.integers(1, hmm.N_STATES, n_pairs)
         cf = rng.uniform(0.3, 1.0, n_pairs).round(3)
         patterns.append((T, t, s, st, cf))
+    fps = []
     for i in range(n_turns):
         T, t, s, st, cf = patterns[i % len(patterns)]
         rows["n_tokens"].append(T)
@@ -38,7 +39,11 @@ def _obs_table(seed=7, n_turns=60, dup_every=3):
         rows["o_s"].append(s.astype(np.int16))
         rows["o_state"].append(st.astype(np.int8))
         rows["o_conf"].append(cf.astype(np.float32))
+        # obs_fp contract: equal iff the observation pattern is equal —
+        # the pattern index serves exactly that role here
+        fps.append(i % len(patterns))
     return pa.table({
+        "obs_fp": pa.array(fps, pa.int64()),
         "n_tokens": pa.array(rows["n_tokens"], pa.int32()),
         "o_t": pa.array([x.tolist() for x in rows["o_t"]],
                         pa.list_(pa.int32())),

@@ -220,6 +220,51 @@ def test_keep_subset_never_masks_O():
     assert np.isinf(llf[1, 0])
 
 
+def test_nonkept_source_keeps_state_observable():
+    """The reference's observed-state mask sums X over ALL sources
+    (labelling.py:443-445): a state fired only by a NON-kept source stays
+    live, even though it contributes nothing to the likelihood.  All three
+    kernels (dict, flat, block) must agree."""
+    from weak_supervision_for_ner_ray.constants import LABEL_INDICES
+
+    K, S = hmm.N_STATES, hmm.N_SOURCES
+    obs_counts = np.zeros((S, K))
+    obs_counts[:, 0] = 10000.0
+    kept = hmm.BEST_COVERAGE_INDEX
+    non_kept = int(hmm.SOURCE_INDICES["wiki_cased"])
+    assert non_kept != kept
+    p = init_params_from_counts(np.zeros(K), np.zeros((K, K)), obs_counts,
+                                seed=7, keep=[kept])
+    o = TurnObs(5)
+    o.add_span(kept, 1, 2, "PERSON", 1.0)        # kept fires U-PERSON@1
+    o.add_span(non_kept, 3, 4, "ORG", 1.0)       # NON-kept fires U-ORG@3
+    u_org = LABEL_INDICES["U-ORG"]
+
+    ll = frame_log_likelihood(o, p)
+    assert np.isfinite(ll[3, u_org])     # non-kept-fired state stays live
+    assert np.isfinite(ll[3, 0])
+    assert np.all(np.isinf(ll[2, 1:]))   # nothing fired at 2 -> only O
+
+    # flat kernel parity
+    pt, ps, pst, pc = [], [], [], []
+    for (t, s) in sorted(o.fired):
+        for st, c in o.fired[(t, s)].items():
+            pt.append(t), ps.append(s), pst.append(st), pc.append(c)
+    pt, ps = np.array(pt, np.int64), np.array(ps, np.int64)
+    pst, pc = np.array(pst, np.int64), np.array(pc, np.float64)
+    ll_flat, _, _, _ = hmm.frame_ll_flat(5, pt, ps, pst, pc, p)
+    assert np.allclose(ll, ll_flat, equal_nan=True)
+
+    # block kernel parity on the sufficient statistics
+    s_dict, s_block = SuffStats(), SuffStats()
+    hmm.accumulate(o, p, s_dict)
+    hmm.accumulate_block(p, np.array([5]), np.array([0, len(pt)]),
+                         pt, ps, pst, pc, s_block, chunk=4)
+    assert abs(s_dict.logprob - s_block.logprob) < 1e-9
+    assert np.abs(s_dict.start - s_block.start).max() < 1e-10
+    assert np.abs(s_dict.obs - s_block.obs).max() < 1e-10
+
+
 def test_accumulate_block_keep_subset_parity():
     """Batched kernel matches per-turn accumulate under a keep subset."""
     K, S = hmm.N_STATES, hmm.N_SOURCES

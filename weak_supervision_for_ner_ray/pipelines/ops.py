@@ -115,7 +115,9 @@ def lang_id(sf_dir: str):
         votes = np.zeros((n, len(langs)), np.float64)
         if lens.sum():
             flat = pd.Series(
-                [w for words in toks for w in (words or [])], dtype=object)
+                [w for words in toks
+                 for w in (words if isinstance(words, list) else [])],
+                dtype=object)
             doc_idx = np.repeat(np.arange(n), lens)
             for j, ss in enumerate(stop_sets):
                 hit = flat.isin(ss).to_numpy()

@@ -25,7 +25,7 @@ from ..state import hmm
 from ..state.hmm import BEST_COVERAGE_INDEX, SuffStats
 from .encode import ObsRows, obs_argmax_states
 
-_OBS_COLS = ["n_tokens", "o_t", "o_s", "o_state", "o_conf"]
+_OBS_COLS = ["obs_fp", "n_tokens", "o_t", "o_s", "o_state", "o_conf"]
 
 
 def _take_rows(rows: ObsRows, idx: np.ndarray) -> ObsRows:
@@ -87,9 +87,10 @@ class EMShard:
         batch = self._read_units(units)
         if batch is None:
             return
+        fp = batch.column("obs_fp").to_numpy(zero_copy_only=False)
         rows = ObsRows(batch)
         self.n_raw = len(rows)
-        uniq_idx, counts = self._dedup(rows)
+        uniq_idx, counts = self._dedup(fp)
         if len(uniq_idx) < len(rows):
             self.rows = _take_rows(rows, uniq_idx)
             self.weights = counts.astype(np.float64)
@@ -122,8 +123,9 @@ class EMShard:
             idx = range(pf.metadata.num_row_groups) if rgs is None else rgs
             for rg in idx:
                 batch = pf.read_row_groups([rg], columns=_OBS_COLS)
+                fp = batch.column("obs_fp").to_numpy(zero_copy_only=False)
                 rows = ObsRows(batch)
-                uniq_idx, counts = self._dedup(rows)
+                uniq_idx, counts = self._dedup(fp)
                 if len(uniq_idx) < len(rows):
                     yield _take_rows(rows, uniq_idx), \
                         counts.astype(np.float64)
@@ -131,30 +133,16 @@ class EMShard:
                     yield rows, None
 
     @staticmethod
-    def _dedup(rows: ObsRows):
-        import hashlib
-        off = rows.offsets
-        seen: dict[bytes, int] = {}
-        uniq_idx: list[int] = []
-        counts: list[int] = []
-        o_t, o_s = rows.cols["o_t"], rows.cols["o_s"]
-        o_state, o_conf = rows.cols["o_state"], rows.cols["o_conf"]
-        nt = rows.n_tokens
-        for i in range(len(rows)):
-            lo, hi = off[i], off[i + 1]
-            key = hashlib.blake2b(
-                int(nt[i]).to_bytes(4, "little")
-                + o_t[lo:hi].tobytes() + o_s[lo:hi].tobytes()
-                + o_state[lo:hi].tobytes() + o_conf[lo:hi].tobytes(),
-                digest_size=16).digest()
-            slot = seen.get(key)
-            if slot is None:
-                seen[key] = len(uniq_idx)
-                uniq_idx.append(i)
-                counts.append(1)
-            else:
-                counts[slot] += 1
-        return np.asarray(uniq_idx, np.int64), np.asarray(counts, np.int64)
+    def _dedup(fp: np.ndarray):
+        """Group identical observation patterns by the precomputed
+        ``obs_fp`` column (stages/encode.py writes it per turn) — one
+        vectorised ``np.unique`` instead of a per-row blake2b loop.  The
+        63-bit fingerprint is collision-safe at per-shard cardinality
+        (~10⁶-10⁸ turns: collision odds < 10⁻³), and a collision only
+        merges two turns' linear statistics — bounded, not compounding."""
+        _, uniq_idx, counts = np.unique(fp, return_index=True,
+                                        return_counts=True)
+        return uniq_idx.astype(np.int64), counts.astype(np.int64)
 
     def n_turns(self) -> int:
         return getattr(self, "n_raw", 0)

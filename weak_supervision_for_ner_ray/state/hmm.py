@@ -142,6 +142,14 @@ def frame_log_likelihood(obs: TurnObs, params: HMMParams) -> np.ndarray:
     observed[:, 0] = True
     n_fired_nonO = np.zeros(T, np.int64)
 
+    # the observed-state mask follows the reference's X.sum over ALL
+    # sources (labelling.py:443-445): a state fired by any source — kept
+    # or not — stays live, even though only kept sources contribute to
+    # the log-likelihood corrections below
+    for (t, s), dist in obs.fired.items():
+        for state in dist:
+            observed[t, state] = True
+
     # fast path: single-label observations (the vast majority) become one
     # vectorized row-gather of the precomputed log-emission table
     ts1, rows1, confs1 = [], [], []
@@ -154,12 +162,10 @@ def frame_log_likelihood(obs: TurnObs, params: HMMParams) -> np.ndarray:
             ts1.append(t)
             rows1.append(s * N_STATES + state)
             confs1.append(conf)
-            observed[t, state] = True
         else:
             states = list(dist.keys())
             confs = np.array(list(dist.values()))
             probs = emis[s][:, states] @ confs
-            observed[t, states] = True
             lp = np.full(N_STATES, _NINF)
             np.log(probs, out=lp, where=probs > 0)
             ll[t] += lp - params.log_emisO[s]
@@ -389,16 +395,20 @@ def frame_ll_flat(T: int, p_t: np.ndarray, p_s: np.ndarray,
     ll = np.tile(params.base_loglik, (T, 1))
     observed = np.zeros((T, N_STATES), bool)
     observed[:, 0] = True
+    # observed-state mask from the UNFILTERED pairs: the reference masks
+    # on X.sum over ALL sources (labelling.py:443-445), so states fired
+    # only by non-kept sources stay live
+    if len(p_t):
+        observed[p_t, p_state] = True
     km = params.keep_mask[p_s]
     if not km.all():
         p_t, p_s, p_state, p_conf = (p_t[km], p_s[km], p_state[km],
                                      p_conf[km])
     n = len(p_t)
     if n == 0:
-        ll[:, 1:] = _NINF
+        ll[~observed] = _NINF
         e = np.empty(0, np.int64)
         return ll, e, e, (e, e, e, np.empty(0, np.float64))
-    observed[p_t, p_state] = True
     first = np.empty(n, bool)
     first[0] = True
     first[1:] = (p_t[1:] != p_t[:-1]) | (p_s[1:] != p_s[:-1])
@@ -549,7 +559,10 @@ def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
         lens = lens_sorted[lo:hi]
         n = hi - lo
 
-        # drop pairs from non-kept sources
+        # drop pairs from non-kept sources — but keep the unfiltered
+        # (turn, t, state) triples for the observed-state mask, which the
+        # reference computes over ALL sources (labelling.py:443-445)
+        u_turn, u_t, u_state = p_turn, p_t, p_state
         km = keep_mask[p_s]
         p_turn, p_t, p_s, p_state, p_conf = (
             p_turn[km], p_t[km], p_s[km], p_state[km], p_conf[km])
@@ -604,7 +617,9 @@ def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
 
         observed = np.zeros((m_, Tmax, N_STATES), bool)
         observed[:, :, 0] = True
-        observed[pr, pt, pst] = True
+        ur = remap[u_turn]
+        uok = ur >= 0
+        observed[ur[uok], u_t[uok], u_state[uok]] = True
         # O-mask only with the full source set — see frame_log_likelihood:
         # with a keep subset the reference never masks state O.  Fired
         # count = number of distinct (t, source) groups, not raw pairs.
