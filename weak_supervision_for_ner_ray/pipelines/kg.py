@@ -18,7 +18,6 @@ from ray.data.aggregate import Count, Sum
 
 from ..data import builtin_gazetteers, FIRST_NAMES
 from ..stages.annotate import annotate_pipeline
-from ..stages.kg import make_decode_fn, make_triple_fn
 from .train import train_hmm, train_hmm_sharded
 
 
@@ -132,12 +131,9 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
             zero_copy_batch=True).sort("obs_fp").write_parquet(
                 obs_dir, row_group_size=1024)
         open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
-    obs_ds = rd.read_parquet(obs_dir, override_num_blocks=nblocks)
-    annotated = obs_ds          # contains text + mentions columns
-    obs_noth = rd.read_parquet(
-        obs_dir, columns=["conv_id", "turn_idx", "n_tokens",
-                          "o_t", "o_s", "o_state", "o_conf"],
-        override_num_blocks=nblocks)
+    # lazy full read (text + nested mentions) — only executed if the
+    # caller consumes the annotated corpus
+    annotated = rd.read_parquet(obs_dir, override_num_blocks=nblocks)
 
     # EM runs on persistent shard actors: obs loaded once, one RPC per
     # shard per iteration (no per-pass dataset execution overhead)
@@ -145,23 +141,49 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
     params_ref = ray.put(params)
     gaz_ref = ray.put(gaz)
 
-    ner = obs_noth.map_batches(
-        make_decode_fn(params_ref),
+    # fused decode+link+triple stage over ONE pruned read (drops the wide
+    # nested `mentions` column from the scan): each turn is Viterbi-decoded
+    # once and both the ner spans and the triples come out of the same
+    # pass, tagged by `kind` — previously two full scans + two decodes
+    from ..stages.kg import make_decode_triple_fn
+    obs_min = rd.read_parquet(
+        obs_dir, columns=["conv_id", "turn_idx", "text", "n_tokens",
+                          "o_t", "o_s", "o_state", "o_conf"],
+        override_num_blocks=nblocks)
+    combined = obs_min.map_batches(
+        with_lineage(make_decode_triple_fn(params_ref, gaz_ref),
+                     "decode_triples", lin_actor),
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True)
 
-    triples = obs_ds.map_batches(
-        with_lineage(make_triple_fn(params_ref, gaz_ref), "triples",
-                     lin_actor),
-        batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True)
-
+    ddir = os.path.join(workdir, "decoded")
     if write:
-        tdir = os.path.join(workdir, "triples")
-        if not os.path.exists(os.path.join(tdir, "_SUCCESS")):
-            triples.write_parquet(tdir)
-            open(os.path.join(tdir, "_SUCCESS"), "w").close()
-        triples = rd.read_parquet(tdir)
+        if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
+            combined.write_parquet(ddir)
+            open(os.path.join(ddir, "_SUCCESS"), "w").close()
+        combined = rd.read_parquet(ddir)
+    else:
+        # decoded output is a small fraction of the input corpus; holding
+        # it avoids re-running the fused stage for the two consumers
+        combined = combined.materialize()
+
+    def to_ner(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b.column("kind"), "n"))
+        return b.select(["conv_id", "turn_idx", "start", "end", "label",
+                         "conf"])
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b.column("kind"), "t"))
+        return b.select(["conv_id", "turn_idx", "subj", "subj_label",
+                         "pred", "obj", "obj_label", "subj_id", "obj_id",
+                         "conf"])
+
+    ner = combined.map_batches(to_ner, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    triples = combined.map_batches(to_triples, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     if lin_actor is not None:
         flush_lineage(lin_actor, os.path.join(workdir, "lineage"))
 

@@ -289,6 +289,118 @@ def decode_batch(params, keep_names, batch: pa.Table,
     })
 
 
+def make_decode_triple_fn(params_ref, gazetteers_ref, keep_names=None):
+    """FUSED decode + link + triple stage: one pass over ONE pruned obs
+    read emits both the ``ner`` span rows and the triple rows (tagged by a
+    ``kind`` column), so the obs table is scanned once and each turn is
+    Viterbi-decoded once — previously the decode and triple stages each
+    read the table and each ran the decode."""
+    from .util import cached_from_ref
+
+    def decode_triples(batch: pa.Table) -> pa.Table:
+        params = cached_from_ref(params_ref)
+        index = cached_from_ref(gazetteers_ref, builder=AliasIndex,
+                                key_extra="alias_index")
+        triple_memo = cached_from_ref(params_ref, builder=lambda _: {},
+                                      key_extra="triple_memo")
+        decode_memo = cached_from_ref(params_ref, builder=lambda _: {},
+                                      key_extra="decode_memo")
+        return decode_triple_batch(params, index, keep_names, batch,
+                                   decode_memo=decode_memo,
+                                   triple_memo=triple_memo)
+
+    return decode_triples
+
+
+def decode_triple_batch(params, index, keep_names, batch: pa.Table,
+                        decode_memo: dict | None = None,
+                        triple_memo: dict | None = None) -> pa.Table:
+    import numpy as np
+
+    from ..state.hmm import decode_turn_flat
+
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    rows = ObsRows(batch)
+    f_t = rows.cols["o_t"].astype(np.int64)
+    f_s = rows.cols["o_s"].astype(np.int64)
+    f_state = rows.cols["o_state"].astype(np.int64)
+    f_conf = rows.cols["o_conf"].astype(np.float64)
+
+    kind, conv, turn = [], [], []
+    start, end, label, conf = [], [], [], []
+    t_cols = {k: [] for k in ("subj", "subj_label", "pred", "obj",
+                              "obj_label", "subj_id", "obj_id")}
+
+    def spans_for(i):
+        nt = int(rows.n_tokens[i])
+        if nt == 0:
+            return []
+        key = _row_key(rows, i) if decode_memo is not None else None
+        if key is not None:
+            hit = decode_memo.get(key)
+            if hit is not None:
+                return hit
+        lo, hi = rows.offsets[i], rows.offsets[i + 1]
+        spans = decode_turn_flat(params, nt, f_t[lo:hi], f_s[lo:hi],
+                                 f_state[lo:hi], f_conf[lo:hi])
+        if key is not None:
+            if len(decode_memo) > _CACHE_CAP:
+                decode_memo.clear()
+            decode_memo[key] = spans
+        return spans
+
+    for i, (ci, ti, text) in enumerate(zip(conv_ids, turn_idxs, texts)):
+        spans = spans_for(i)
+        for (s, e, lab, c) in spans:
+            kind.append("n")
+            conv.append(ci)
+            turn.append(ti)
+            start.append(s)
+            end.append(e)
+            label.append(lab)
+            conf.append(c)
+            for k in t_cols:
+                t_cols[k].append(None)
+        tkey = None
+        if triple_memo is not None:
+            tkey = text.encode("utf-8") + b"\0" + _row_key(rows, i)
+            triples = triple_memo.get(tkey)
+            if triples is None:
+                triples = extract_triples_for_turn(
+                    make_doc(text), spans, index) if spans else []
+                if len(triple_memo) > _CACHE_CAP:
+                    triple_memo.clear()
+                triple_memo[tkey] = triples
+        else:
+            triples = extract_triples_for_turn(
+                make_doc(text), spans, index) if spans else []
+        for (subj, sl, pred, obj, ol, sid, oid, tc) in triples:
+            kind.append("t")
+            conv.append(ci)
+            turn.append(ti)
+            start.append(None)
+            end.append(None)
+            label.append(None)
+            conf.append(tc)
+            for k, v in zip(("subj", "subj_label", "pred", "obj",
+                             "obj_label", "subj_id", "obj_id"),
+                            (subj, sl, pred, obj, ol, sid, oid)):
+                t_cols[k].append(v)
+
+    return pa.table({
+        "kind": pa.array(kind, pa.string()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "start": pa.array(start, pa.int32()),
+        "end": pa.array(end, pa.int32()),
+        "label": pa.array(label, pa.string()),
+        "conf": pa.array(conf, pa.float32()),
+        **{k: pa.array(v, pa.string()) for k, v in t_cols.items()},
+    })
+
+
 def extract_triples_for_turn(doc, spans, index: AliasIndex):
     """Relation templates over decoded spans of one turn.
 
