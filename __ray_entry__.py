@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
         "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
+        "dedup_embedding_lsh": lambda sf: ops.dedup_embedding_lsh(sf),
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
@@ -369,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
         "dedup_embedding": emb_dedup_sql,
+        # the LSH-bucketed scale path must emit the IDENTICAL pair set
+        # (recall 1.0 at these parameters on this corpus) — same oracle
+        "dedup_embedding_lsh": emb_dedup_sql,
         "ann_lsh_query": ann_query_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

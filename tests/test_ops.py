@@ -159,6 +159,27 @@ def test_dedup_embedding_cosine(ray_session, docs_dir):
     assert sims[(0, 1)] == 1_000_000
 
 
+def test_dedup_embedding_lsh_matches_allpairs(ray_session, docs_dir):
+    """The bucketed scale path emits the IDENTICAL pair set + sims as the
+    all-pairs baseline on the test corpus (recall 1.0 at the default
+    parameters; false bucket collisions are exact-verified away)."""
+    base = to_arrow(ops.dedup_embedding_cosine(
+        docs_dir, threshold_micro=400_000)).to_pydict()
+    lsh = to_arrow(ops.dedup_embedding_lsh(
+        docs_dir, threshold_micro=400_000)).to_pydict()
+    base_pairs = dict(zip(zip(base["a"], base["b"]), base["sim_micro"]))
+    lsh_pairs = dict(zip(zip(lsh["a"], lsh["b"]), lsh["sim_micro"]))
+    assert base_pairs == lsh_pairs
+    assert (0, 1) in lsh_pairs and lsh_pairs[(0, 1)] == 1_000_000
+
+
+def test_dedup_embedding_allpairs_guard(ray_session, docs_dir):
+    """The all-pairs baseline refuses datasets above its size cap instead
+    of broadcasting an unbounded matrix."""
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        ops.dedup_embedding_cosine(docs_dir, max_rows=5)
+
+
 def test_ann_lsh_query_recall(ray_session, docs_dir):
     """Bucket-probe ANN finds most of the brute-force top-k (and always
     the exact-duplicate neighbour, which shares every hyperplane sign)."""

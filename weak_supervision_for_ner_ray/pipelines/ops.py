@@ -810,24 +810,41 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
         preserve_index=False)
 
 
-def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000):
+@ray.remote
+def _gathered_matrix(refs: list):
+    """Concatenate + normalise the embedding blocks INSIDE a task: the
+    broadcast matrix never materialises on the driver (its output lives in
+    the object store and is read zero-copy-ish by the map tasks)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    full = pa.concat_tables(tables)
+    ids_all = np.asarray(full["vec_id"].to_pylist(), np.int64)
+    X = np.array(full["embedding"].to_pylist(), np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return ids_all, Xn
+
+
+def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
+                           max_rows: int = 2_000_000):
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
     similarity ≥ threshold (exact integer micros, so the ≥ filter is an
     integer comparison on BOTH the engine and the SQL-oracle side — no
     float boundary ties).
 
-    Baseline shape: the normalised embedding matrix is broadcast once
-    (``ray.put``) and each block computes its rows × all-columns block of
-    the similarity matrix (numpy matmul), emitting only above-threshold
-    pairs with a < b.  This is the right layout up to ~10M vectors (the
-    broadcast side); beyond that, bucket with :func:`ann_lsh_buckets` and
-    compare within buckets (same kernel, candidate-restricted)."""
+    Baseline shape: the normalised embedding matrix is gathered + built
+    inside a Ray task (never on the driver), broadcast once, and each
+    block computes its rows × all-columns slab of the similarity matrix
+    (numpy matmul), emitting only above-threshold pairs with a < b.  The
+    O(N) broadcast and O(N²) compare make this the ≤``max_rows`` baseline
+    ONLY — larger datasets must use :func:`dedup_embedding_lsh` (the
+    bucketed scale path); this op refuses them instead of melting down."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    full = _to_arrow(ds)
-    ids_all = np.asarray(full["vec_id"].to_pylist(), np.int64)
-    X = np.array(full["embedding"].to_pylist(), np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids_all, Xn))
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is the all-pairs baseline, capped at "
+            f"{max_rows} rows (got {n_rows}); use dedup_embedding_lsh for "
+            f"the bucketed scale path")
+    mat_ref = _gathered_matrix.remote(ds.to_arrow_refs())
 
     def pairs(batch: pa.Table) -> pa.Table:
         from ..stages.util import cached_from_ref
@@ -851,6 +868,104 @@ def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000):
     return ds.map_batches(pairs, batch_format="pyarrow",
                           batch_size=4096,
                           zero_copy_batch=True).sort(["a", "b"])
+
+
+class LSHTableStage:
+    """``n_tables`` independent random-hyperplane LSH codes per vector —
+    the bucketing stage of the embedding-dedup scale path.  Stateful: the
+    (dim, n_tables·n_planes) plane matrix is drawn once per actor from a
+    fixed seed, so every worker buckets identically."""
+
+    def __init__(self, dim: int, n_planes: int = 4, n_tables: int = 32,
+                 seed: int = 41):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((dim, n_tables * n_planes))
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        bits = (X @ self.W) > 0
+        codes = bits.reshape(n, self.n_tables, self.n_planes) \
+            @ (1 << np.arange(self.n_planes))
+        rep = np.repeat(np.arange(n), self.n_tables)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({
+            "table_id": pa.array(
+                np.tile(np.arange(self.n_tables, dtype=np.int32), n),
+                pa.int32()),
+            "bucket": pa.array(codes.reshape(-1).astype(np.int64),
+                               pa.int64()),
+            "vec_id": batch.column("vec_id").take(pa.array(rep)),
+            "embedding": emb.take(pa.array(rep)),
+        })
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
+                        n_planes: int = 4, n_tables: int = 32,
+                        seed: int = 41):
+    """Embedding-cosine near-duplicate pairs via LSH bucketing — the
+    100 TB scale path for :func:`dedup_embedding_cosine` (same output,
+    same exact integer-micros threshold, no all-pairs matmul and no
+    broadcast of the full matrix):
+
+    1. each vector is coded into ``n_tables`` independent ``n_planes``-bit
+       hyperplane buckets (actor-pool ``map_batches``, ~n_tables× row
+       replication — the classic LSH space-for-recall trade);
+    2. ``groupby(table_id, bucket)`` co-locates candidates — the only
+       shuffle, moving (code, id, vector) rows;
+    3. the exact cosine kernel runs WITHIN each bucket (numpy matmul over
+       |bucket| rows), so false bucket collisions cost compute, never
+       correctness — only a pair landing in no shared bucket can be lost;
+    4. ``groupby(a, b)`` dedups pairs found by several tables.
+
+    Recall is 1 - (1 - p^b)^L with p = 1 - angle/π.  The defaults
+    (b=4, L=32, seed 41) give measured recall 1.0 at threshold 0.4 on the
+    test corpora (verified pair-exact vs the all-pairs SQL oracle —
+    tests/test_ops.py); production near-dup thresholds (sim ≥ 0.85) want
+    deeper codes (b 12-16, L 8-16) so buckets shrink to ~N/2^b and the
+    within-bucket kernel stays linear-ish."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = _to_arrow(ds.limit(1))
+    dim = len(first["embedding"][0].as_py())
+    coded = ds.map_batches(
+        LSHTableStage,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                   n_tables=n_tables, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_concurrency())
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "sim_micro": pd.Series([], dtype="int64")})
+        ids = group["vec_id"].to_numpy(np.int64)
+        # float64 BEFORE normalising: parquet stores float32 and the
+        # micro-rounding must match the float64 all-pairs kernel exactly
+        X = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        sims = Xn @ Xn.T
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = micros[ai, bi] >= threshold_micro
+        ai, bi = ai[keep], bi[keep]
+        a_ids, b_ids = ids[ai], ids[bi]
+        swap = a_ids > b_ids
+        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+        return pd.DataFrame({"a": a_ids, "b": b_ids,
+                             "sim_micro": micros[ai, bi]})
+
+    pairs = coded.groupby(["table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return (pairs.groupby(["a", "b"])
+            .aggregate(Max("sim_micro", alias_name="sim_micro"))
+            .sort(["a", "b"]))
 
 
 # ---------------------------------------------------------------------------
