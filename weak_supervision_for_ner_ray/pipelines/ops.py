@@ -330,53 +330,53 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
     """Near-dup pairs verified by exact n-gram Jaccard similarity —
     fully distributed (no driver-side text loop):
 
-    1. candidate (a, b) pairs from MinHash/LSH; only their *ids* (int64s,
-       tiny vs the texts) are broadcast as a semi-join filter;
-    2. ``map_batches`` over documents computes shingle-hash sets for the
-       needed docs only (column-pruned read, vectorised hashing);
-    3. one shuffle co-locates each pair with its two shingle sets
+    1. candidate (a, b) pairs from MinHash/LSH (materialised once — they
+       feed both the id table and the pair rows);
+    2. a DISTRIBUTED semi-join (distinct candidate ids → hash join
+       against documents) selects the needed docs — no driver-side id
+       set, so candidate cardinality never bounds driver memory;
+    3. ``map_batches`` computes shingle-hash sets for those docs only;
+    4. one shuffle co-locates each pair with its two shingle sets
        (union + ``groupby(doc_id)`` attach, then ``groupby(a, b)``);
-    4. Jaccard computed per pair inside ``map_groups``.
+    5. Jaccard computed per pair inside ``map_groups``.
 
-    The driver never sees a document text; it only holds the candidate id
-    set (O(#candidates), the same order as the verified output)."""
-    cands = minhash_candidates(sf_dir, shingle=shingle)
+    The driver never sees a document text or a candidate id."""
+    cands = minhash_candidates(sf_dir, shingle=shingle).materialize()
+    if cands.count() == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64())}))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    # semi-join filter: distinct candidate doc ids (ints only)
-    id_parts = cands.map_batches(
+    # distinct candidate doc ids as a DATASET (per-batch unique, then a
+    # grouped global distinct — ints only, stays in the object store)
+    # trailing repartition: the grouped aggregate emits schema-less EMPTY
+    # blocks which the hash join's per-partition pyarrow join rejects;
+    # a split-repartition coalesces them away (and map_batches can't —
+    # empty blocks are never handed to the fn)
+    ids = (cands.map_batches(
         lambda t: pa.table({"doc_id": pc.unique(pa.chunked_array(
             [t.column("a"), t.column("b")]).combine_chunks())}),
         batch_format="pyarrow", zero_copy_batch=True)
-    needed: set[int] = set()
-    for b in id_parts.iter_batches(batch_format="pyarrow"):
-        needed.update(b.column("doc_id").to_pylist())
-    if not needed:
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    needed_ref = ray.put(needed)
+        .groupby("doc_id").aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_id"])
+        .repartition(_join_partitions()))
+    needed_docs = docs.join(ids, join_type="inner",
+                            num_partitions=_join_partitions(),
+                            on=("doc_id",))
     mh = MinHasher(shingle=shingle)
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        from ..stages.util import cached_from_ref
-        want = cached_from_ref(needed_ref)
-        ids = t.column("doc_id").to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in want]
-        out = {"doc_id": [], "a": [], "b": [], "sh": []}
-        texts = t.column("text").take(pa.array(keep)).to_pylist() \
-            if keep else []
-        for i, text in zip(keep, texts):
-            out["doc_id"].append(ids[i])
-            out["a"].append(-1)
-            out["b"].append(-1)
-            out["sh"].append(np.unique(mh.shingles(text))
-                             .astype(np.int64).tolist())
+        ids_ = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sh = [np.unique(mh.shingles(text)).astype(np.int64).tolist()
+              for text in texts]
+        n = len(ids_)
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "a": pa.array(out["a"], pa.int64()),
-            "b": pa.array(out["b"], pa.int64()),
-            "sh": pa.array(out["sh"], pa.list_(pa.int64())),
+            "doc_id": pa.array(ids_, pa.int64()),
+            "a": pa.array([-1] * n, pa.int64()),
+            "b": pa.array([-1] * n, pa.int64()),
+            "sh": pa.array(sh, pa.list_(pa.int64())),
         })
 
     def pair_rows(t: pa.Table) -> pa.Table:
@@ -389,8 +389,8 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
             "sh": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
         })
 
-    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow",
-                              zero_copy_batch=True) \
+    tagged = needed_docs.map_batches(shingle_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
         .union(cands.map_batches(pair_rows, batch_format="pyarrow",
                                  zero_copy_batch=True))
 
@@ -482,6 +482,18 @@ def _to_arrow(ds) -> pa.Table:
 def _concurrency():
     from ..stages.util import default_concurrency
     return default_concurrency()
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count: one aggregator actor per partition must
+    be schedulable CONCURRENTLY, so the cluster CPU count is the ceiling
+    (num_partitions > CPUs deadlocks the aggregator pool on a small
+    cluster; on a big one more partitions than cores buys nothing)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus)
 
 
 def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
