@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "weak_supervision_for_ner_ray.pipelines.kg",
             fromlist=["majority_vote_table"]).majority_vote_table(
                 _turns_ds(sf), _workdir(sf)),
+        "kg_snorkel": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["snorkel_table"]).snorkel_table(
+                _turns_ds(sf), _workdir(sf)),
         "kg_mentions": kg_mentions,
         "kg_ner": kg_ner,
         "kg_triples": kg_triples,

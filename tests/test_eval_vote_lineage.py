@@ -10,7 +10,8 @@ import ray.data as rd
 from weak_supervision_for_ner_ray.pipelines.eval import (CONLL_MAPPINGS,
                                                          evaluate_ner)
 from weak_supervision_for_ner_ray.pipelines.kg import (build_kg,
-                                                       majority_vote_table)
+                                                       majority_vote_table,
+                                                       snorkel_table)
 
 
 def to_arrow(ds):
@@ -131,6 +132,29 @@ def test_lineage_records_written(ray_session, small_corpus,
     assert os.path.isdir(lin_dir) and os.listdir(lin_dir)
     lin = to_arrow(rd.read_parquet(lin_dir))
     stages = set(lin.column("stage").to_pylist())
-    assert "encode_obs" in stages and "triples" in stages
+    assert "encode_obs" in stages and "decode_triples" in stages
     assert all(r > 0 for r in lin.column("rows_in").to_pylist())
     assert all(w >= 0 for w in lin.column("wall_ms").to_pylist())
+
+
+def test_snorkel_label_model_vs_majority_vote(ray_session, small_corpus,
+                                              tmp_path_factory):
+    """Snorkel-equivalent generative label model (labelling.py:534-590
+    workflow, snorkel-free): trains on candidate spans, produces the same
+    ner schema, and lands in the same quality band as the majority-vote
+    baseline on the gold fixture (notebook cell 64 comparison)."""
+    turns, gold_spans, _ = small_corpus
+    wd = str(tmp_path_factory.mktemp("snorkelkg"))
+    ds = rd.from_arrow(turns)
+    sn = snorkel_table(ds, wd)
+    tbl = to_arrow(sn)
+    assert set(tbl.column_names) == {"conv_id", "turn_idx", "start", "end",
+                                     "label", "conf"}
+    sn_res = evaluate_ner(sn, gold_spans)
+    mv_res = evaluate_ner(majority_vote_table(ds, wd), gold_spans)
+    sn_f1 = sn_res["entity"]["micro"]["f1"]
+    mv_f1 = mv_res["entity"]["micro"]["f1"]
+    assert sn_f1 >= 0.5, (sn_f1, mv_f1)
+    # trained params are checkpointed: a rerun loads them and reproduces
+    sn2 = to_arrow(snorkel_table(ds, wd))
+    assert tbl.sort_by([(c, "ascending") for c in tbl.column_names])         .equals(sn2.sort_by([(c, "ascending") for c in tbl.column_names]))

@@ -224,6 +224,106 @@ def majority_vote_table(turns_ds, workdir: str, *, gazetteers=None,
         zero_copy_batch=True)
 
 
+def snorkel_table(turns_ds, workdir: str, *, gazetteers=None,
+                  first_names=None, batch_size: int = 256,
+                  n_iter: int = 5):
+    """Snorkel-equivalent span-level generative label model over the
+    annotated corpus (labelling.py:534-590 workflow, snorkel-free): same
+    output schema as the HMM ``ner`` and majority-vote tables.
+
+    Candidate spans + sparse votes are extracted once to parquet
+    (resumable); each EM pass is one ``map_batches`` over that table with
+    broadcast parameters, returning one additive sufficient-statistic
+    partial per block (same distribution shape as the HMM E-step)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from ..stages.encode import snorkel_spans_batch
+    from ..stages.util import cached_from_ref, target_blocks
+    from ..state import labelmodel as lm
+
+    annotated = annotate_turns(turns_ds, workdir, gazetteers=gazetteers,
+                               first_names=first_names,
+                               batch_size=batch_size)
+    spans_dir = os.path.join(workdir, "snorkel_spans")
+    if not os.path.exists(os.path.join(spans_dir, "_SUCCESS")):
+        (annotated.select_columns(["conv_id", "turn_idx", "mentions"])
+         .map_batches(snorkel_spans_batch, batch_format="pyarrow",
+                      batch_size=batch_size, zero_copy_batch=True)
+         .write_parquet(spans_dir))
+        open(os.path.join(spans_dir, "_SUCCESS"), "w").close()
+    spans_ds = rd.read_parquet(spans_dir,
+                               override_num_blocks=target_blocks())
+
+    def _flat(batch: pa.Table):
+        col_s = batch.column("v_s")
+        if isinstance(col_s, pa.ChunkedArray):
+            col_s = col_s.combine_chunks()
+        col_o = batch.column("v_o")
+        if isinstance(col_o, pa.ChunkedArray):
+            col_o = col_o.combine_chunks()
+        offsets = col_s.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        v_span = np.repeat(np.arange(batch.num_rows), lens)
+        v_s = col_s.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        v_o = col_o.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        return v_span, v_s, v_o
+
+    params_path = os.path.join(workdir, "labelmodel.npz")
+    if os.path.exists(params_path):
+        params = lm.LabelModelParams.load(params_path)
+    else:
+        params = lm.LabelModelParams.init()
+        for _ in range(n_iter):
+            params_ref = ray.put(params)
+
+            def estep(batch: pa.Table) -> pa.Table:
+                p = cached_from_ref(params_ref)
+                stats = lm.LMStats()
+                v_span, v_s, v_o = _flat(batch)
+                lm.accumulate_flat(p, batch.num_rows, v_span, v_s, v_o,
+                                   stats)
+                row = stats.to_row()
+                return pa.table({
+                    "prior": pa.array([row["prior"]],
+                                      pa.list_(pa.float64())),
+                    "votes": pa.array([row["votes"]],
+                                      pa.list_(pa.float64())),
+                    "loglik": pa.array([row["loglik"]], pa.float64()),
+                    "n_spans": pa.array([row["n_spans"]], pa.int64()),
+                })
+
+            total = lm.LMStats()
+            for b in spans_ds.map_batches(
+                    estep, batch_format="pyarrow",
+                    zero_copy_batch=True).iter_batches(
+                        batch_format="pyarrow"):
+                for row in b.to_pylist():
+                    total.merge_row(row)
+            params = lm.m_step(total)
+        params.save(params_path)
+
+    params_ref = ray.put(params)
+
+    def predict(batch: pa.Table) -> pa.Table:
+        from ..constants import LABELS
+        p = cached_from_ref(params_ref)
+        v_span, v_s, v_o = _flat(batch)
+        best, prob = lm.predict_flat(p, batch.num_rows, v_span, v_s, v_o)
+        keep = best > 0
+        t = batch.select(["conv_id", "turn_idx", "start", "end"]) \
+            .append_column("label", pa.array(
+                [LABELS[b - 1] if k else None
+                 for b, k in zip(best, keep)], pa.string())) \
+            .append_column("conf", pa.array(prob.astype(np.float32),
+                                            pa.float32()))
+        return t.filter(_pc.is_valid(t.column("label")))
+
+    return spans_ds.map_batches(predict, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                zero_copy_batch=True)
+
+
 def graph_tables(triples_ds):
     """Canonicalization + graph materialization.
 

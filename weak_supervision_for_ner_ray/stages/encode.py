@@ -242,6 +242,68 @@ def encode_obs_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+LABEL_TO_CLASS = {lab: 1 + i for i, lab in enumerate(LABELS)}
+
+
+def snorkel_spans_batch(batch: pa.Table) -> pa.Table:
+    """Annotated batch -> candidate-span rows with sparse source votes —
+    the reference SnorkelModel's ``_get_inputs`` (labelling.py:558-572):
+    candidate (start, end) spans are the union over the three high-recall
+    shape sources; each source either abstains or votes its top-confidence
+    label (``sorted(vals, key=conf)[-1]``, ties -> later entry).  Labels
+    outside LABELS (unresolved ENT/MISC) are skipped rather than crashed
+    on.  Output: one row per candidate span with parallel ``v_s``/``v_o``
+    vote lists (source index, class index 1+LABELS.index(label))."""
+    from ..state.labelmodel import CANDIDATE_SOURCES
+
+    rows = MentionRows(batch)
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    o_conv, o_turn, o_start, o_end, o_vs, o_vo = [], [], [], [], [], []
+    for i, (ci, ti) in enumerate(zip(conv_ids, turn_idxs)):
+        layers = rows.layers(i)
+        specialise_annotations(layers)
+        cands: set = set()
+        for src in CANDIDATE_SOURCES:
+            spans = layers.by_source.get(src)
+            if spans:
+                cands.update(spans.keys())
+        if not cands:
+            continue
+        ordered = sorted(cands)
+        idx = {sp: j for j, sp in enumerate(ordered)}
+        votes: list[list] = [[] for _ in ordered]
+        for source, spans in layers.by_source.items():
+            s_idx = SOURCE_INDICES.get(source)
+            if s_idx is None:
+                continue
+            for key, vals in spans.items():
+                j = idx.get(key)
+                if j is None or not vals:
+                    continue
+                lab = sorted(vals, key=lambda x: x[1])[-1][0]
+                cls = LABEL_TO_CLASS.get(lab)
+                if cls is not None:
+                    votes[j].append((s_idx, cls))
+        for j, (s, e) in enumerate(ordered):
+            o_conv.append(ci)
+            o_turn.append(ti)
+            o_start.append(s)
+            o_end.append(e)
+            # reference iterates sources in index order (labelling.py:563)
+            vs = sorted(votes[j])
+            o_vs.append([a for a, _ in vs])
+            o_vo.append([b for _, b in vs])
+    return pa.table({
+        "conv_id": pa.array(o_conv, pa.string()),
+        "turn_idx": pa.array(o_turn, pa.int32()),
+        "start": pa.array(o_start, pa.int32()),
+        "end": pa.array(o_end, pa.int32()),
+        "v_s": pa.array(o_vs, pa.list_(pa.int16())),
+        "v_o": pa.array(o_vo, pa.list_(pa.int16())),
+    })
+
+
 class ObsRows:
     """Zero-copy-ish iterator over an observation batch's rows."""
 
