@@ -157,9 +157,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # the transcripts corpus is synthesised deterministically under /tmp
-    # (BASELINE.json input_hint); the driver gate runs at sf0.01, so the
-    # oracle reads that corpus directly (and ensures it exists)
-    turns_path = os.path.join(_corpus("/root/testdata/sf0.01"),
+    # (BASELINE.json input_hint).  oracle_sql() returns plain strings with
+    # no per-call sf parameter, so the corpus path is baked in: it follows
+    # GRAFT_ORACLE_SF_DIR when set and otherwise defaults to sf0.01 — the
+    # scale the driver's correctness gate runs at.  At any other scale,
+    # set the env var or this one oracle mismatches (engine queries stay
+    # parameterised by sf_dir).
+    oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01")
+    turns_path = os.path.join(_corpus(oracle_sf),
                               "turns.parquet", "*.parquet")
     turns_sql = f"""
         SELECT conv_id, turn_idx, role, text, tool, ts

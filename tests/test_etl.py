@@ -125,3 +125,36 @@ def test_compile_products_variants(ray_session):
     assert "IPads" in prods           # plural
     assert "Road Bikes" in prods
     assert not any("Widget" in p for p in prods)   # parenthesised dropped
+
+
+def test_export_ner_json_roundtrip(ray_session, tmp_path):
+    """convert_to_json equivalent (annotations.py:416-443): the exported
+    span JSON round-trips byte-for-value against the source ner table."""
+    import json
+    import os
+
+    from weak_supervision_for_ner_ray.sources.etl import export_ner_json
+
+    ner = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "start": pa.array([1, 0, 2], pa.int32()),
+        "end": pa.array([3, 1, 4], pa.int32()),
+        "label": pa.array(["PERSON", "GPE", "ORG"], pa.string()),
+        "conf": pa.array([0.9, 0.5, 0.75], pa.float32()),
+    })
+    out = str(tmp_path / "ner_json")
+    export_ner_json(rd.from_arrow(ner), out)
+    rows = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(json.loads(line))
+    got = sorted((r["conv_id"], r["turn_idx"], r["start"], r["end"],
+                  r["label"], round(float(r["conf"]), 4)) for r in rows)
+    exp = sorted(zip(ner["conv_id"].to_pylist(), ner["turn_idx"].to_pylist(),
+                     ner["start"].to_pylist(), ner["end"].to_pylist(),
+                     ner["label"].to_pylist(),
+                     [round(c, 4) for c in ner["conf"].to_pylist()]))
+    assert got == exp

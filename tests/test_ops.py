@@ -113,6 +113,24 @@ def test_lang_id_and_token_count(ray_session, docs_dir):
     assert langs[0] == "en"
 
 
+def test_lang_id_null_text(ray_session, tmp_path):
+    """A null text row must classify as 'und', not crash the flattener."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the quick fox and the dog", None], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    d = str(tmp_path / "nulldocs")
+    import os
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = to_arrow(ops.lang_id(d)).to_pydict()
+    langs = dict(zip(out["doc_id"], out["lang_pred"]))
+    assert langs[0] == "en" and langs[1] == "und"
+
+
 def test_multimodal_stage_stub_and_features(ray_session, docs_dir):
     out = to_arrow(ops.multimodal_features(docs_dir))
     assert out.num_rows == 6

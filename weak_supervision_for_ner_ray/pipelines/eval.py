@@ -6,9 +6,10 @@ Reimplements the core of the reference's ``analysis.get_results``
 COMPANY→ORG, GPE→LOC, misc→MISC, analysis.py:6-8), TP/FP/FN per label at
 entity (exact span) and token granularity, micro/macro P/R/F1.
 
-Distributed shape: predictions stream through ``map_batches`` emitting
-per-block confusion partials against a broadcast gold index; partials are
-summed on the driver (SURVEY.md §2.5 'analysis.get_results').
+Distributed shape: predictions are grouped per (conv_id, turn_idx) —
+globally-exact set-semantics dedup — and each turn emits a confusion
+partial against a broadcast gold index; the tiny partials are summed on
+the driver (SURVEY.md §2.5 'analysis.get_results').
 """
 
 from __future__ import annotations
@@ -50,7 +51,8 @@ def evaluate_ner(pred_ds, gold_table: pa.Table, *, mappings=None,
     gold_ref = ray.put(_gold_index(gold_table, mappings, to_retain))
     mp = dict(mappings) if mappings else None
 
-    def partials(batch: pa.Table) -> pa.Table:
+    def turn_partial(group) -> pa.Table:
+        import pandas as pd  # noqa: F401 (group is a pandas DataFrame)
         ent_gold, tok_gold = ray.get(gold_ref)
         e_tp = defaultdict(int)
         e_fp = defaultdict(int)
@@ -58,28 +60,33 @@ def evaluate_ner(pred_ds, gold_table: pa.Table, *, mappings=None,
         t_fp = defaultdict(int)
         # set semantics, as in the reference where doc.ents is a span set
         # (analysis.py:60-99): an identical predicted span counts once, and
-        # a token covered twice by same-label spans counts once.
+        # a token covered twice by same-label spans counts once.  The
+        # groupby co-locates ALL of a turn's predictions, so the dedup is
+        # globally exact — identical spans emitted into different blocks
+        # (e.g. by a multi-producer prediction table) still count once.
         seen_ent: set = set()
         seen_tok: set = set()
-        for r in batch.to_pylist():
-            if r["conf"] < conf_threshold:
+        key = (group["conv_id"].iloc[0], int(group["turn_idx"].iloc[0]))
+        for s, e, label, conf in zip(group["start"], group["end"],
+                                     group["label"], group["conf"]):
+            if conf < conf_threshold:
                 continue
-            lab = mp.get(r["label"], r["label"]) if mp else r["label"]
+            lab = mp.get(label, label) if mp else label
             if to_retain is not None and lab not in to_retain:
                 continue
-            key = (r["conv_id"], r["turn_idx"])
-            ekey = (key, r["start"], r["end"], lab)
+            s, e = int(s), int(e)
+            ekey = (s, e, lab)
             if ekey in seen_ent:
                 continue
             seen_ent.add(ekey)
             g = ent_gold.get(key, {})
-            if g.get((r["start"], r["end"])) == lab:
+            if g.get((s, e)) == lab:
                 e_tp[lab] += 1
             else:
                 e_fp[lab] += 1
             tg = tok_gold.get(key, {})
-            for t in range(r["start"], r["end"]):
-                tkey = (key, t, lab)
+            for t in range(s, e):
+                tkey = (t, lab)
                 if tkey in seen_tok:
                     continue
                 seen_tok.add(tkey)
@@ -97,8 +104,8 @@ def evaluate_ner(pred_ds, gold_table: pa.Table, *, mappings=None,
         })
 
     agg = defaultdict(lambda: [0, 0, 0, 0])
-    for batch in pred_ds.map_batches(partials, batch_format="pyarrow",
-                                     zero_copy_batch=True) \
+    for batch in pred_ds.groupby(["conv_id", "turn_idx"]) \
+            .map_groups(turn_partial, batch_format="pandas") \
             .iter_batches(batch_format="pyarrow"):
         for r in batch.to_pylist():
             a = agg[r["label"]]
