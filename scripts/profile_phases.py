@@ -30,8 +30,7 @@ def main():
     from weak_supervision_for_ner_ray.pipelines.train import train_hmm_sharded
     from weak_supervision_for_ner_ray.stages.annotate import annotate_pipeline
     from weak_supervision_for_ner_ray.stages.encode import encode_obs_batch
-    from weak_supervision_for_ner_ray.stages.kg import (make_decode_fn,
-                                                        make_triple_fn)
+    from weak_supervision_for_ner_ray.stages.kg import make_decode_triple_fn
     from weak_supervision_for_ner_ray.stages.util import target_blocks
 
     corpus = corpus_for_sf_dir(sf_dir)
@@ -71,17 +70,30 @@ def main():
     mark(f"em_{n_iter}_iters", t0)
 
     t0 = time.time()
-    obs_ds = rd.read_parquet(obs_dir, override_num_blocks=nblocks)
+    obs_min = rd.read_parquet(
+        obs_dir, columns=["conv_id", "turn_idx", "text", "n_tokens",
+                          "o_t", "o_s", "o_state", "o_conf"],
+        override_num_blocks=nblocks)
     params_ref = ray.put(params)
     gaz_ref = ray.put(gaz)
-    tdir = os.path.join(wd, "triples")
-    obs_ds.map_batches(make_triple_fn(params_ref, gaz_ref),
-                       batch_format="pyarrow", batch_size=256,
-                       zero_copy_batch=True).write_parquet(tdir)
+    tdir = os.path.join(wd, "decoded")
+    obs_min.map_batches(make_decode_triple_fn(params_ref, gaz_ref),
+                        batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True).write_parquet(tdir)
     mark("decode+triples_write", t0)
 
     t0 = time.time()
-    triples = rd.read_parquet(tdir)
+    import pyarrow.compute as pc
+
+    def to_triples(b):
+        import pyarrow as pa
+        b = b.filter(pc.equal(b.column("kind"), "t"))
+        return b.select(["conv_id", "turn_idx", "subj", "subj_label",
+                         "pred", "obj", "obj_label", "subj_id", "obj_id",
+                         "conf"])
+
+    triples = rd.read_parquet(tdir).map_batches(
+        to_triples, batch_format="pyarrow", zero_copy_batch=True)
     nodes, edges = graph_tables(triples)
     n_nodes = nodes.count()
     n_edges = edges.count()

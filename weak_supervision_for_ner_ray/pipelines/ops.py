@@ -194,6 +194,16 @@ def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """``x % (2^61 - 1)`` for uint64 via the Mersenne bit identity
+    ``(x & M) + (x >> 61)`` + one conditional subtract — bit-identical to
+    ``%`` (the SQL oracle's arithmetic) but ~6× faster: numpy's unsigned
+    modulo is a per-element scalar division."""
+    r = (x & _MERSENNE) + (x >> np.uint64(61))
+    np.subtract(r, _MERSENNE, out=r, where=r >= _MERSENNE)
+    return r
+
+
 class MinHasher:
     """Word-shingle MinHash signatures (stateful: permutation table built
     once per actor)."""
@@ -222,7 +232,8 @@ class MinHasher:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
         # (P, S) permuted hashes -> min over shingles
         with np.errstate(over="ignore"):
-            ph = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            ph = _mod_mersenne(self.a[:, None] * h[None, :]
+                               + self.b[:, None])
         return ph.min(axis=1)
 
     def signatures_batch(self, texts: list[str]) -> np.ndarray:
@@ -242,9 +253,8 @@ class MinHasher:
             return sigs
         h = np.concatenate([gram_lists[i] for i in nonempty])
         with np.errstate(over="ignore"):
-            ph = (self.a[None, :, None] * h[None, None, :]
-                  + self.b[None, :, None]).reshape(self.num_perm, -1) \
-                % _MERSENNE
+            ph = _mod_mersenne(
+                (self.a[:, None] * h[None, :] + self.b[:, None]))
         starts = np.cumsum([0] + [lengths[i] for i in nonempty])[:-1]
         mins = np.minimum.reduceat(ph, starts, axis=1)   # (P, n_nonempty)
         sigs[nonempty] = mins.T

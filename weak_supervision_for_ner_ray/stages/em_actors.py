@@ -23,7 +23,7 @@ import ray
 
 from ..state import hmm
 from ..state.hmm import BEST_COVERAGE_INDEX, SuffStats
-from .encode import ObsRows, obs_argmax_states
+from .encode import ObsRows
 
 _OBS_COLS = ["obs_fp", "n_tokens", "o_t", "o_s", "o_state", "o_conf"]
 
@@ -148,26 +148,85 @@ class EMShard:
         return getattr(self, "n_raw", 0)
 
     def init_stats(self):
-        """Prior-count partials (labelling.py:314-373), dedup-weighted."""
+        """Prior-count partials (labelling.py:314-373), dedup-weighted —
+        fully vectorised over the flat pair arrays (no per-turn dicts):
+
+        * init/trans counts come from the best-coverage source's per-token
+          argmax-state sequence (conf desc, state asc tiebreak, zero-conf
+          entries lose to state O — ``obs_argmax_states`` semantics);
+        * obs counts: every source's O column gets the token mass, each
+          fired (t, source) group moves one unit of O mass to its states."""
         S, K = hmm.N_SOURCES, hmm.N_STATES
         init_counts = np.zeros(K)
         trans_counts = np.zeros((K, K))
         obs_counts = np.zeros((S, K))
         for rows, weights in self._iter_deduped():
-            for i in range(len(rows)):
-                w = 1.0 if weights is None else weights[i]
-                obs = rows.turnobs(i)
-                if obs.n_tokens == 0:
-                    continue
-                states = obs_argmax_states(obs, BEST_COVERAGE_INDEX)
-                init_counts[states[0]] += w
-                if obs.n_tokens > 1:
-                    np.add.at(trans_counts, (states[:-1], states[1:]), w)
-                obs_counts[:, 0] += obs.n_tokens * w
-                for (t, s), dist in obs.fired.items():
-                    obs_counts[s, 0] -= w
-                    for state, conf in dist.items():
-                        obs_counts[s, state] += conf * w
+            n = len(rows)
+            if n == 0:
+                continue
+            w = np.ones(n) if weights is None else weights
+            nt = rows.n_tokens.astype(np.int64)
+            counts = np.diff(rows.offsets)
+            pair_turn = np.repeat(np.arange(n), counts)
+            o_t = rows.cols["o_t"].astype(np.int64)
+            o_s = rows.cols["o_s"].astype(np.int64)
+            o_state = rows.cols["o_state"].astype(np.int64)
+            o_conf = rows.cols["o_conf"].astype(np.float64)
+
+            # normalise: sort pairs by (turn, t, source, state) and merge
+            # duplicate (turn, t, source, state) confs — the encoder
+            # already emits this form, but the kernel must not depend on it
+            if len(o_t):
+                order = np.lexsort((o_state, o_s, o_t, pair_turn))
+                pair_turn, o_t, o_s, o_state, o_conf = (
+                    pair_turn[order], o_t[order], o_s[order],
+                    o_state[order], o_conf[order])
+                dup = ((pair_turn[1:] == pair_turn[:-1])
+                       & (o_t[1:] == o_t[:-1]) & (o_s[1:] == o_s[:-1])
+                       & (o_state[1:] == o_state[:-1]))
+                if dup.any():
+                    heads = np.flatnonzero(np.r_[True, ~dup])
+                    o_conf = np.add.reduceat(o_conf, heads)
+                    pair_turn, o_t, o_s, o_state = (
+                        pair_turn[heads], o_t[heads], o_s[heads],
+                        o_state[heads])
+            pw = w[pair_turn]
+
+            # obs counts -------------------------------------------------
+            obs_counts[:, 0] += float((nt * w).sum())
+            if len(o_t):
+                # one O-mass subtraction per distinct (turn, t, source)
+                # group (duplicates adjacent after the sort above)
+                first = np.empty(len(o_t), bool)
+                first[0] = True
+                first[1:] = ((pair_turn[1:] != pair_turn[:-1])
+                             | (o_t[1:] != o_t[:-1])
+                             | (o_s[1:] != o_s[:-1]))
+                np.add.at(obs_counts[:, 0], o_s[first], -pw[first])
+                np.add.at(obs_counts, (o_s, o_state), o_conf * pw)
+
+            # init/trans counts from the best-coverage argmax sequence ---
+            tok_off = np.concatenate([[0], np.cumsum(nt)])
+            total = int(tok_off[-1])
+            seq = np.zeros(total, np.int64)
+            bm = (o_s == BEST_COVERAGE_INDEX) & (o_conf > 0)
+            if bm.any():
+                bt, bturn = o_t[bm], pair_turn[bm]
+                bstate, bconf = o_state[bm], o_conf[bm]
+                key = bturn * (nt.max() + 1) + bt
+                order = np.lexsort((bstate, -bconf, key))
+                k_srt = key[order]
+                lead = np.r_[True, k_srt[1:] != k_srt[:-1]]
+                pick = order[lead]
+                seq[tok_off[bturn[pick]] + bt[pick]] = bstate[pick]
+            valid = nt > 0
+            np.add.at(init_counts, seq[tok_off[:-1][valid]], w[valid])
+            if total > 1:
+                pos_turn = np.repeat(np.arange(n), nt)
+                same = pos_turn[1:] == pos_turn[:-1]
+                np.add.at(trans_counts,
+                          (seq[:-1][same], seq[1:][same]),
+                          w[pos_turn[:-1][same]])
         return init_counts, trans_counts, obs_counts
 
     def estep(self, params) -> dict:
