@@ -133,10 +133,14 @@ def doc_history(conv: ConversationDoc) -> None:
                     trie.add(tuple(toks[start:end]), (g, "COMPANY"))
 
     # re-scan every turn; only occurrences after the first mention are added
+    first = trie.first_tokens()
     for t, (d, layers) in enumerate(zip(conv.docs, conv.layers)):
         toks = d.tokens
         i = 0
         while i < len(toks):
+            if toks[i] not in first:     # cheap prefilter: cased probe
+                i += 1
+                continue
             length, value = trie.longest_prefix(toks, True, start=i,
                                                 max_len=8)
             if length:
@@ -156,23 +160,32 @@ def doc_majority(conv: ConversationDoc) -> None:
         layers.clear_source("doc_majority_uncased")
 
     # ---- count weighted labels per entity string over all turns ----------
+    from ..functions.spans import _binary_search
+
     entity_counts: dict[tuple[str, ...], dict[str, float]] = {}
     for d, layers in zip(conv.docs, conv.layers):
         span_labels: dict[tuple[int, int], dict[str, float]] = {}
-        for source in DOC_MAJORITY_SOURCES:
-            spans = layers.by_source.get(source)
-            if not spans:
-                continue
+        # interval lists built ONCE per turn (layers are not mutated in
+        # this phase) instead of re-materialised inside get_overlaps for
+        # every (span × source) probe — same overlaps, ~24× fewer allocs
+        src_tables = [(spans, list(spans))
+                      for source in DOC_MAJORITY_SOURCES
+                      if (spans := layers.by_source.get(source))]
+        for spans, _ in src_tables:
             for (start, end), vals in spans.items():
                 lab = span_labels.setdefault((start, end), {})
                 for label, conf in vals:
                     lab[label] = lab.get(label, 0.0) + conf
-                for s2, e2, vals2 in get_overlaps(start, end, layers,
-                                                  DOC_MAJORITY_SOURCES):
-                    if (start, end) != (s2, e2):
-                        overlap = (min(end, e2) - max(start, s2)) / (end - start)
-                        for l2, c2 in vals2:
-                            lab[l2] = lab.get(l2, 0.0) + c2 * overlap
+                for spans2, intervals2 in src_tables:
+                    lo, hi = _binary_search(start, end, intervals2)
+                    for key2 in intervals2[lo:hi]:
+                        s2, e2 = key2
+                        if start < e2 and end > s2 \
+                                and (start, end) != key2:
+                            overlap = (min(end, e2) - max(start, s2)) \
+                                / (end - start)
+                            for l2, c2 in spans2[key2]:
+                                lab[l2] = lab.get(l2, 0.0) + c2 * overlap
         for span, counts in span_labels.items():
             tot = sum(counts.values())
             norm = {lab: c / tot for lab, c in counts.items()}
@@ -213,12 +226,21 @@ def doc_majority(conv: ConversationDoc) -> None:
             trie.add(entity, majority)
 
     # ---- re-annotate every turn, longest-span-wins on self-overlap -------
+    first = trie.first_tokens()
     for d, layers in zip(conv.docs, conv.layers):
         for case_sensitive in (True, False):
             source = "doc_majority_%s" % ("cased" if case_sensitive
                                           else "uncased")
             toks = d.tokens
             for i in range(len(toks)):
+                c = toks[i]
+                # prefilter: a match can only start here if the token (or,
+                # for the uncased probe, one of its trie-probe case
+                # variants) is a stored first token
+                if c not in first and (case_sensitive or (
+                        c.title() not in first and c.lower() not in first
+                        and c.upper() not in first)):
+                    continue
                 length, label = trie.longest_prefix(toks, case_sensitive,
                                                     start=i, max_len=8)
                 if not label:

@@ -71,6 +71,12 @@ class TokenTrie:
                 length = i - start + 1
         return length, value
 
+    def first_tokens(self) -> set:
+        """Set of first tokens of all stored keys — a cheap prefilter for
+        scan loops: a position can only start a match if its token (or a
+        case variant, for case-insensitive probes) is in this set."""
+        return {k for k in self._root if k != 0}
+
     def items(self) -> Iterator[tuple[tuple[str, ...], Any]]:
         stack = [((), self._root)]
         while stack:
