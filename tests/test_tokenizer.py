@@ -130,3 +130,17 @@ def test_build_form_frequencies(ray_session):
     t = build_form_frequencies(ds, min_count=1)
     assert abs(t["apple"]["apple"] - 0.75) < 1e-9
     assert abs(t["apple"]["Apple"] - 0.25) < 1e-9
+
+
+def test_correct_parsing_overrides():
+    """_correct_parsing semantics (spacy_wrapper.py:242-265): currency
+    codes tag NNP, magnitude abbreviations tag CD, and 'won' after a
+    numeric magnitude is the Korean currency (NNP), while the verb 'won'
+    stays untagged as a proper noun."""
+    d = make_doc("paid 5 mln USD")
+    assert d.tag[d.tokens.index("mln")] == "CD"
+    assert d.tag[d.tokens.index("USD")] == "NNP"
+    d2 = make_doc("sold for 500 billion won today")
+    assert d2.tag[d2.tokens.index("won")] == "NNP"
+    d3 = make_doc("the team won the game")
+    assert d3.tag[d3.tokens.index("won")] != "NNP"

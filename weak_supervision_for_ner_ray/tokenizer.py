@@ -46,6 +46,11 @@ _MAGNITUDE_SUFFIX_RE = re.compile(
     r"^([\d.,]+)(bl?n?\.?|ml?n?\.?|k\.+)$", re.IGNORECASE)
 _DIGIT_RE = re.compile(r"\d")
 _NUM_RE = re.compile(r"^[\d.,]+$")
+# abbreviated magnitude units, spacy_wrapper.py:254
+_MAGNITUDE_ABBREV_RE = re.compile(r"(?:bl?n?\.?|ml?n?\.?|k\.+)$", re.I)
+# magnitude words preceding the Korean "won", spacy_wrapper.py:258-260
+_MAGNITUDE_WORDS = {"million", "billion", "mln", "bln", "bn", "thousand",
+                    "m", "k", "b", "m.", "k.", "b.", "mln.", "bln.", "bn."}
 
 _SENT_END = {".", "!", "?"}
 
@@ -209,10 +214,22 @@ def make_doc(text: str) -> Doc:
     d.likely_proper = lp
 
     # --- heuristic POS tag ----------------------------------------------
+    # includes the reference's _correct_parsing overrides
+    # (spacy_wrapper.py:242-265): currency codes -> NNP, abbreviated
+    # magnitude units (mln/bln/k.) -> CD, and "won" after a numeric
+    # magnitude (the Korean currency in financial text) -> NNP
     tags = []
     for i, tok in enumerate(d.tokens):
         low = d.lowers[i]
-        if low in MODALS and tok.islower():
+        if tok in CURRENCY_CODES:
+            tags.append("NNP")
+        elif _MAGNITUDE_ABBREV_RE.match(tok):
+            tags.append("CD")
+        elif (tok == "won" and i > 1
+              and (d.tokens[i - 1][:1].isdigit()
+                   or d.lowers[i - 1] in _MAGNITUDE_WORDS)):
+            tags.append("NNP")
+        elif low in MODALS and tok.islower():
             tags.append("MD")
         elif _DIGIT_RE.search(tok) and _NUM_RE.match(tok):
             tags.append("CD")
