@@ -79,8 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / streaming over provided tables (SQL oracles) ---
         "pricing_summary": ops.pricing_summary_exact,
         "revenue_by_segment": ops.revenue_by_segment_exact,
+        "revenue_by_segment_join": ops.revenue_by_segment_join,
         "top_orders": lambda sf: ops.top_orders(sf),
         "events_hourly": ops.events_hourly_exact,
+        "events_sliding_window": lambda sf: ops.events_sliding_window(sf),
         "sessionize": lambda sf: ops.sessionize(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
@@ -405,6 +407,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
             ORDER BY c.c_mktsegment
+        """,
+        # identical semantics to revenue_by_segment — the engine-side
+        # variant exercises the shuffle hash-join (Dataset.join) instead
+        # of the broadcast join, so the oracle is the same SQL
+        "revenue_by_segment_join": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_revenue_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "events_sliding_window": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) AS BIGINT) AS us,
+                     CAST(round(value * 1000) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type,
+                   (e.us // 900000000) * 900000000
+                       - k.k * 900000000 AS window_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(e.v) AS BIGINT) AS sum_value_mil
+            FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+            GROUP BY event_type, window_start_us
+            ORDER BY event_type, window_start_us
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice

@@ -1068,6 +1068,75 @@ def revenue_by_segment_exact(sf_dir: str):
                              "n_orders"]))
 
 
+def revenue_by_segment_join(sf_dir: str):
+    """Shuffle hash-join variant of :func:`revenue_by_segment_exact`
+    (``Dataset.join``) — the big-side × big-side shape for when neither
+    input fits in worker memory; the broadcast variant stays the right
+    choice whenever one side is small.  Identical output/oracle."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "price_cents": _cents(t.column("o_totalprice")),
+        })
+
+    joined = orders.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .join(cust, join_type="inner",
+              num_partitions=_join_partitions(),
+              on=("o_custkey",), right_on=("c_custkey",))
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Sum("price_cents", alias_name="total_revenue_cents"),
+                       Count(alias_name="n_orders"))
+            .sort("c_mktsegment")
+            .select_columns(["c_mktsegment", "total_revenue_cents",
+                             "n_orders"]))
+
+
+def events_sliding_window(sf_dir: str, window_min: int = 60,
+                          slide_min: int = 15):
+    """Sliding-window aggregate per event type: 60-minute windows sliding
+    every 15 minutes (each event lands in window_min/slide_min windows —
+    the fan-out is a vectorised per-batch replication, the aggregation one
+    grouped exchange).  Window starts are epoch-aligned integer
+    microseconds so the engine and the SQL oracle hash identically."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    slide_us = slide_min * 60 * 1_000_000
+    n_win = window_min // slide_min
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t.column("ts").cast(pa.timestamp("us")),
+                         pa.int64())
+        # integer floor-division (timestamps are post-epoch, so truncation
+        # == floor) — no float rounding anywhere near the hash
+        base = pc.multiply(pc.divide(micros, pa.scalar(slide_us)),
+                           pa.scalar(slide_us))
+        vals = _cents(t.column("value"), 1000.0)
+        n = t.num_rows
+        idx = np.repeat(np.arange(n), n_win)
+        k = np.tile(np.arange(n_win, dtype=np.int64), n)
+        base_np = base.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type").take(pa.array(idx)),
+            "window_start_us": pa.array(base_np[idx] - k * slide_us,
+                                        pa.int64()),
+            "value_mil": vals.take(pa.array(idx)),
+        })
+
+    return (ds.map_batches(fan_out, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "window_start_us"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_mil", alias_name="sum_value_mil"))
+            .sort(["event_type", "window_start_us"])
+            .select_columns(["event_type", "window_start_us", "n_events",
+                             "sum_value_mil"]))
+
+
 def top_orders(sf_dir: str, k: int = 10):
     """Global top-k by price (tie-broken by key for determinism)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
