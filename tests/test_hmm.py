@@ -351,3 +351,59 @@ def test_flat_kernels_match_dict_kernels():
         assert np.abs(s_dict.start - s_flat.start).max() < 1e-10
         assert np.abs(s_dict.trans - s_flat.trans).max() < 1e-9
         assert np.abs(s_dict.obs - s_flat.obs).max() < 1e-9
+
+
+def test_o_run_compression_exact_parity():
+    """The O-run-compressed flat kernels reproduce the uncompressed dict
+    path exactly on turns dominated by unfired runs: long interior runs,
+    fully-unfired turns, leading/trailing runs, weighted turns, and keep
+    subsets (where unfired-ness is judged on ALL sources)."""
+    rng = np.random.default_rng(99)
+    for keep in (None, sorted({hmm.BEST_COVERAGE_INDEX,
+                               int(hmm.SOURCE_INDICES["wiki_cased"])})):
+        K, S = hmm.N_STATES, hmm.N_SOURCES
+        obs_counts = np.zeros((S, K))
+        obs_counts[:, 0] = 10000.0
+        p = init_params_from_counts(np.zeros(K), np.zeros((K, K)),
+                                    obs_counts, seed=7, keep=keep)
+        s_dict, s_flat = SuffStats(), SuffStats()
+        defer = np.zeros(K)
+        cases = []
+        # fully-unfired turn (compresses to a single token)
+        cases.append((TurnObs(40), 2.0))
+        # one fired token in the middle of a 60-token turn
+        o = TurnObs(60)
+        o.add_span(hmm.BEST_COVERAGE_INDEX, 30, 31, "GPE", 1.0)
+        cases.append((o, 1.0))
+        # fired tokens at both ends, long interior run
+        o = TurnObs(50)
+        o.add_span(hmm.BEST_COVERAGE_INDEX, 0, 2, "PERSON", 1.0)
+        o.add_span(hmm.BEST_COVERAGE_INDEX, 48, 50, "ORG", 0.8)
+        cases.append((o, 3.0))
+        # random sparse firings
+        for _ in range(10):
+            o = TurnObs(int(rng.integers(8, 80)))
+            for _ in range(int(rng.integers(0, 4))):
+                t0 = int(rng.integers(0, o.n_tokens - 1))
+                o.add_span(hmm.BEST_COVERAGE_INDEX, t0, t0 + 1, "GPE", 1.0)
+            cases.append((o, float(rng.integers(1, 5))))
+        for o, w in cases:
+            pt, ps, pst, pc = [], [], [], []
+            for (t, s) in sorted(o.fired):
+                for st, c in o.fired[(t, s)].items():
+                    pt.append(t); ps.append(s); pst.append(st); pc.append(c)
+            pt = np.array(pt, np.int64)
+            ps = np.array(ps, np.int64)
+            pst = np.array(pst, np.int64)
+            pc = np.array(pc, np.float64)
+            hmm.accumulate(o, p, s_dict, weight=w)
+            hmm.accumulate_flat(p, o.n_tokens, pt, ps, pst, pc, s_flat,
+                                weight=w, defer_o=defer)
+            assert decode_turn(o, p) == hmm.decode_turn_flat(
+                p, o.n_tokens, pt, ps, pst, pc)
+        s_flat.obs[p.keep, :, 0] += defer[None, :]
+        assert s_dict.n_seqs == s_flat.n_seqs
+        assert abs(s_dict.logprob - s_flat.logprob) < 1e-7
+        assert np.abs(s_dict.start - s_flat.start).max() < 1e-10
+        assert np.abs(s_dict.trans - s_flat.trans).max() < 1e-8
+        assert np.abs(s_dict.obs - s_flat.obs).max() < 1e-8

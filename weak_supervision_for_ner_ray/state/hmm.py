@@ -436,15 +436,53 @@ def frame_ll_flat(T: int, p_t: np.ndarray, p_s: np.ndarray,
     return ll, g_t, g_s, (p_t, p_s, p_state, p_conf)
 
 
+def _compress_o_runs(T: int, p_t: np.ndarray, a00: float):
+    """Collapse each maximal run of unfired tokens to its head token.
+
+    A token no source fired on is forced through the O state — every
+    non-O entry of its ll row is masked to -inf (the reference's
+    observed-state rule, labelling.py:443-445) — so after the head of a
+    run the scaled forward vector is exactly one-hot at O.  The k-1
+    interior tokens of a k-run therefore contribute deterministic,
+    analytically known terms: ``logprob += (k-1)(log A[0,0] +
+    base_ll[0])``, ``xi += (k-1)·δ(0,0)``, and a δ_0 posterior row each;
+    all other posteriors/xis are unchanged because the dropped factor
+    ``A[0,0]^{k-1}`` is common to every path.  Dropping them shrinks the
+    O(T·77²) recursions by the unfired token share (~60% of transcript
+    tokens) with bit-identical remaining rows.
+
+    Returns ``(T', p_t', n_removed, kept_positions|None)`` where
+    ``kept_positions`` maps compressed token index -> original index
+    (``None`` when nothing was removed).
+    """
+    if T < 2 or a00 <= 0.0:
+        return T, p_t, 0, None
+    fired = np.zeros(T, bool)
+    if len(p_t):
+        fired[p_t] = True
+    keep = fired.copy()
+    keep[0] = True
+    keep[1:] |= fired[:-1]
+    n_removed = T - int(keep.sum())
+    if not n_removed:
+        return T, p_t, 0, None
+    if len(p_t):
+        p_t = (np.cumsum(keep) - 1)[p_t]
+    return T - n_removed, p_t, n_removed, np.flatnonzero(keep)
+
+
 def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
                     p_s: np.ndarray, p_state: np.ndarray,
                     p_conf: np.ndarray, stats: SuffStats,
                     weight: float = 1.0,
                     defer_o: np.ndarray | None = None) -> None:
     """:func:`accumulate` over flat pair arrays — identical statistics,
-    no per-turn dict construction, vectorised emission updates."""
+    no per-turn dict construction, vectorised emission updates, and
+    O-run compression of the forward-backward recursion."""
     if T == 0:
         return
+    a00 = float(params.transmat[0, 0])
+    T, p_t, n_removed, _ = _compress_o_runs(T, p_t, a00)
     ll, g_t, g_s, (p_t, p_s, p_state, p_conf) = frame_ll_flat(
         T, p_t, p_s, p_state, p_conf, params)
     logprob, alpha, beta, Bs, c = _forward_backward_scaled(ll, params)
@@ -455,6 +493,9 @@ def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
     if weight != 1.0:
         post = post * weight
 
+    if n_removed:
+        logprob += n_removed * (np.log(a00) + params.base_loglik[0])
+        stats.trans[0, 0] += weight * n_removed
     stats.logprob += logprob * weight
     stats.n_seqs += int(weight) if weight == int(weight) else weight
     stats.start += post[0]
@@ -463,6 +504,8 @@ def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
         stats.trans += (params.transmat * (alpha[:-1].T @ w)) * weight
 
     total_post = post.sum(axis=0)
+    if n_removed:
+        total_post[0] += weight * n_removed
     if defer_o is not None:
         defer_o += total_post
     else:
@@ -482,9 +525,19 @@ def decode_turn_flat(params: HMMParams, T: int, p_t: np.ndarray,
                      p_s: np.ndarray, p_state: np.ndarray,
                      p_conf: np.ndarray
                      ) -> list[tuple[int, int, str, float]]:
-    """:func:`decode_turn` over flat pair arrays (same spans)."""
+    """:func:`decode_turn` over flat pair arrays (same spans).
+
+    Runs Viterbi on the O-run-compressed sequence: interior tokens of an
+    unfired run are forced O with a path-score factor common to every
+    path, so the compressed argmax path equals the original restricted to
+    kept tokens; span boundaries map back via the kept-position index.
+    (Entity spans can never cover an unfired token, and each maximal
+    non-O label segment lies within one stretch of consecutively kept
+    tokens, so compressed spans are contiguous in original space too.)"""
     if T == 0:
         return []
+    T, p_t, n_removed, kept_pos = _compress_o_runs(
+        T, p_t, float(params.transmat[0, 0]))
     ll, _, _, _ = frame_ll_flat(T, p_t, p_s, p_state, p_conf, params)
     _, states = viterbi(ll, params)
     with np.errstate(under="ignore", over="ignore"):
@@ -492,7 +545,11 @@ def decode_turn_flat(params: HMMParams, T: int, p_t: np.ndarray,
     proba = proba / proba.sum(axis=1, keepdims=True)
     conf = proba[np.arange(len(states)), states]
     labels = [POSITIONED_LABELS[s] for s in states]
-    return bilu_to_spans(labels, conf)
+    spans = bilu_to_spans(labels, conf)
+    if n_removed and spans:
+        spans = [(int(kept_pos[s]), int(kept_pos[e - 1]) + 1, lab, c)
+                 for s, e, lab, c in spans]
+    return spans
 
 
 def accumulate_block(params: HMMParams, n_tokens: np.ndarray,
