@@ -240,6 +240,7 @@ class EMShard:
         end-to-end (measured 37 s vs 11 s per pass at sf0.1/32 cpus)."""
         stats = SuffStats()
         defer_o = np.zeros(hmm.N_STATES)
+        emis_buf = hmm.EmisStatsBuffer()
         any_rows = False
         for rows, weights in self._iter_deduped():
             any_rows = True
@@ -255,8 +256,10 @@ class EMShard:
                 hmm.accumulate_flat(params, int(nt[i]), o_t[lo:hi],
                                     o_s[lo:hi], o_state[lo:hi],
                                     o_conf[lo:hi], stats,
-                                    weight=w, defer_o=defer_o)
+                                    weight=w, defer_o=defer_o,
+                                    emis_buf=emis_buf)
         if any_rows:
+            emis_buf.apply(stats)
             stats.obs[params.keep, :, 0] += defer_o[None, :]
         return stats.to_arrays()
 

@@ -404,6 +404,15 @@ def frame_ll_flat(T: int, p_t: np.ndarray, p_s: np.ndarray,
     if not km.all():
         p_t, p_s, p_state, p_conf = (p_t[km], p_s[km], p_state[km],
                                      p_conf[km])
+    # the grouping + segment-scatter below require (t, source)-sorted
+    # pairs; the obs encoder emits them sorted, so this argsort only
+    # fires on hand-built inputs
+    if len(p_t) > 1:
+        key = p_t.astype(np.int64) * N_SOURCES + p_s
+        if np.any(key[1:] < key[:-1]):
+            order = np.argsort(key, kind="stable")
+            p_t, p_s, p_state, p_conf = (p_t[order], p_s[order],
+                                         p_state[order], p_conf[order])
     n = len(p_t)
     if n == 0:
         ll[~observed] = _NINF
@@ -418,14 +427,25 @@ def frame_ll_flat(T: int, p_t: np.ndarray, p_s: np.ndarray,
         with np.errstate(divide="ignore"):
             corr = params.log_emis2d[p_s * N_STATES + p_state] \
                 + np.log(p_conf)[:, None] - params.log_emisO[p_s]
-        np.add.at(ll, p_t, corr)
     else:                           # multi-label mixture via segment-sum
         P = params.emis_cols[p_s * N_STATES + p_state] * p_conf[:, None]
         mix = np.add.reduceat(P, starts, axis=0)
         corr = np.full_like(mix, _NINF)
         np.log(mix, out=corr, where=mix > 0)
         corr -= params.log_emisO[g_s]
-        np.add.at(ll, g_t, corr)
+    # scatter corr rows into ll by token.  g_t is sorted, so duplicate
+    # tokens (several sources firing the same token) form contiguous
+    # segments — segment-sum + direct fancy add instead of np.add.at,
+    # whose buffered element-at-a-time path dominated the E-step (~40%
+    # of pass wall-time across the three per-turn scatters).
+    ft = np.empty(len(g_t), bool)
+    ft[0] = True
+    ft[1:] = g_t[1:] != g_t[:-1]
+    if ft.all():
+        ll[g_t] += corr
+    else:
+        tb = np.flatnonzero(ft)
+        ll[g_t[tb]] += np.add.reduceat(corr, tb, axis=0)
     # O-mask: only with the full source set (see frame_log_likelihood)
     if len(params.keep) == N_SOURCES:
         fired_counts = np.bincount(g_t, minlength=T)
@@ -455,7 +475,9 @@ def _compress_o_runs(T: int, p_t: np.ndarray, a00: float):
     ``kept_positions`` maps compressed token index -> original index
     (``None`` when nothing was removed).
     """
-    if T < 2 or a00 <= 0.0:
+    # short turns can't hold enough removable tokens to repay the run
+    # detection itself (~0.1 ms/turn; measured net-negative below ~24)
+    if T < 24 or a00 <= 0.0:
         return T, p_t, 0, None
     fired = np.zeros(T, bool)
     if len(p_t):
@@ -471,14 +493,85 @@ def _compress_o_runs(T: int, p_t: np.ndarray, a00: float):
     return T - n_removed, p_t, n_removed, np.flatnonzero(keep)
 
 
+class EmisStatsBuffer:
+    """Cross-turn accumulator for the per-(t, source) emission updates.
+
+    The per-turn updates ``obs[s, :, 0] -= post[t]`` and
+    ``obs[s, :, state] += conf·post[t]`` are linear, so they can be
+    collected across every turn of a shard pass and applied in a handful
+    of segment-sums — replacing two tiny ``np.ufunc.at`` scatters PER
+    TURN (whose buffered element-at-a-time path was ~40% of E-step
+    wall-time) with one argsort+reduceat per ~64k buffered rows.
+
+    ``acc`` is keyed ``s·K + state`` with the state-major layout
+    transposed back into ``stats.obs`` once, in :meth:`apply`."""
+
+    _FLUSH_ROWS = 65536          # ≈ 40 MB of buffered (n, 77) rows
+
+    def __init__(self):
+        self._sub_s: list[np.ndarray] = []      # (g,) source ids
+        self._sub_p: list[np.ndarray] = []      # (g, K) post rows
+        self._add_k: list[np.ndarray] = []      # (n,) s·K+state keys
+        self._add_cp: list[np.ndarray] = []     # (n, K) conf·post rows
+        self._rows = 0
+        self._acc = np.zeros((N_SOURCES * N_STATES, N_STATES))
+        self._acc_sub = np.zeros((N_SOURCES, N_STATES))
+
+    def add(self, g_s, post_g, keys, cp):
+        self._sub_s.append(g_s)
+        self._sub_p.append(post_g)
+        self._add_k.append(keys)
+        self._add_cp.append(cp)
+        self._rows += len(g_s) + len(keys)
+        if self._rows >= self._FLUSH_ROWS:
+            self._flush()
+
+    @staticmethod
+    def _segadd(dest, keys, rows):
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        fb = np.empty(len(ks), bool)
+        fb[0] = True
+        fb[1:] = ks[1:] != ks[:-1]
+        tb = np.flatnonzero(fb)
+        dest[ks[tb]] += np.add.reduceat(rows[order], tb, axis=0)
+
+    def _flush(self):
+        if not self._rows:
+            return
+        self._segadd(self._acc_sub, np.concatenate(self._sub_s),
+                     np.concatenate(self._sub_p))
+        self._segadd(self._acc, np.concatenate(self._add_k),
+                     np.concatenate(self._add_cp))
+        self._sub_s, self._sub_p = [], []
+        self._add_k, self._add_cp = [], []
+        self._rows = 0
+
+    def apply(self, stats: SuffStats) -> None:
+        """Fold the buffered contributions into ``stats.obs`` (call once,
+        after the last :func:`accumulate_flat` of the pass)."""
+        self._flush()
+        # acc[s·K+state, j] -> obs[s, j, state]
+        stats.obs += self._acc.reshape(
+            N_SOURCES, N_STATES, N_STATES).transpose(0, 2, 1)
+        stats.obs[:, :, 0] -= self._acc_sub
+        self._acc = np.zeros_like(self._acc)
+        self._acc_sub = np.zeros_like(self._acc_sub)
+
+
 def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
                     p_s: np.ndarray, p_state: np.ndarray,
                     p_conf: np.ndarray, stats: SuffStats,
                     weight: float = 1.0,
-                    defer_o: np.ndarray | None = None) -> None:
+                    defer_o: np.ndarray | None = None,
+                    emis_buf: "EmisStatsBuffer | None" = None) -> None:
     """:func:`accumulate` over flat pair arrays — identical statistics,
     no per-turn dict construction, vectorised emission updates, and
-    O-run compression of the forward-backward recursion."""
+    O-run compression of the forward-backward recursion.
+
+    ``emis_buf``: optional :class:`EmisStatsBuffer`; when given, the
+    fired-pair emission updates are buffered there (caller must
+    ``apply``) instead of scattered into ``stats.obs`` per turn."""
     if T == 0:
         return
     a00 = float(params.transmat[0, 0])
@@ -512,13 +605,17 @@ def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
         for s in params.keep:
             stats.obs[s, :, 0] += total_post
     if len(g_t):
-        # subtract the baseline column once per fired (t, source) group
-        np.subtract.at(stats.obs[:, :, 0], g_s, post[g_t])
-        # conf-weighted add per pair: obs[s, :, state] += conf * post[t]
+        # conf-weighted add per pair: obs[s, :, state] += conf * post[t],
+        # minus the baseline column once per fired (t, source) group
         CP = p_conf[:, None] * post[p_t]                 # (n_pairs, 77)
-        flat = stats.obs.reshape(N_SOURCES, N_STATES * N_STATES)
-        cols = np.arange(N_STATES)[None, :] * N_STATES + p_state[:, None]
-        np.add.at(flat, (p_s[:, None], cols), CP)
+        if emis_buf is not None:
+            emis_buf.add(g_s, post[g_t], p_s * N_STATES + p_state, CP)
+        else:
+            np.subtract.at(stats.obs[:, :, 0], g_s, post[g_t])
+            flat = stats.obs.reshape(N_SOURCES, N_STATES * N_STATES)
+            cols = np.arange(N_STATES)[None, :] * N_STATES \
+                + p_state[:, None]
+            np.add.at(flat, (p_s[:, None], cols), CP)
 
 
 def decode_turn_flat(params: HMMParams, T: int, p_t: np.ndarray,
