@@ -25,6 +25,16 @@ def default_bank_inputs():
     return builtin_gazetteers(), FIRST_NAMES
 
 
+def _mark(label: str, t0: float) -> float:
+    """Phase timing print gated on GRAFT_PROF=1 (for attributing pipeline
+    wall-time on the noisy bench host); returns a fresh t0."""
+    import time
+    t1 = time.time()
+    if os.environ.get("GRAFT_PROF"):
+        print(f"KGPHASE {label}: {t1 - t0:.2f}s", flush=True)
+    return t1
+
+
 def annotate_turns(turns_ds, workdir: str | None = None, *,
                    gazetteers=None, first_names=None, concurrency=None,
                    batch_size: int = 256):
@@ -113,6 +123,8 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
     from ..stages.annotate import annotate_pipeline
     from ..stages.encode import encode_obs_batch
     from ..stages.util import target_blocks
+    import time
+    _t = time.time()
     nblocks = target_blocks()
     obs_dir = os.path.join(workdir, "obs")
     if not os.path.exists(os.path.join(obs_dir, "_SUCCESS")):
@@ -122,15 +134,20 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
                                       batch_size=batch_size)
         # small row groups -> downstream reads can split into enough
         # blocks to pack the pool (single-row-group files cap parallelism).
-        # The sort on the observation-pattern fingerprint clusters identical
-        # turns, so contiguous EM shards dedup (nearly) globally — one
-        # shuffle paid once, amortised over every EM pass.
+        # Written UNSORTED on purpose: a global sort("obs_fp") shuffles the
+        # wide (text + nested mentions) corpus just to cluster duplicate
+        # turns, and measured ~52 s at sf0.1/32 cpus while improving the
+        # per-shard EM dedup not at all (33.8 vs 33.5 s for 2 passes) and
+        # decode by only ~4 s — the heavy formulaic turns repeat often
+        # enough that per-shard/per-worker dedup and memoisation already
+        # catch them without global clustering.
         annotated.map_batches(
             with_lineage(encode_obs_batch, "encode_obs", lin_actor),
             batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True).sort("obs_fp").write_parquet(
+            zero_copy_batch=True).write_parquet(
                 obs_dir, row_group_size=1024)
         open(os.path.join(obs_dir, "_SUCCESS"), "w").close()
+    _t = _mark("annotate+obs_write", _t)
     # lazy full read (text + nested mentions) — only executed if the
     # caller consumes the annotated corpus
     annotated = rd.read_parquet(obs_dir, override_num_blocks=nblocks)
@@ -138,6 +155,7 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
     # EM runs on persistent shard actors: obs loaded once, one RPC per
     # shard per iteration (no per-pass dataset execution overhead)
     params = train_hmm_sharded(obs_dir, workdir, n_iter=n_iter, seed=seed)
+    _t = _mark(f"em_{n_iter}_iters", _t)
     params_ref = ray.put(params)
     gaz_ref = ray.put(gaz)
 
@@ -162,10 +180,12 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
             combined.write_parquet(ddir)
             open(os.path.join(ddir, "_SUCCESS"), "w").close()
         combined = rd.read_parquet(ddir)
+        _t = _mark("decode_write", _t)
     else:
         # decoded output is a small fraction of the input corpus; holding
         # it avoids re-running the fused stage for the two consumers
         combined = combined.materialize()
+        _t = _mark("decode_materialize", _t)
 
     def to_ner(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -186,6 +206,7 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
                                    zero_copy_batch=True)
     if lin_actor is not None:
         flush_lineage(lin_actor, os.path.join(workdir, "lineage"))
+    _t = _mark("lineage_flush", _t)
 
     nodes, edges = graph_tables(triples)
     if write:
@@ -194,6 +215,7 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
             if not os.path.exists(os.path.join(d, "_SUCCESS")):
                 ds.write_parquet(d)
                 open(os.path.join(d, "_SUCCESS"), "w").close()
+        _t = _mark("graph_write", _t)
     return {"annotated": annotated, "ner": ner, "triples": triples,
             "nodes": nodes, "edges": edges, "params": params}
 
