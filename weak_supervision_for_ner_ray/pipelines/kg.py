@@ -210,11 +210,17 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
 
     nodes, edges = graph_tables(triples)
     if write:
+        outs = {}
         for name, ds in (("nodes", nodes), ("edges", edges)):
             d = os.path.join(workdir, name)
             if not os.path.exists(os.path.join(d, "_SUCCESS")):
                 ds.write_parquet(d)
                 open(os.path.join(d, "_SUCCESS"), "w").close()
+            # hand back a read of the written table: consumers re-consume
+            # nodes/edges (counts, joins) and re-running the sort pipeline
+            # for each consumption doubles the graph phase
+            outs[name] = rd.read_parquet(d)
+        nodes, edges = outs["nodes"], outs["edges"]
         _t = _mark("graph_write", _t)
     return {"annotated": annotated, "ner": ner, "triples": triples,
             "nodes": nodes, "edges": edges, "params": params}

@@ -94,26 +94,40 @@ def train_hmm_sharded(obs_dir: str, workdir: str, *, n_iter: int = 10,
     parquet is loaded once into actor memory; each iteration is one RPC per
     shard.  Checkpoint/resume semantics identical to :func:`train_hmm`."""
     import glob
+    import time
 
     from ..sources.registry import SOURCE_INDICES
     from ..stages.em_actors import (make_shards, shard_estep,
                                     shard_init_counts)
+
+    _prof = bool(os.environ.get("GRAFT_PROF"))
+
+    def _mark(label, t0):
+        t1 = time.time()
+        if _prof:
+            print(f"EMPHASE {label}: {t1 - t0:.2f}s", flush=True)
+        return t1
 
     store = CheckpointStore(workdir)
     resumed = store.latest()
     if resumed is not None and (resumed[3] or resumed[0] >= n_iter):
         return resumed[1]
 
+    _t = time.time()
     files = sorted(glob.glob(os.path.join(obs_dir, "*.parquet")))
     if n_shards is None:
         try:
-            # 2 shards per core at 0.5 CPU each: the OS timeshares the
-            # doubled actor count, smoothing per-shard cost imbalance
-            # (~5% faster passes than 1 shard/core measured at sf0.1)
-            n_shards = 2 * int(ray.cluster_resources().get("CPU", 8))
+            # 1 shard per core: the 2×-oversubscribed layout (2 shards/core
+            # at 0.5 CPU) paid off when per-turn cost was imbalanced, but
+            # after O-run compression + exact dedup the halved actor count
+            # wins — measured at sf0.1/32 cpus: steady passes ~5 s (32
+            # shards) vs ~10 s (64), with a smaller first-pass page-fault
+            # spike and half the per-pass RPC/merge fan-in
+            n_shards = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             n_shards = 16
     shards = make_shards(files, n_shards)
+    _t = _mark("make_shards", _t)
     keep = None
     if keep_names is not None:
         keep = sorted(SOURCE_INDICES[n] for n in keep_names)
@@ -123,6 +137,7 @@ def train_hmm_sharded(obs_dir: str, workdir: str, *, n_iter: int = 10,
             start_iter, params, history, _ = resumed
         else:
             init_c, trans_c, obs_c = shard_init_counts(shards)
+            _t = _mark("shard_load+init_counts", _t)
             params = init_params_from_counts(init_c, trans_c, obs_c,
                                              seed=seed, keep=keep)
             history = []
@@ -131,6 +146,7 @@ def train_hmm_sharded(obs_dir: str, workdir: str, *, n_iter: int = 10,
 
         for it in range(start_iter + 1, n_iter + 1):
             stats = shard_estep(shards, params)
+            _t = _mark(f"estep_{it}", _t)
             params = m_step(params, stats)
             history.append(stats.logprob)
             converged = (len(history) >= 2

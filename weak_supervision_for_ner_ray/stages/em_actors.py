@@ -97,6 +97,43 @@ class EMShard:
         else:
             self.rows = rows
             self.weights = None
+        self._warm_buffers()
+
+    def _warm_buffers(self):
+        """Allocate the per-pass accumulators ONCE, touch their pages and
+        exercise the E-step kernel on a tiny synthetic turn.
+
+        First-call cost (numpy ufunc-loop setup, allocator arena growth,
+        page-zeroing of the ~45 MB of accumulator/flush buffers) is paid
+        here, during the I/O-bound load phase, instead of inside the first
+        timed E-step pass — measured ~2× estep_1 vs estep_2 before this
+        (the fault-in of 64 actors' fresh pages serialises on the memory
+        bus when every actor hits it in the same pass)."""
+        self._emis_buf = hmm.EmisStatsBuffer()
+        self._emis_buf._acc.fill(0.0)       # fault the pages in now
+        self._emis_buf._acc_sub.fill(0.0)
+        # convert the flat pair arrays to kernel dtypes ONCE — estep used
+        # to astype-copy every column every pass
+        if self.rows is not None:
+            c = self.rows.cols
+            c["o_t"] = np.ascontiguousarray(c["o_t"], np.int64)
+            c["o_s"] = np.ascontiguousarray(c["o_s"], np.int64)
+            c["o_state"] = np.ascontiguousarray(c["o_state"], np.int64)
+            c["o_conf"] = np.ascontiguousarray(c["o_conf"], np.float64)
+        try:
+            S, K = hmm.N_SOURCES, hmm.N_STATES
+            p = hmm.init_params_from_counts(
+                np.ones(K), np.ones((K, K)), np.ones((S, K)))
+            st = SuffStats()
+            t = np.array([0, 1], np.int64)
+            s = np.array([0, BEST_COVERAGE_INDEX], np.int64)
+            k = np.array([1, 2], np.int64)
+            c = np.array([0.9, 0.8], np.float64)
+            hmm.accumulate_flat(p, 64, t, s, k, c, st, defer_o=np.zeros(K),
+                                emis_buf=self._emis_buf)
+            self._emis_buf.apply(st)
+        except Exception:
+            pass
 
     @staticmethod
     def _read_units(units: list):
@@ -165,13 +202,13 @@ class EMShard:
             if n == 0:
                 continue
             w = np.ones(n) if weights is None else weights
-            nt = rows.n_tokens.astype(np.int64)
+            nt = np.asarray(rows.n_tokens, np.int64)
             counts = np.diff(rows.offsets)
             pair_turn = np.repeat(np.arange(n), counts)
-            o_t = rows.cols["o_t"].astype(np.int64)
-            o_s = rows.cols["o_s"].astype(np.int64)
-            o_state = rows.cols["o_state"].astype(np.int64)
-            o_conf = rows.cols["o_conf"].astype(np.float64)
+            o_t = np.asarray(rows.cols["o_t"], np.int64)
+            o_s = np.asarray(rows.cols["o_s"], np.int64)
+            o_state = np.asarray(rows.cols["o_state"], np.int64)
+            o_conf = np.asarray(rows.cols["o_conf"], np.float64)
 
             # normalise: sort pairs by (turn, t, source, state) and merge
             # duplicate (turn, t, source, state) confs — the encoder
@@ -240,15 +277,22 @@ class EMShard:
         end-to-end (measured 37 s vs 11 s per pass at sf0.1/32 cpus)."""
         stats = SuffStats()
         defer_o = np.zeros(hmm.N_STATES)
-        emis_buf = hmm.EmisStatsBuffer()
+        # buffer persists across passes (allocated + pre-faulted at load);
+        # streaming mode has no resident state, so it builds one lazily
+        emis_buf = getattr(self, "_emis_buf", None)
+        if emis_buf is None:
+            emis_buf = self._emis_buf = hmm.EmisStatsBuffer()
+        emis_buf.reset()
         any_rows = False
         for rows, weights in self._iter_deduped():
             any_rows = True
             off = rows.offsets
-            o_t = rows.cols["o_t"].astype(np.int64)
-            o_s = rows.cols["o_s"].astype(np.int64)
-            o_state = rows.cols["o_state"].astype(np.int64)
-            o_conf = rows.cols["o_conf"].astype(np.float64)
+            # no-op for the resident shard (converted once at load);
+            # converts per chunk in streaming mode
+            o_t = np.asarray(rows.cols["o_t"], np.int64)
+            o_s = np.asarray(rows.cols["o_s"], np.int64)
+            o_state = np.asarray(rows.cols["o_state"], np.int64)
+            o_conf = np.asarray(rows.cols["o_conf"], np.float64)
             nt = rows.n_tokens
             for i in range(len(rows)):
                 w = 1.0 if weights is None else weights[i]

@@ -517,6 +517,15 @@ class EmisStatsBuffer:
         self._acc = np.zeros((N_SOURCES * N_STATES, N_STATES))
         self._acc_sub = np.zeros((N_SOURCES, N_STATES))
 
+    def reset(self):
+        """Discard any buffered state (defensive pass-start reset for a
+        buffer reused across EM passes)."""
+        self._sub_s, self._sub_p = [], []
+        self._add_k, self._add_cp = [], []
+        self._rows = 0
+        self._acc.fill(0.0)
+        self._acc_sub.fill(0.0)
+
     def add(self, g_s, post_g, keys, cp):
         self._sub_s.append(g_s)
         self._sub_p.append(post_g)
@@ -555,8 +564,11 @@ class EmisStatsBuffer:
         stats.obs += self._acc.reshape(
             N_SOURCES, N_STATES, N_STATES).transpose(0, 2, 1)
         stats.obs[:, :, 0] -= self._acc_sub
-        self._acc = np.zeros_like(self._acc)
-        self._acc_sub = np.zeros_like(self._acc_sub)
+        # zero in place (not reallocate): a long-lived buffer keeps its
+        # pages mapped, so reusing one EmisStatsBuffer across EM passes
+        # skips the per-pass fault-in of ~2 MB/actor of fresh zeros
+        self._acc.fill(0.0)
+        self._acc_sub.fill(0.0)
 
 
 def accumulate_flat(params: HMMParams, T: int, p_t: np.ndarray,
