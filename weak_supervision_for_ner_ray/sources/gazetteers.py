@@ -46,13 +46,27 @@ class GazetteerMatcher:
 
     def __init__(self, trie: TokenTrie):
         self.trie = trie
+        # first-token prefilter: a position can only start a match if its
+        # token is a stored first token (cased probe) or lower()-equal to
+        # one (safe over-approximation of the title/lower/upper variants
+        # the uncased probe tries) — skips the trie walk + per-variant
+        # string allocations at the ~95% of positions that cannot match
+        self._first = trie.first_tokens()
+        self._first_lower = {t.lower() for t in self._first}
 
     def get_hits(self, doc: Doc, case_sensitive: bool = True,
                  full_compound: bool = True):
         tokens = doc.tokens
         n = len(tokens)
+        first = self._first if case_sensitive else None
+        first_lower = self._first_lower
         i = 0
         while i < n:
+            tok = tokens[i]
+            if (tok not in first if first is not None
+                    else tok.lower() not in first_lower):
+                i += 1
+                continue
             if doc.is_punct[i]:
                 i += 1
                 continue

@@ -41,6 +41,10 @@ class HeuristicNER:
     def __init__(self, knowledge: TokenTrie, first_names: set[str]):
         self.knowledge = knowledge
         self.first_names = first_names
+        # first-token prefilter for the cased lexical-knowledge scan (same
+        # trick as GazetteerMatcher): skip the trie walk wherever the
+        # position cannot start a match
+        self._first = knowledge.first_tokens()
         self._proper = SpanGenerator(
             lambda d, i: d.likely_proper[i],
             exceptions=("'s", "’s", "-", "of", "de", "van", "von"))
@@ -56,9 +60,10 @@ class HeuristicNER:
                 taken[k] = True
 
         # 1. lexical knowledge (longest-prefix, cased)
+        first = self._first
         i = 0
         while i < n:
-            if doc.is_punct[i]:
+            if doc.tokens[i] not in first or doc.is_punct[i]:
                 i += 1
                 continue
             length, value = self.knowledge.longest_prefix(
