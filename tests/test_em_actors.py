@@ -162,3 +162,42 @@ def test_emshard_streaming_mode_parity(ray_session, tmp_path):
         assert np.abs(x - y).max() < 1e-9
     ray.kill(resident)
     ray.kill(streaming)
+
+
+def test_emshard_repeated_estep_identical(ray_session, tmp_path):
+    """The persistent per-actor EmisStatsBuffer must not leak state across
+    passes: repeated esteps with the same params are bit-identical, and a
+    pass after a different-params pass matches a fresh actor's result."""
+    tbl = _obs_table(seed=23)
+    f = str(tmp_path / "obs.parquet")
+    pq.write_table(tbl, f)
+    p1 = _params(seed=3)
+    p2 = _params(seed=4)
+
+    shard = EMShard.remote([(f, None)])
+    a = shard_estep([shard], p1)
+    _ = shard_estep([shard], p2)       # interleave different params
+    b = shard_estep([shard], p1)
+    fresh = EMShard.remote([(f, None)])
+    c = shard_estep([fresh], p1)
+    for x in (b, c):
+        assert x.n_seqs == a.n_seqs
+        assert abs(x.logprob - a.logprob) < 1e-12
+        assert np.abs(x.obs - a.obs).max() == 0.0
+        assert np.abs(x.trans - a.trans).max() == 0.0
+        assert np.abs(x.start - a.start).max() == 0.0
+    ray.kill(shard)
+    ray.kill(fresh)
+
+
+def test_emis_buffer_reset_discards_buffered_rows():
+    buf = hmm.EmisStatsBuffer()
+    g_s = np.array([0], np.int64)
+    post_g = np.ones((1, hmm.N_STATES))
+    keys = np.array([0], np.int64)
+    cp = np.ones((1, hmm.N_STATES))
+    buf.add(g_s, post_g, keys, cp)
+    buf.reset()
+    st = SuffStats()
+    buf.apply(st)
+    assert np.abs(st.obs).max() == 0.0

@@ -37,6 +37,24 @@ def read_table(sf_dir: str, name: str, columns=None):
                            columns=columns)
 
 
+def _embedding_dim(sf_dir: str, ds) -> int:
+    """Vector dimensionality from the parquet footer + first page — avoids
+    launching a whole Dataset execution (``ds.limit(1)``) just to peek one
+    row."""
+    import glob
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        first = pq.ParquetFile(path).read_row_group(
+            0, columns=["embedding"]).column("embedding")
+        return len(first[0].as_py())
+    except Exception:
+        return len(_to_arrow(ds.limit(1))["embedding"][0].as_py())
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -580,8 +598,7 @@ def ann_lsh_buckets(sf_dir: str, n_planes: int = 12):
     """LSH bucket table + per-bucket sizes (the partition layout an
     IVF/LSH ANN index would use at scale)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = _to_arrow(ds.limit(1))
-    dim = len(first["embedding"][0].as_py())
+    dim = _embedding_dim(sf_dir, ds)
     buckets = ds.map_batches(LSHBucketStage,
                              fn_constructor_kwargs=dict(dim=dim,
                                                         n_planes=n_planes),
@@ -951,8 +968,7 @@ def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
     deeper codes (b 12-16, L 8-16) so buckets shrink to ~N/2^b and the
     within-bucket kernel stays linear-ish."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = _to_arrow(ds.limit(1))
-    dim = len(first["embedding"][0].as_py())
+    dim = _embedding_dim(sf_dir, ds)
     coded = ds.map_batches(
         LSHTableStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
@@ -960,15 +976,17 @@ def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=_concurrency())
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "sim_micro": pd.Series([], dtype="int64")})
-        ids = group["vec_id"].to_numpy(np.int64)
+    def bucket_pairs(group: dict) -> dict:
+        # numpy batch format: ~10× less per-group overhead than pandas
+        # across the n_tables·2^n_planes small groups
+        empty = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "sim_micro": np.empty(0, np.int64)}
+        ids = np.asarray(group["vec_id"], np.int64)
+        if len(ids) < 2:
+            return empty
         # float64 BEFORE normalising: parquet stores float32 and the
         # micro-rounding must match the float64 all-pairs kernel exactly
-        X = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+        X = np.stack(group["embedding"]).astype(np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                             1e-12)
         sims = Xn @ Xn.T
@@ -980,11 +998,10 @@ def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
         a_ids, b_ids = ids[ai], ids[bi]
         swap = a_ids > b_ids
         a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
-        return pd.DataFrame({"a": a_ids, "b": b_ids,
-                             "sim_micro": micros[ai, bi]})
+        return {"a": a_ids, "b": b_ids, "sim_micro": micros[ai, bi]}
 
     pairs = coded.groupby(["table_id", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+        bucket_pairs, batch_format="numpy")
     return (pairs.groupby(["a", "b"])
             .aggregate(Max("sim_micro", alias_name="sim_micro"))
             .sort(["a", "b"]))
