@@ -55,6 +55,20 @@ def _embedding_dim(sf_dir: str, ds) -> int:
         return len(_to_arrow(ds.limit(1))["embedding"][0].as_py())
 
 
+def _embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow ``list<float>`` column via a zero-copy
+    flatten + reshape of the values buffer — ``to_pylist`` materialises
+    n·dim Python floats, ~50× slower for wide embedding columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(
+        vals.reshape(n, vals.size // n).astype(dtype, copy=False))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -234,15 +248,16 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle = shingle
 
-    def shingles(self, text: str) -> np.ndarray:
+    def gram_strings(self, text: str) -> list[str]:
         toks = text.lower().split()
         k = self.shingle
         if len(toks) < k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i:i + k])
-                     for i in range(len(toks) - k + 1)]
-        return _stable_token_hashes(grams)
+            return [" ".join(toks)] if toks else []
+        return [" ".join(toks[i:i + k])
+                for i in range(len(toks) - k + 1)]
+
+    def shingles(self, text: str) -> np.ndarray:
+        return _stable_token_hashes(self.gram_strings(text))
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingles(text)
@@ -255,12 +270,16 @@ class MinHasher:
         return ph.min(axis=1)
 
     def signatures_batch(self, texts: list[str]) -> np.ndarray:
-        """Vectorised signatures for a whole batch: hash all shingles of
-        all docs at once, then per-doc min via ``np.minimum.reduceat``."""
+        """Vectorised signatures for a whole batch: md5 + permute each
+        DISTINCT shingle across the whole batch once (formulaic corpora
+        repeat grams heavily across docs — the md5 digests dominate the
+        stage otherwise), gather per doc, per-doc min via
+        ``np.minimum.reduceat``.  Min is idempotent over duplicate grams,
+        so batch-level dedup is bit-identical to per-doc hashing."""
         gram_lists = []
         lengths = []
         for text in texts:
-            g = self.shingles(text)
+            g = self.gram_strings(text)
             gram_lists.append(g)
             lengths.append(len(g))
         n = len(texts)
@@ -269,10 +288,17 @@ class MinHasher:
         nonempty = [i for i, L in enumerate(lengths) if L]
         if not nonempty:
             return sigs
-        h = np.concatenate([gram_lists[i] for i in nonempty])
+        all_grams = np.asarray(
+            [g for i in nonempty for g in gram_lists[i]], object)
+        uniq, inv = np.unique(all_grams, return_inverse=True)
+        hu = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:],
+                            "little") for w in uniq),
+            np.uint64, len(uniq))
         with np.errstate(over="ignore"):
-            ph = _mod_mersenne(
-                (self.a[:, None] * h[None, :] + self.b[:, None]))
+            ph_u = _mod_mersenne(
+                (self.a[:, None] * hu[None, :] + self.b[:, None]))
+        ph = ph_u[:, inv]                                # (P, total) gather
         starts = np.cumsum([0] + [lengths[i] for i in nonempty])[:-1]
         mins = np.minimum.reduceat(ph, starts, axis=1)   # (P, n_nonempty)
         sigs[nonempty] = mins.T
@@ -280,13 +306,20 @@ class MinHasher:
 
 
 class MinHashStage:
-    """documents batch -> (band_id, band_hash, doc_id) exploded rows."""
+    """documents batch -> (band_id, band_hash, doc_id) exploded rows.
 
-    def __init__(self, num_perm=128, bands=32, shingle=3, seed=17):
+    ``salt_mask`` (a power of two minus one) additionally emits
+    ``gsalt = band_hash & salt_mask`` so downstream grouping can coarsen
+    (band_id, gsalt) — many LSH buckets per Python ``map_groups`` call
+    instead of one (buckets are mostly singletons)."""
+
+    def __init__(self, num_perm=128, bands=32, shingle=3, seed=17,
+                 salt_mask: int | None = None):
         assert num_perm % bands == 0
         self.mh = MinHasher(num_perm, shingle, seed)
         self.bands = bands
         self.rows_per_band = num_perm // bands
+        self.salt_mask = salt_mask
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
@@ -303,36 +336,69 @@ class MinHashStage:
                        + chunks[:, :, r])
         band_hash = (mix >> np.uint64(1)).astype(np.int64)
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        return pa.table({
+        cols = {
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
             "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
-        })
+        }
+        if self.salt_mask is not None:
+            cols["gsalt"] = pa.array(
+                band_hash.reshape(-1) & self.salt_mask, pa.int32())
+        return pa.table(cols)
 
 
 def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3,
-                       max_bucket: int = 200):
+                       max_bucket: int = 200, rows_per_group: int = 5000):
     """MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
-    bucket groupby → pairs within bucket (ray_guide pattern)."""
+    bucket groupby → pairs within bucket (ray_guide pattern).
+
+    The grouping key is COARSENED to (band_id, band_hash & salt_mask) with
+    the mask sized so each ``map_groups`` call sees ~``rows_per_group``
+    rows: LSH buckets are mostly singletons, and one Python call per
+    bucket costs more than the whole pairing (measured 19 s of UDF time
+    for 7k pairs at sf0.1).  Buckets never split across groups (the salt
+    is a function of band_hash), and the per-group kernel separates exact
+    buckets vectorised via one lexsort."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    stage = MinHashStage(num_perm=num_perm, bands=bands, shingle=shingle)
+    n_docs = ds.count()                 # parquet metadata, no scan
+    n_salt = 1 << max(0, (max(1, n_docs // rows_per_group) - 1)
+                      .bit_length())
+    stage = MinHashStage(num_perm=num_perm, bands=bands, shingle=shingle,
+                         salt_mask=n_salt - 1)
     banded = ds.map_batches(stage.__call__, batch_format="pyarrow",
                             zero_copy_batch=True)
+    tri_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def pairs(group: dict) -> dict:
+        # one call per (band_id, salt) group holding MANY exact buckets;
         # numpy batch format: much cheaper per group than a DataFrame
-        ids = np.unique(group["doc_id"])
-        if len(ids) > max_bucket:               # guard pathological buckets
-            # no silent caps: a dropped bucket leaves a sentinel row
-            # (a=-1, b=bucket hash) so the tail filter can count and log it
-            return {"a": np.array([-1], np.int64),
-                    "b": np.asarray(group["band_hash"][:1], np.int64)}
-        if len(ids) < 2:
+        bh = np.asarray(group["band_hash"], np.int64)
+        ids = np.asarray(group["doc_id"], np.int64)
+        order = np.lexsort((ids, bh))
+        bh_s, ids_s = bh[order], ids[order]
+        _, starts, counts = np.unique(bh_s, return_index=True,
+                                      return_counts=True)
+        a_out, b_out = [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            u = np.unique(ids_s[s:s + c])
+            if len(u) > max_bucket:         # guard pathological buckets
+                # no silent caps: a dropped bucket leaves a sentinel row
+                # (a=-1, b=bucket hash) so the tail filter counts + logs it
+                a_out.append(np.array([-1], np.int64))
+                b_out.append(bh_s[s:s + 1])
+                continue
+            if len(u) < 2:
+                continue
+            tri = tri_cache.get(len(u))
+            if tri is None:
+                tri = tri_cache[len(u)] = np.triu_indices(len(u), k=1)
+            a_out.append(u[tri[0]])
+            b_out.append(u[tri[1]])
+        if not a_out:
             return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return {"a": ids[ai], "b": ids[bi]}
+        return {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+    cand = banded.groupby(["band_id", "gsalt"]).map_groups(
         pairs, batch_format="numpy")
     # dedup pairs found in multiple bands
     deduped = (cand.groupby(["a", "b"])
@@ -538,7 +604,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     def partial_topk(batch: pa.Table) -> pa.Table:
         q_ids_, Qn_ = ray.get(q_ref)
         ids = np.array(batch["vec_id"].to_pylist(), np.int64)
-        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        X = _embedding_matrix(batch["embedding"])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = Xn @ Qn_.T                          # (B, Q)
         # similarity as integer micros: order-stable + hash-identical to
@@ -585,7 +651,7 @@ class LSHBucketStage:
         self.W = rng.standard_normal((dim, n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        X = _embedding_matrix(batch["embedding"])
         bits = (X @ self.W) > 0
         bucket = bits @ (1 << np.arange(bits.shape[1]))
         return pa.table({
@@ -805,7 +871,7 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
         from ..stages.util import cached_from_ref
         q_ids_, Qn_, W_, probe_ = cached_from_ref(state_ref)
         ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
-        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        X = _embedding_matrix(batch["embedding"])
         buckets = ((X @ W_) > 0) @ (1 << np.arange(W_.shape[1]))
         keep = np.array([int(b) in probe_ for b in buckets], bool)
         empty = pa.table({
@@ -857,7 +923,7 @@ def _gathered_matrix(refs: list):
     tables = [t for t in ray.get(list(refs)) if t.num_rows]
     full = pa.concat_tables(tables)
     ids_all = np.asarray(full["vec_id"].to_pylist(), np.int64)
-    X = np.array(full["embedding"].to_pylist(), np.float64)
+    X = _embedding_matrix(full["embedding"])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return ids_all, Xn
 
@@ -889,7 +955,7 @@ def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
         from ..stages.util import cached_from_ref
         ids_a, M = cached_from_ref(mat_ref)
         ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
-        Y = np.array(batch["embedding"].to_pylist(), np.float64)
+        Y = _embedding_matrix(batch["embedding"])
         Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
         sims = Yn @ M.T                              # (B, N)
         micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
@@ -924,14 +990,19 @@ class LSHTableStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        X = np.array(batch["embedding"].to_pylist(), np.float64)
+        X32 = _embedding_matrix(batch["embedding"], np.float32)
+        X = X32.astype(np.float64)
+        dim = X32.shape[1]
         bits = (X @ self.W) > 0
         codes = bits.reshape(n, self.n_tables, self.n_planes) \
             @ (1 << np.arange(self.n_planes))
         rep = np.repeat(np.arange(n), self.n_tables)
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
+        # replicate the embedding payload in numpy (one C memcpy per row)
+        # instead of Arrow take() on the list column
+        rep_emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(n * self.n_tables + 1, dtype=np.int64)
+                     * dim, pa.int32()),
+            pa.array(X32[rep].ravel(), pa.float32()))
         return pa.table({
             "table_id": pa.array(
                 np.tile(np.arange(self.n_tables, dtype=np.int32), n),
@@ -939,7 +1010,7 @@ class LSHTableStage:
             "bucket": pa.array(codes.reshape(-1).astype(np.int64),
                                pa.int64()),
             "vec_id": batch.column("vec_id").take(pa.array(rep)),
-            "embedding": emb.take(pa.array(rep)),
+            "embedding": rep_emb,
         })
 
 
