@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
         "token_count": ops.token_count,
+        "token_count_bpe": ops.token_count_bpe,
+        "distinct_token_kmv": lambda sf: ops.distinct_token_kmv(sf),
         "quality_score": ops.quality_score_exact,
         "doc_fingerprint": ops.doc_fingerprint,
         "exact_dedup": ops.exact_dedup,
@@ -489,6 +491,42 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\\s+'))
                        AS n_tokens
             FROM documents WHERE length(trim(text)) > 0
+        """,
+        # GPT-2-ish pretokenizer count: the pattern is shared verbatim with
+        # the engine (ops._BPE_PATTERN) and restricted to constructs RE2
+        # and Python `re` evaluate identically (no lookahead, ASCII classes)
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+            FROM documents
+        """.format(pat=__import__(
+            "weak_supervision_for_ner_ray.pipelines.ops",
+            fromlist=["_BPE_PATTERN"])._BPE_PATTERN.replace("'", "''")),
+        # KMV distinct-token sketch: k smallest DISTINCT md5 token hashes,
+        # estimator (k-1)*2^63/h_(k) in the shifted int64 hash space —
+        # deterministic, so even the ESTIMATE is exactly comparable
+        "distinct_token_kmv": """
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ), h AS (
+              SELECT DISTINCT CAST(md5_number_lower(t) >> 1 AS BIGINT)
+                     AS hv
+              FROM tok
+            ), kk AS (
+              SELECT hv FROM h ORDER BY hv LIMIT 256
+            ), s AS (
+              SELECT count(*) AS m, max(hv) AS kth FROM kk
+            )
+            SELECT CAST(256 AS BIGINT) AS k, CAST(m AS BIGINT) AS m,
+                   kth AS kth_min_h,
+                   CASE WHEN m < 256 THEN CAST(m AS BIGINT)
+                        ELSE CAST(floor(255 * 9223372036854775808.0 / kth)
+                                  AS BIGINT)
+                   END AS est_distinct
+            FROM s
         """,
         "quality_score": """
             SELECT doc_id,

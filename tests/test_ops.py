@@ -143,6 +143,36 @@ def test_multimodal_stage_stub_and_features(ray_session, docs_dir):
         stage.featurize(b"payload")
 
 
+def test_token_count_bpe(ray_session, docs_dir):
+    import re
+    out = to_arrow(ops.token_count_bpe(docs_dir)).to_pydict()
+    counts = dict(zip(out["doc_id"], out["n_bpe_tokens"]))
+    # pattern-identical sequential oracle
+    pat = re.compile(ops._BPE_PATTERN)
+    assert counts[5] == len(pat.findall("UPPER Case Text With Some Words"))
+    assert counts[0] == counts[1]              # identical docs
+    # BPE-ish count >= whitespace count (contractions/punct split further)
+    ws = to_arrow(ops.token_count(docs_dir)).to_pydict()
+    ws_counts = dict(zip(ws["doc_id"], ws["n_tokens"]))
+    assert all(counts[d] >= ws_counts[d] for d in ws_counts)
+
+
+def test_distinct_token_kmv(ray_session, docs_dir):
+    out = to_arrow(ops.distinct_token_kmv(docs_dir)).to_pydict()
+    assert out["k"] == [256]
+    # the fixture has fewer than k distinct tokens -> sketch is EXACT
+    texts = to_arrow(rd.read_parquet(docs_dir + "/documents.parquet"))
+    true_distinct = len({w for t in texts["text"].to_pylist()
+                         for w in t.split()})
+    assert out["m"] == [true_distinct]
+    assert out["est_distinct"] == [true_distinct]
+    # estimator sanity on a wide synthetic corpus (> k distinct tokens)
+    h = ops._stable_token_hashes([f"tok{i}" for i in range(5000)])
+    hv = np.unique(h >> np.uint64(1))[:256]
+    est = int(np.floor(255 * 9223372036854775808.0 / int(hv.max())))
+    assert 3500 <= est <= 7000                 # ~N within KMV error bounds
+
+
 def test_minhash_signature_properties():
     mh = ops.MinHasher(num_perm=64, shingle=2)
     a = "alpha beta gamma delta epsilon zeta"

@@ -91,6 +91,77 @@ def token_count(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 (the SQL oracle's
+# regex engine) and Python ``re`` evaluate identically: no lookahead, ASCII
+# classes.  Contractions | space+letters | space+digits | space+other | ws.
+_BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                r"| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish token counting: number of GPT-2-style pretokenizer matches
+    per document (the unit an LLM tokenizer budget is measured in, vs the
+    whitespace count of :func:`token_count`).  Vectorised pandas
+    ``str.count`` over the compiled pattern; empty docs count 0."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": batch["text"].str.count(_BPE_PATTERN)
+            .fillna(0).astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def distinct_token_kmv(sf_dir: str, k: int = 256):
+    """Approximate corpus-wide distinct-token count via a KMV (k-minimum
+    values) sketch — the mergeable-sketch pattern a 100 TB engine uses
+    where an exact ``groupby(token)`` distinct would shuffle every token:
+
+    1. each block emits its ≤k smallest DISTINCT md5 token hashes
+       (per-block partial sketch — the only full-data pass, no text
+       leaves the block);
+    2. ``groupby(hv)`` dedups hashes seen in several blocks, then
+       ``sort(hv).limit(k)`` keeps the global k minima — both over
+       ≤ n_blocks·k rows, never the corpus;
+    3. the estimator is the standard KMV ``(k-1)·M / h_(k)`` over the
+       hash space M (exact count when fewer than k distinct hashes).
+
+    Every step is deterministic integer/float64 math on md5 hashes, so the
+    sketch — including the ESTIMATE — has an exact SQL oracle."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks = [w for t in batch["text"].dropna() for w in t.split()]
+        # the sketch lives in the 2^63 space (hash >> 1): int64 survives
+        # every Ray block conversion (uint64 does not), and the SQL oracle
+        # applies the same shift BEFORE dedup so both sides see the
+        # identical distinct set
+        h = np.unique(_stable_token_hashes(toks) >> np.uint64(1))
+        return pa.table({"hv": pa.array(h[:k].astype(np.int64),
+                                        pa.int64())})
+
+    mins = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("hv").aggregate(Count(alias_name="_n"))
+            .sort("hv").limit(k))
+    tbl = _to_arrow(mins)                     # ≤ k rows
+    hv = np.asarray(tbl["hv"].to_pylist(), np.int64)
+    m = len(hv)
+    kth = int(hv.max()) if m else 0
+    if m < k:
+        est = m
+    else:
+        est = int(np.floor((k - 1) * 9223372036854775808.0 / kth))
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "kth_min_h": pa.array([kth], pa.int64()),
+        "est_distinct": pa.array([est], pa.int64()),
+    })
+
+
 def quality_score_exact(sf_dir: str):
     """Simple quality heuristics per document: char count, token count,
     mean token length and uppercase ratio as exact integer micros (floor of
