@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_kmv": lambda sf: ops.distinct_token_kmv(sf),
         "quality_score": ops.quality_score_exact,
         "doc_fingerprint": ops.doc_fingerprint,
+        "doc_fingerprint_rolling": lambda sf: ops.doc_fingerprint_rolling(sf),
         "exact_dedup": ops.exact_dedup,
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
@@ -546,6 +547,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        # Rabin-Karp polynomial over codepoints mod 2^31-1, char 8-grams,
+        # content-defined 1/64 sampling — powers shared with the engine;
+        # every product fits BIGINT (codepoint < 2^21 x power < 2^31, x8)
+        "doc_fingerprint_rolling": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                         i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+                         AS cp
+              FROM documents WHERE length(text) >= 8
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(cp) - 6),
+                         i -> ({terms}) % 2147483647) AS hs
+              FROM d
+            ), u AS (
+              SELECT DISTINCT doc_id, unnest(hs) AS fp FROM h
+            )
+            SELECT doc_id, fp FROM u WHERE fp % 64 = 0
+            ORDER BY doc_id, fp
+        """.format(terms=" + ".join(
+            "cp[i+{j}] * {p}".format(j=j, p=p) for j, p in enumerate(
+                __import__("weak_supervision_for_ner_ray.pipelines.ops",
+                           fromlist=["_roll_powers"])._roll_powers()))),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id

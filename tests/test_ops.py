@@ -173,6 +173,28 @@ def test_distinct_token_kmv(ray_session, docs_dir):
     assert 3500 <= est <= 7000                 # ~N within KMV error bounds
 
 
+def test_doc_fingerprint_rolling(ray_session, docs_dir):
+    out = to_arrow(ops.doc_fingerprint_rolling(docs_dir)).to_pydict()
+    by_doc = {}
+    for d, fp in zip(out["doc_id"], out["fp"]):
+        by_doc.setdefault(d, set()).add(fp)
+    # identical docs -> identical fingerprint sets
+    assert by_doc.get(0) == by_doc.get(1)
+    # a one-word edit preserves most fingerprints (locality — the property
+    # whole-document md5 lacks)
+    if 0 in by_doc and 2 in by_doc:
+        inter = len(by_doc[0] & by_doc[2])
+        assert inter >= len(by_doc[0]) * 0.5
+    # sequential oracle on one doc: brute-force polynomial at each position
+    text = "UPPER Case Text With Some Words"
+    pw = ops._roll_powers()
+    M, k = (1 << 31) - 1, 8
+    want = sorted({h for i in range(len(text) - k + 1)
+                   if (h := sum(ord(text[i + j]) * pw[j]
+                                for j in range(k)) % M) % 64 == 0})
+    assert sorted(by_doc.get(5, set())) == want
+
+
 def test_minhash_signature_properties():
     mh = ops.MinHasher(num_perm=64, shingle=2)
     a = "alpha beta gamma delta epsilon zeta"

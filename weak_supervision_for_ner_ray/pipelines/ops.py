@@ -162,6 +162,64 @@ def distinct_token_kmv(sf_dir: str, k: int = 256):
     })
 
 
+_ROLL_BASE = np.uint64(1_000_003)          # polynomial base
+_ROLL_MOD = np.uint64((1 << 31) - 1)        # Mersenne 2^31-1
+_ROLL_K = 8                                 # char window
+_ROLL_SAMPLE = 64                           # keep hashes ≡ 0 (mod 64)
+
+
+def _roll_powers(k: int = _ROLL_K) -> list[int]:
+    """B^(k-1-j) mod M for j = 0..k-1 — shared between the engine kernel
+    and the SQL oracle's generated polynomial expression."""
+    pw = [1] * k
+    for j in range(k - 2, -1, -1):
+        pw[j] = (pw[j + 1] * int(_ROLL_BASE)) % int(_ROLL_MOD)
+    return pw
+
+
+def doc_fingerprint_rolling(sf_dir: str, k: int = _ROLL_K,
+                            sample_mod: int = _ROLL_SAMPLE):
+    """Rolling-hash document fingerprints (content-defined sampling, the
+    winnowing/CDC-style scheme large-scale dedup pipelines use): every
+    char ``k``-gram is hashed with a Rabin-Karp polynomial over its
+    codepoints mod 2^31-1, and the ~1/``sample_mod`` of positions whose
+    hash ≡ 0 (mod ``sample_mod``) form the document's fingerprint set —
+    robust to insertions/deletions outside the window, unlike the whole-
+    document md5 of :func:`doc_fingerprint`.
+
+    Emits DISTINCT (doc_id, fp) rows.  The polynomial sum of 8 products
+    (codepoint < 2^21 × power < 2^31) stays under 2^55, so one trailing
+    mod in uint64 is exact — and the identical expression is evaluated in
+    BIGINT by the SQL oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    powers = np.array(_roll_powers(k), np.uint64)
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        out_ids, out_fps = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if not isinstance(text, str) or len(text) < k:
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"),
+                               np.uint32).astype(np.uint64)
+            n_pos = len(cp) - k + 1
+            h = np.zeros(n_pos, np.uint64)
+            for j in range(k):                     # 8 vector ops per doc
+                h += cp[j:j + n_pos] * powers[j]
+            h %= _ROLL_MOD
+            fps = np.unique(h[h % np.uint64(sample_mod) == 0])
+            if len(fps):
+                out_ids.append(np.full(len(fps), doc_id, np.int64))
+                out_fps.append(fps.astype(np.int64))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                         "fp": pa.array(np.concatenate(out_fps))})
+
+    return ds.map_batches(f, batch_format="pandas") \
+        .sort(["doc_id", "fp"])
+
+
 def quality_score_exact(sf_dir: str):
     """Simple quality heuristics per document: char count, token count,
     mean token length and uppercase ratio as exact integer micros (floor of
