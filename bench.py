@@ -91,6 +91,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("revenue_by_segment", lambda: ops.revenue_by_segment_exact(sf_dir))
     timed("events_hourly", lambda: ops.events_hourly_exact(sf_dir))
     timed("token_count", lambda: ops.token_count(sf_dir))
+    timed("token_count_bpe", lambda: ops.token_count_bpe(sf_dir))
+    timed("distinct_token_kmv", lambda: ops.distinct_token_kmv(sf_dir))
+    timed("doc_fingerprint_rolling",
+          lambda: ops.doc_fingerprint_rolling(sf_dir))
     timed("quality_score", lambda: ops.quality_score_exact(sf_dir))
     timed("lang_id", lambda: ops.lang_id(sf_dir))
     timed("exact_dedup", lambda: ops.exact_dedup(sf_dir))
