@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": ops.quality_score_exact,
         "doc_fingerprint": ops.doc_fingerprint,
         "doc_fingerprint_rolling": lambda sf: ops.doc_fingerprint_rolling(sf),
+        "sample_hash": lambda sf: ops.sample_hash(sf),
         "exact_dedup": ops.exact_dedup,
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
@@ -574,6 +575,17 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # deterministic hash sampling: same md5-low-8-bytes hash as the
+        # engine's _stable_token_hashes over 'seed:doc_id'
+        "sample_hash": """
+            SELECT doc_id, text,
+                   CAST(md5_number_lower('s13:' || CAST(doc_id AS VARCHAR))
+                        % 1000000 AS BIGINT) AS bucket_ppm
+            FROM documents
+            WHERE md5_number_lower('s13:' || CAST(doc_id AS VARCHAR))
+                  % 1000000 < 100000
+            ORDER BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qe

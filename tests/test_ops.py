@@ -195,6 +195,47 @@ def test_doc_fingerprint_rolling(ray_session, docs_dir):
     assert sorted(by_doc.get(5, set())) == want
 
 
+def test_sample_hash_deterministic(ray_session, docs_dir):
+    a = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
+    b = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
+    assert a == b                              # rerun-stable
+    assert all(p < 500_000 for p in a["bucket_ppm"])
+    # rate monotonicity: a larger rate keeps a superset
+    big = to_arrow(ops.sample_hash(docs_dir, rate_ppm=1_000_000))
+    assert set(a["doc_id"]) <= set(big["doc_id"].to_pylist())
+    assert big.num_rows == 6                   # ppm=1e6 keeps everything
+
+
+def test_text_ops_edge_docs(ray_session, tmp_path):
+    """Empty, whitespace-only and shorter-than-window docs must not crash
+    the text ops (and must emit nothing where nothing is defined)."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "edge"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "   ", "hi", "long enough document here"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    sf = str(d)
+    bpe = to_arrow(ops.token_count_bpe(sf)).to_pydict()
+    assert dict(zip(bpe["doc_id"], bpe["n_bpe_tokens"]))[0] == 0
+    kmv = to_arrow(ops.distinct_token_kmv(sf)).to_pydict()
+    assert kmv["m"][0] == 5                     # hi long enough document here
+    assert kmv["est_distinct"][0] == 5          # < k -> exact
+    roll = to_arrow(ops.doc_fingerprint_rolling(sf)).to_pydict()
+    # only the ≥8-char doc can emit (and with 19 positions × 1/64
+    # sampling it usually emits nothing)
+    assert set(roll.get("doc_id", [])) <= {3}
+    mh = to_arrow(ops.minhash_candidates(sf)).to_pydict()
+    # the two token-empty docs share the all-sentinel signature, so they
+    # are (trivially) candidates — same semantics as the SQL oracle's
+    # COALESCE(min(NULL), maxint); nothing else pairs
+    assert set(zip(mh["a"], mh["b"])) == {(0, 1)}
+
+
 def test_minhash_signature_properties():
     mh = ops.MinHasher(num_perm=64, shingle=2)
     a = "alpha beta gamma delta epsilon zeta"

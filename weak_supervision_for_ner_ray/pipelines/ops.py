@@ -220,6 +220,26 @@ def doc_fingerprint_rolling(sf_dir: str, k: int = _ROLL_K,
         .sort(["doc_id", "fp"])
 
 
+def sample_hash(sf_dir: str, rate_ppm: int = 100_000, seed: str = "s13"):
+    """Deterministic hash sampling: keep a document iff
+    ``md5(seed || doc_id) mod 1e6 < rate_ppm`` — the reproducible,
+    rerun-stable, cluster-size-independent way to subset training data
+    (a ``ds.random_sample`` would differ per run and per partitioning).
+    Pure per-batch filter, no shuffle; exact SQL oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _stable_token_hashes(
+            [f"{seed}:{d}" for d in batch["doc_id"]])
+        keep = (h % np.uint64(1_000_000)) < rate_ppm
+        out = batch.loc[np.asarray(keep)].copy()
+        out["bucket_ppm"] = (h[keep] % np.uint64(1_000_000)) \
+            .astype(np.int64)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def quality_score_exact(sf_dir: str):
     """Simple quality heuristics per document: char count, token count,
     mean token length and uppercase ratio as exact integer micros (floor of
