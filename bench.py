@@ -76,6 +76,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     def kg():
         from weak_supervision_for_ner_ray.stages.util import target_blocks
+        shutil.rmtree(workdir, ignore_errors=True)   # no cached stages
         out = build_kg(rd.read_parquet(turns_path,
                                        override_num_blocks=target_blocks()),
                        workdir, n_iter=2, write=True)
@@ -84,7 +85,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         _consume(out["edges"])
         return range(n)   # len() -> triple count
 
-    timed("kg_pipeline", kg)
+    # min of 2 cold runs: this host shows 2x run-to-run windows (noisy
+    # neighbours); a single shot can misreport the engine by 2x.  Both raw
+    # values are published as kg_runs.
+    kg_runs = []
+    for _ in range(2):
+        timed("kg_pipeline", kg)
+        kg_runs.append(timings["kg_pipeline"])
+    timings["kg_pipeline"] = min(kg_runs)
 
     # data ops over the provided tables
     timed("pricing_summary", lambda: ops.pricing_summary_exact(sf_dir))
@@ -111,6 +119,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "value": timings["kg_pipeline"],
         "unit": "sec",
         "queries": timings,
+        "kg_runs": kg_runs,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "turns": n_turns,
