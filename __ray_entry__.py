@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
         "dedup_embedding_lsh": lambda sf: ops.dedup_embedding_lsh(sf),
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
+        "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
@@ -124,6 +125,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
     }
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's k-means as SQL CTEs — exact because the engine's
+    kmeans_ivf_assign lives entirely on the integer-micros grid (int
+    sums are order-free; centroid = round-half-away(S/n) on exact ints;
+    distances are int64; ties argmin to the lowest cluster id)."""
+    half_away = ("CAST(floor(abs(sv * 1.0 / n) + 0.5) * "
+                 "(CASE WHEN sv < 0 THEN -1 ELSE 1 END) AS BIGINT)")
+    d2 = ("list_sum(list_transform(range(1, len(e.x) + 1), "
+          "i -> (e.x[i] - c.c[i]) * (e.x[i] - c.c[i])))")
+
+    def assign_cte(name: str, csrc: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, x, cid, d2 FROM (
+            SELECT e.vec_id, e.x, c.cid, CAST({d2} AS BIGINT) AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2}, c.cid) AS rk
+            FROM e CROSS JOIN {csrc} c)
+          WHERE rk = 1
+        )"""
+
+    parts = ["""e AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                     v -> CAST(round(v * 1000000) AS BIGINT)) AS x
+          FROM embeddings
+        )""", f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
+          FROM e ORDER BY vec_id LIMIT {k}
+        )"""]
+    for it in range(1, iters + 1):
+        parts.append(assign_cte(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""u{it} AS (
+          SELECT cid, unnest(range(1, len(x) + 1)) AS dim,
+                 unnest(x) AS val
+          FROM a{it}
+        )""")
+        parts.append(f"""s{it} AS (
+          SELECT cid, list({half_away} ORDER BY dim) AS c
+          FROM (SELECT cid, dim, sum(val) AS sv, count(*) AS n
+                FROM u{it} GROUP BY cid, dim)
+          GROUP BY cid
+        )""")
+        parts.append(f"""c{it} AS (
+          SELECT c{it - 1}.cid, COALESCE(s{it}.c, c{it - 1}.c) AS c
+          FROM c{it - 1} LEFT JOIN s{it} USING (cid)
+        )""")
+    parts.append(assign_cte("afinal", f"c{iters}"))
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT vec_id, cid AS cluster_id, d2 FROM afinal "
+              "ORDER BY vec_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -386,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
         "dedup_embedding": emb_dedup_sql,
+        "kmeans_ivf_assign": _kmeans_sql(),
         # the LSH-bucketed scale path must emit the IDENTICAL pair set
         # (recall 1.0 at these parameters on this corpus) — same oracle
         "dedup_embedding_lsh": emb_dedup_sql,

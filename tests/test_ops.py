@@ -195,6 +195,18 @@ def test_doc_fingerprint_rolling(ray_session, docs_dir):
     assert sorted(by_doc.get(5, set())) == want
 
 
+def test_kmeans_ivf_assign(ray_session, docs_dir):
+    out = to_arrow(ops.kmeans_ivf_assign(docs_dir, k=4)).to_pydict()
+    assert sorted(out["vec_id"]) == list(range(20))      # every vector
+    assert all(0 <= c < 4 for c in out["cluster_id"])
+    assert all(d >= 0 for d in out["d2"])
+    again = to_arrow(ops.kmeans_ivf_assign(docs_dir, k=4)).to_pydict()
+    assert out == again                                  # deterministic
+    # Lloyd iterations can only shrink total within-cluster distance
+    one = to_arrow(ops.kmeans_ivf_assign(docs_dir, k=4, iters=1))
+    assert sum(out["d2"]) <= sum(one.column("d2").to_pylist())
+
+
 def test_sample_hash_deterministic(ray_session, docs_dir):
     a = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
     b = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()

@@ -790,6 +790,93 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
         preserve_index=False)
 
 
+def _emb_micros(col) -> np.ndarray:
+    """Embeddings on the integer-micros grid (round-half-away, matching
+    SQL ``round(v * 1000000)``) — every k-means quantity derived from
+    these is exact integer math, so the iterative algorithm below has an
+    exact oracle (no float-summation-order hazards)."""
+    X = _embedding_matrix(col)
+    return np.copysign(np.floor(np.abs(X) * 1e6 + 0.5), X) \
+        .astype(np.int64)
+
+
+def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding table — the coarse
+    quantizer an IVF ANN index trains (each final cluster = one IVF
+    cell/partition).  Scale shape per iteration:
+
+    * one ``map_batches`` pass emits per-block PARTIAL sufficient
+      statistics (per-cluster int64 coordinate sums + counts, a k×dim
+      table — the classic combiner before any exchange);
+    * the driver folds the tiny partials, recomputes centroids, and
+      broadcasts them into the next pass's closure.
+
+    Everything lives on the integer-micros grid: coordinates are exact
+    micros, cluster sums are order-free int64 adds, centroids are
+    round-half-away(S/n) back onto the grid, distances are int64 sums of
+    squared diffs, and argmin ties break to the lowest cluster id — so
+    ``iters`` unrolled iterations are reproducible bit-for-bit by a SQL
+    oracle.  Init: the k vectors with the smallest vec_ids.  An emptied
+    cluster keeps its previous centroid."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seed_tbl = _to_arrow(ds.sort("vec_id").limit(k))
+    centroids = _emb_micros(seed_tbl["embedding"])          # (k, dim)
+    k = centroids.shape[0]                  # corpus may hold < k vectors
+    dim = centroids.shape[1]
+
+    def assign(X: np.ndarray, C: np.ndarray):
+        # (B, k) int64 squared distances; micros < 2^21 ⇒ d2 < 2^48·dim
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2                # argmin = lowest id
+
+    for _ in range(iters):
+        C = centroids
+
+        def partial(batch: pa.Table) -> pa.Table:
+            X = _emb_micros(batch["embedding"])
+            a, _ = assign(X, C)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums), pa.list_(pa.int64())),
+            })
+
+        agg = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=2048,
+                                       zero_copy_batch=True))
+        cid = np.asarray(agg["cid"].to_pylist(), np.int64)
+        n = np.asarray(agg["n"].to_pylist(), np.int64)
+        s = np.asarray(agg["s"].to_pylist(), np.int64).reshape(-1, dim)
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, dim), np.int64)
+        np.add.at(counts, cid, n)
+        np.add.at(sums, cid, s)
+        new_c = centroids.copy()
+        nz = counts > 0
+        ratio = sums[nz] / counts[nz, None]          # exact ints / n
+        new_c[nz] = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio) \
+            .astype(np.int64)
+        centroids = new_c
+
+    C = centroids
+
+    def final(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        a, d2 = assign(X, C)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster_id": pa.array(a.astype(np.int64)),
+            "d2": pa.array(d2[np.arange(len(a)), a]),
+        })
+
+    return ds.map_batches(final, batch_format="pyarrow",
+                          batch_size=2048,
+                          zero_copy_batch=True).sort("vec_id")
+
+
 class LSHBucketStage:
     """Random-hyperplane LSH bucketing of embeddings (the scale path for
     ANN): bucket = sign bits of W·x.  Stateful: W drawn once per actor from
