@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: ops.dedup_embedding_lsh(sf),
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
+        "ivf_query": lambda sf: ops.ivf_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
@@ -127,15 +128,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
-    """Unrolled Lloyd's k-means as SQL CTEs — exact because the engine's
-    kmeans_ivf_assign lives entirely on the integer-micros grid (int
+def _d2_expr(xref: str, cref: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({xref}) + 1), "
+            f"i -> ({xref}[i] - {cref}[i]) * ({xref}[i] - {cref}[i])))")
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> list[str]:
+    """Shared unrolled Lloyd's k-means CTEs (e, c0, a/u/s/c per
+    iteration, afinal = assignment under the trained centroids) — exact
+    because the engine lives entirely on the integer-micros grid (int
     sums are order-free; centroid = round-half-away(S/n) on exact ints;
     distances are int64; ties argmin to the lowest cluster id)."""
     half_away = ("CAST(floor(abs(sv * 1.0 / n) + 0.5) * "
                  "(CASE WHEN sv < 0 THEN -1 ELSE 1 END) AS BIGINT)")
-    d2 = ("list_sum(list_transform(range(1, len(e.x) + 1), "
-          "i -> (e.x[i] - c.c[i]) * (e.x[i] - c.c[i])))")
+    d2 = _d2_expr("e.x", "c.c")
 
     def assign_cte(name: str, csrc: str) -> str:
         return f"""{name} AS (
@@ -173,9 +179,48 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
           FROM c{it - 1} LEFT JOIN s{it} USING (cid)
         )""")
     parts.append(assign_cte("afinal", f"c{iters}"))
-    return ("WITH " + ",\n".join(parts)
+    return parts
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    return ("WITH " + ",\n".join(_kmeans_ctes(k, iters))
             + "\nSELECT vec_id, cid AS cluster_id, d2 FROM afinal "
               "ORDER BY vec_id")
+
+
+def _ivf_query_sql(k: int = 8, iters: int = 3, n_queries: int = 8,
+                   nprobe: int = 2, topk: int = 10) -> str:
+    """IVF probe on top of the k-means CTEs: nprobe nearest cells per
+    query, exact int64 top-k within the probed cells (ties by vec_id)."""
+    parts = _kmeans_ctes(k, iters)
+    qc_d2 = _d2_expr("q.qx", "c.c")
+    r_d2 = _d2_expr("q.qx", "cand.x")
+    parts.append(f"""q AS (
+          SELECT vec_id AS qid, x AS qx FROM e
+          ORDER BY vec_id LIMIT {n_queries}
+        )""")
+    parts.append(f"""qc AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY {qc_d2}, c.cid) AS rk
+            FROM q CROSS JOIN c{iters} c)
+          WHERE rk <= {nprobe}
+        )""")
+    parts.append("""cand AS (
+          SELECT qc.qid, a.vec_id, a.x
+          FROM qc JOIN afinal a ON a.cid = qc.cid
+        )""")
+    parts.append(f"""r AS (
+          SELECT cand.qid AS query_id, cand.vec_id,
+                 CAST({r_d2} AS BIGINT) AS d2,
+                 row_number() OVER (PARTITION BY cand.qid
+                                    ORDER BY {r_d2}, cand.vec_id) AS rank
+          FROM cand JOIN q ON q.qid = cand.qid
+        )""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT query_id, rank, vec_id, d2 FROM r "
+              f"WHERE rank <= {topk} ORDER BY query_id, rank")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -439,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": minhash_sql,
         "dedup_embedding": emb_dedup_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
+        "ivf_query": _ivf_query_sql(),
         # the LSH-bucketed scale path must emit the IDENTICAL pair set
         # (recall 1.0 at these parameters on this corpus) — same oracle
         "dedup_embedding_lsh": emb_dedup_sql,

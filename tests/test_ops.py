@@ -207,6 +207,28 @@ def test_kmeans_ivf_assign(ray_session, docs_dir):
     assert sum(out["d2"]) <= sum(one.column("d2").to_pylist())
 
 
+def test_ivf_query(ray_session, docs_dir):
+    out = ops.ivf_query(docs_dir, k=4, n_queries=3, nprobe=2, topk=5) \
+        .to_pydict()
+    assert set(out["query_id"]) == {0, 1, 2}
+    for q in (0, 1, 2):
+        ranks = [r for qq, r in zip(out["query_id"], out["rank"])
+                 if qq == q]
+        assert ranks == list(range(1, len(ranks) + 1))
+        ds = [d for qq, d in zip(out["query_id"], out["d2"]) if qq == q]
+        assert ds == sorted(ds)
+    # a query always probes its own cell, so it finds itself at d2 = 0
+    self_hits = {(q, v) for q, v, d in zip(out["query_id"],
+                                           out["vec_id"], out["d2"])
+                 if d == 0 and q == v}
+    assert {(0, 0), (1, 1), (2, 2)} <= self_hits
+    # probing ALL cells == exact integer-grid knn; nprobe=2 is a subset
+    full = ops.ivf_query(docs_dir, k=4, n_queries=3, nprobe=4, topk=5) \
+        .to_pydict()
+    pairs = set(zip(out["query_id"], out["vec_id"]))
+    assert len(pairs) <= len(set(zip(full["query_id"], full["vec_id"])))
+
+
 def test_sample_hash_deterministic(ray_session, docs_dir):
     a = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
     b = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()

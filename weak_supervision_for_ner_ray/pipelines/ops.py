@@ -800,41 +800,27 @@ def _emb_micros(col) -> np.ndarray:
         .astype(np.int64)
 
 
-def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
-    """Distributed Lloyd's k-means over the embedding table — the coarse
-    quantizer an IVF ANN index trains (each final cluster = one IVF
-    cell/partition).  Scale shape per iteration:
+def _kmeans_assign(X: np.ndarray, C: np.ndarray):
+    """(argmin cluster, full (B, k) int64 d2 matrix); micros < 2^21 so
+    d2 < 2^48·dim; np.argmin's first-occurrence rule = lowest cid tie."""
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), d2
 
-    * one ``map_batches`` pass emits per-block PARTIAL sufficient
-      statistics (per-cluster int64 coordinate sums + counts, a k×dim
-      table — the classic combiner before any exchange);
-    * the driver folds the tiny partials, recomputes centroids, and
-      broadcasts them into the next pass's closure.
 
-    Everything lives on the integer-micros grid: coordinates are exact
-    micros, cluster sums are order-free int64 adds, centroids are
-    round-half-away(S/n) back onto the grid, distances are int64 sums of
-    squared diffs, and argmin ties break to the lowest cluster id — so
-    ``iters`` unrolled iterations are reproducible bit-for-bit by a SQL
-    oracle.  Init: the k vectors with the smallest vec_ids.  An emptied
-    cluster keeps its previous centroid."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+def _kmeans_centroids(ds, k: int, iters: int) -> np.ndarray:
+    """The Lloyd training loop shared by :func:`kmeans_ivf_assign` and
+    :func:`ivf_query` — per-block integer partials, driver fold,
+    broadcast; see kmeans_ivf_assign for the exactness contract."""
     seed_tbl = _to_arrow(ds.sort("vec_id").limit(k))
     centroids = _emb_micros(seed_tbl["embedding"])          # (k, dim)
     k = centroids.shape[0]                  # corpus may hold < k vectors
     dim = centroids.shape[1]
-
-    def assign(X: np.ndarray, C: np.ndarray):
-        # (B, k) int64 squared distances; micros < 2^21 ⇒ d2 < 2^48·dim
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return d2.argmin(axis=1), d2                # argmin = lowest id
-
     for _ in range(iters):
         C = centroids
 
         def partial(batch: pa.Table) -> pa.Table:
             X = _emb_micros(batch["embedding"])
-            a, _ = assign(X, C)
+            a, _ = _kmeans_assign(X, C)
             sums = np.zeros((k, dim), np.int64)
             np.add.at(sums, a, X)
             counts = np.bincount(a, minlength=k).astype(np.int64)
@@ -860,12 +846,33 @@ def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
         new_c[nz] = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio) \
             .astype(np.int64)
         centroids = new_c
+    return centroids
 
-    C = centroids
+
+def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding table — the coarse
+    quantizer an IVF ANN index trains (each final cluster = one IVF
+    cell/partition).  Scale shape per iteration:
+
+    * one ``map_batches`` pass emits per-block PARTIAL sufficient
+      statistics (per-cluster int64 coordinate sums + counts, a k×dim
+      table — the classic combiner before any exchange);
+    * the driver folds the tiny partials, recomputes centroids, and
+      broadcasts them into the next pass's closure.
+
+    Everything lives on the integer-micros grid: coordinates are exact
+    micros, cluster sums are order-free int64 adds, centroids are
+    round-half-away(S/n) back onto the grid, distances are int64 sums of
+    squared diffs, and argmin ties break to the lowest cluster id — so
+    ``iters`` unrolled iterations are reproducible bit-for-bit by a SQL
+    oracle.  Init: the k vectors with the smallest vec_ids.  An emptied
+    cluster keeps its previous centroid."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(ds, k, iters)
 
     def final(batch: pa.Table) -> pa.Table:
         X = _emb_micros(batch["embedding"])
-        a, d2 = assign(X, C)
+        a, d2 = _kmeans_assign(X, C)
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster_id": pa.array(a.astype(np.int64)),
@@ -875,6 +882,64 @@ def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
     return ds.map_batches(final, batch_format="pyarrow",
                           batch_size=2048,
                           zero_copy_batch=True).sort("vec_id")
+
+
+def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
+              n_queries: int = 8, nprobe: int = 2, topk: int = 10):
+    """IVF ANN search over the k-means cells of :func:`_kmeans_centroids`:
+    each query probes its ``nprobe`` nearest centroids and takes the
+    exact int64-d2 top-``topk`` among vectors assigned to those cells —
+    the standard inverted-file layout where a probe scans
+    ~``nprobe/k`` of the corpus instead of all of it.
+
+    Distributed shape: queries + centroids broadcast into a single
+    ``map_batches`` pass; each block assigns its rows to cells, masks per
+    query, and emits per-block top-k partials; the driver merges the tiny
+    (n_queries·topk·n_blocks) candidate set.  Same integer-micros grid as
+    the quantizer, so the SQL oracle (the unrolled k-means CTEs plus a
+    probe join) matches exactly.  Ranks tie-break by vec_id."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(ds, k, iters)
+    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
+    Q = _emb_micros(qtbl["embedding"])                       # (nq, dim)
+    # nprobe nearest cells per query (ties -> lowest cid via argsort)
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]  # (nq, p)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        cell, _ = _kmeans_assign(X, C)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cell, probe[qi])
+            if not m.any():
+                continue
+            d2 = ((X[m] - Q[qi][None, :]) ** 2).sum(axis=1)
+            order = np.lexsort((ids[m], d2))[:topk]
+            out_q.append(np.full(len(order), q_ids[qi], np.int64))
+            out_v.append(ids[m][order])
+            out_d.append(d2[order])
+        if not out_q:
+            e = np.empty(0, np.int64)
+            return pa.table({"query_id": pa.array(e), "vec_id":
+                             pa.array(e), "d2": pa.array(e)})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "d2": pa.array(np.concatenate(out_d)),
+        })
+
+    parts = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=2048,
+                                     zero_copy_batch=True)).to_pandas()
+    parts = parts.sort_values(["query_id", "d2", "vec_id"])
+    parts = parts.groupby("query_id", sort=True).head(topk) \
+        .reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        parts[["query_id", "rank", "vec_id", "d2"]], preserve_index=False)
 
 
 class LSHBucketStage:
