@@ -112,6 +112,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dedup_embedding_lsh", lambda: ops.dedup_embedding_lsh(sf_dir))
     timed("knn_bruteforce", lambda: ops.knn_bruteforce(sf_dir))
     timed("ann_lsh_query", lambda: ops.ann_lsh_query(sf_dir))
+    timed("kmeans_ivf_assign", lambda: ops.kmeans_ivf_assign(sf_dir))
+    timed("ivf_query", lambda: ops.ivf_query(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {
