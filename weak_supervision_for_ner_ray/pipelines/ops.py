@@ -807,10 +807,18 @@ def _kmeans_assign(X: np.ndarray, C: np.ndarray):
     return d2.argmin(axis=1), d2
 
 
-def _kmeans_centroids(ds, k: int, iters: int) -> np.ndarray:
+_KMEANS_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _kmeans_centroids(ds, k: int, iters: int,
+                      cache_key: tuple | None = None) -> np.ndarray:
     """The Lloyd training loop shared by :func:`kmeans_ivf_assign` and
     :func:`ivf_query` — per-block integer partials, driver fold,
-    broadcast; see kmeans_ivf_assign for the exactness contract."""
+    broadcast; see kmeans_ivf_assign for the exactness contract.
+    Training is deterministic, so repeated calls on the same input
+    (assign then query) reuse the per-process cached centroids."""
+    if cache_key is not None and cache_key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[cache_key]
     seed_tbl = _to_arrow(ds.sort("vec_id").limit(k))
     centroids = _emb_micros(seed_tbl["embedding"])          # (k, dim)
     k = centroids.shape[0]                  # corpus may hold < k vectors
@@ -846,6 +854,10 @@ def _kmeans_centroids(ds, k: int, iters: int) -> np.ndarray:
         new_c[nz] = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio) \
             .astype(np.int64)
         centroids = new_c
+    if cache_key is not None:
+        if len(_KMEANS_CACHE) > 32:
+            _KMEANS_CACHE.clear()
+        _KMEANS_CACHE[cache_key] = centroids
     return centroids
 
 
@@ -868,7 +880,7 @@ def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
     oracle.  Init: the k vectors with the smallest vec_ids.  An emptied
     cluster keeps its previous centroid."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    C = _kmeans_centroids(ds, k, iters)
+    C = _kmeans_centroids(ds, k, iters, cache_key=(sf_dir, k, iters))
 
     def final(batch: pa.Table) -> pa.Table:
         X = _emb_micros(batch["embedding"])
@@ -899,7 +911,7 @@ def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
     the quantizer, so the SQL oracle (the unrolled k-means CTEs plus a
     probe join) matches exactly.  Ranks tie-break by vec_id."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    C = _kmeans_centroids(ds, k, iters)
+    C = _kmeans_centroids(ds, k, iters, cache_key=(sf_dir, k, iters))
     qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
     q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
     Q = _emb_micros(qtbl["embedding"])                       # (nq, dim)
