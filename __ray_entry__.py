@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
         "ivf_query": lambda sf: ops.ivf_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
+        "dedup_clusters": lambda sf: ops.dedup_clusters(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
         "lang_id": ops.lang_id,
@@ -461,6 +462,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a, b ORDER BY a, b
     """
 
+    # duplicate clusters = connected components over the minhash pair
+    # graph: the engine's distributed min-label propagation fixpoint is
+    # exactly min(reachable node id), which a recursive CTE computes
+    clusters_sql = f"""
+        WITH RECURSIVE pairs AS ({minhash_sql}),
+        nodes AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+        edges2 AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+        reach (v, r) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT rc.v, e.b FROM reach rc JOIN edges2 e ON e.a = rc.r
+        )
+        SELECT v AS doc_id, min(r) AS cluster_id FROM reach
+        GROUP BY v ORDER BY doc_id
+    """
+
     # embedding-cosine near-dup: same integer-micros rounding as the knn
     # oracle; the >= filter compares the SAME integers on both sides
     emb_dedup_sql = """
@@ -482,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": ann_sql,
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
+        "dedup_clusters": clusters_sql,
         "dedup_embedding": emb_dedup_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
         "ivf_query": _ivf_query_sql(),

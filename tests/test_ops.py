@@ -70,6 +70,19 @@ def test_minhash_finds_near_duplicates(ray_session, docs_dir):
     assert all(a < 4 and b < 4 for a, b in pairs), pairs
 
 
+def test_dedup_clusters_transitive(ray_session, docs_dir):
+    out = to_arrow(ops.dedup_clusters(docs_dir)).to_pydict()
+    by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+    # docs 0,1 are exact dups and 2 is a near-dup of them: one component
+    # labelled by its smallest member — the transitive closure pairs
+    # alone don't give
+    assert by_doc[0] == by_doc[1] == 0
+    if 2 in by_doc:
+        assert by_doc[2] == 0
+    # labels are component minima: every cluster id is a member doc id
+    assert set(out["cluster_id"]) <= set(out["doc_id"])
+
+
 def test_ngram_jaccard_verification(ray_session, docs_dir):
     out = ops.ngram_jaccard_verify(docs_dir, threshold=0.5)
     d = to_arrow(out).to_pydict()

@@ -569,6 +569,95 @@ def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3,
                                zero_copy_batch=True)
 
 
+def dedup_clusters(sf_dir: str, max_iters: int = 64):
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph (a near-dup pair is an edge; a component is one
+    duplicate cluster, labelled by its smallest doc_id) — the step after
+    pair generation in a real dedup pipeline, where "keep one per
+    cluster" needs the transitive closure, not just pairs.
+
+    Distributed min-label propagation: each iteration unions the edge
+    rows with the current label rows, groups by node (every group holds
+    the node's labels + its adjacency), pushes the node's min label to
+    its neighbours, and ``groupby(node).min`` consolidates — two
+    exchanges per iteration, converging in graph-diameter iterations
+    (duplicate clusters are shallow).  Labels are monotone decreasing
+    ints, so the fixpoint test is an exact Sum aggregate.  The SQL
+    oracle computes the same components with a recursive CTE."""
+    pairs = minhash_candidates(sf_dir).materialize()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return empty
+
+    # sentinel encoding keeps everything int64 (nulls degrade to float
+    # NaN in numpy group batches): edge rows lbl=-1; message rows nbr=-1;
+    # each node's own consolidated row nbr=-2 (doubles as the output)
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_pylist(), np.int64)
+        b = np.asarray(t["b"].to_pylist(), np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "nbr": pa.array(np.concatenate([b, a])),
+            "lbl": pa.array(np.full(2 * len(a), -1, np.int64)),
+        })
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_pylist(), np.int64)
+        b = np.asarray(t["b"].to_pylist(), np.int64)
+        node = np.concatenate([a, b])
+        return pa.table({
+            "node": pa.array(node),
+            "nbr": pa.array(np.full(len(node), -1, np.int64)),
+            "lbl": pa.array(node),
+        })
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    labels = pairs.map_batches(seed_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def prop(g: dict) -> dict:
+        # the group consolidates last round's messages itself (min), so
+        # no separate Min-aggregate pass is needed per iteration
+        lbl = np.asarray(g["lbl"], np.int64)
+        nbr = np.asarray(g["nbr"], np.int64)
+        cur = lbl[lbl >= 0].min()
+        out = np.concatenate([nbr[nbr >= 0], g["node"][:1]])
+        marks = np.full(len(out), -1, np.int64)
+        marks[-1] = -2                           # self row = current label
+        return {"node": out, "nbr": marks,
+                "lbl": np.full(len(out), cur, np.int64)}
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("nbr"), -2))
+
+    prev_sum = None
+    for it in range(max_iters):
+        labels = edges.union(labels).groupby("node").map_groups(
+            prop, batch_format="numpy").materialize()
+        # labels are monotone decreasing ints -> Sum is an exact fixpoint
+        # test (one cheap pass over the materialized message table)
+        s = labels.map_batches(self_rows, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation hit the %d-iteration cap "
+            "before converging", max_iters)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("nbr"), -2))
+        return pa.table({"doc_id": t.column("node"),
+                         "cluster_id": t.column("lbl")})
+
+    return labels.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("doc_id")
+
+
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
     """Near-dup pairs verified by exact n-gram Jaccard similarity —
     fully distributed (no driver-side text loop):
