@@ -201,3 +201,39 @@ def test_emis_buffer_reset_discards_buffered_rows():
     st = SuffStats()
     buf.apply(st)
     assert np.abs(st.obs).max() == 0.0
+
+
+def test_dedup_rows_verifies_content_on_fp_collision():
+    """A 63-bit obs_fp collision between two DIFFERENT patterns must not
+    merge their statistics: _dedup_rows verifies byte-equality within
+    each fp group (ADVICE r3)."""
+    from weak_supervision_for_ner_ray.stages.em_actors import _dedup_rows
+
+    tbl = _obs_table(seed=5, n_turns=12, dup_every=3)
+    # forge a collision: give every row the same fingerprint
+    tbl = tbl.set_column(0, "obs_fp",
+                         pa.array([7] * tbl.num_rows, pa.int64()))
+    rows = ObsRows(tbl)
+    fp = tbl.column("obs_fp").to_numpy(zero_copy_only=False)
+    idx, cnt = _dedup_rows(fp, rows)
+    # 4 distinct patterns repeated 3x each -> 4 representatives, weight 3
+    assert len(idx) == 4
+    assert sorted(cnt.tolist()) == [3, 3, 3, 3]
+    assert cnt.sum() == tbl.num_rows
+    # representatives must be the first occurrence of each pattern
+    assert sorted(idx.tolist()) == [0, 1, 2, 3]
+
+
+def test_dedup_rows_matches_unique_when_no_collision():
+    """On honest fingerprints the result is identical to the previous
+    unique-by-fp implementation (same order, same weights)."""
+    from weak_supervision_for_ner_ray.stages.em_actors import _dedup_rows
+
+    tbl = _obs_table(seed=9, n_turns=30, dup_every=3)
+    rows = ObsRows(tbl)
+    fp = tbl.column("obs_fp").to_numpy(zero_copy_only=False)
+    idx, cnt = _dedup_rows(fp, rows)
+    _, exp_idx, exp_cnt = np.unique(fp, return_index=True,
+                                    return_counts=True)
+    assert idx.tolist() == exp_idx.tolist()
+    assert cnt.tolist() == exp_cnt.tolist()

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -94,8 +95,21 @@ def token_count(sf_dir: str):
 # GPT-2-style pretokenizer, restricted to constructs RE2 (the SQL oracle's
 # regex engine) and Python ``re`` evaluate identically: no lookahead, ASCII
 # classes.  Contractions | space+letters | space+digits | space+other | ws.
+# Whitespace is the EXPLICIT RE2 class [\t\n\f\r ] rather than ``\s``:
+# Python's \s additionally matches \v and Unicode spaces (U+00A0 etc.),
+# so a shared "\s" evaluates differently on non-ASCII-whitespace text.
+_ASCII_WS = r"\t\n\f\r "
 _BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-                r"| ?[^\sA-Za-z0-9]+|\s+")
+                r"| ?[^" + _ASCII_WS + r"A-Za-z0-9]+|[" + _ASCII_WS + r"]+")
+
+# token split for the hash-based ops whose oracle splits on RE2 '\s+'
+# ([\t\n\f\r ]): same class on the engine side so parity holds even for
+# documents containing non-ASCII whitespace
+_ASCII_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _ws_tokens(text: str) -> list[str]:
+    return [w for w in _ASCII_WS_RE.split(text) if w]
 
 
 def token_count_bpe(sf_dir: str):
@@ -134,7 +148,7 @@ def distinct_token_kmv(sf_dir: str, k: int = 256):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        toks = [w for t in batch["text"].dropna() for w in t.split()]
+        toks = [w for t in batch["text"].dropna() for w in _ws_tokens(t)]
         # the sketch lives in the 2^63 space (hash >> 1): int64 survives
         # every Ray block conversion (uint64 does not), and the SQL oracle
         # applies the same shift BEFORE dedup so both sides see the
@@ -588,7 +602,7 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
     if pairs.count() == 0:
-        return empty
+        return rd.from_arrow(empty)      # same return type as the main path
 
     # sentinel encoding keeps everything int64 (nulls degrade to float
     # NaN in numpy group batches): edge rows lbl=-1; message rows nbr=-1;
@@ -644,10 +658,14 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
             break
         prev_sum = s
     else:
-        import logging
-        logging.getLogger(__name__).warning(
-            "dedup_clusters: label propagation hit the %d-iteration cap "
-            "before converging", max_iters)
+        # unconverged labels are WRONG (they disagree with the
+        # connected-components oracle), so fail loudly instead of
+        # returning them — callers can raise max_iters for graphs with
+        # genuinely deep duplicate chains
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_iters} iterations; the duplicate graph has a component "
+            f"with diameter > {max_iters} — rerun with a higher max_iters")
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("nbr"), -2))
@@ -899,6 +917,24 @@ def _kmeans_assign(X: np.ndarray, C: np.ndarray):
 _KMEANS_CACHE: dict[tuple, np.ndarray] = {}
 
 
+def _table_fingerprint(sf_dir: str, name: str = "embeddings") -> tuple:
+    """Cheap content fingerprint of a parquet table: (file, size,
+    mtime_ns) per part — regenerating the data under the same path
+    invalidates any cache keyed on it (no full-data hash needed)."""
+    import glob
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    out = []
+    for f in files:
+        try:
+            st = os.stat(f)
+            out.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((os.path.basename(f), -1, -1))
+    return tuple(out)
+
+
 def _kmeans_centroids(ds, k: int, iters: int,
                       cache_key: tuple | None = None) -> np.ndarray:
     """The Lloyd training loop shared by :func:`kmeans_ivf_assign` and
@@ -969,7 +1005,9 @@ def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
     oracle.  Init: the k vectors with the smallest vec_ids.  An emptied
     cluster keeps its previous centroid."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    C = _kmeans_centroids(ds, k, iters, cache_key=(sf_dir, k, iters))
+    C = _kmeans_centroids(
+        ds, k, iters,
+        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)))
 
     def final(batch: pa.Table) -> pa.Table:
         X = _emb_micros(batch["embedding"])
@@ -1000,7 +1038,9 @@ def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
     the quantizer, so the SQL oracle (the unrolled k-means CTEs plus a
     probe join) matches exactly.  Ranks tie-break by vec_id."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    C = _kmeans_centroids(ds, k, iters, cache_key=(sf_dir, k, iters))
+    C = _kmeans_centroids(
+        ds, k, iters,
+        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)))
     qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
     q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
     Q = _emb_micros(qtbl["embedding"])                       # (nq, dim)
@@ -1351,6 +1391,11 @@ def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
             f"dedup_embedding_cosine is the all-pairs baseline, capped at "
             f"{max_rows} rows (got {n_rows}); use dedup_embedding_lsh for "
             f"the bucketed scale path")
+    if n_rows == 0:
+        # _gathered_matrix cannot concat zero blocks; empty in -> empty out
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64())}))
     mat_ref = _gathered_matrix.remote(ds.to_arrow_refs())
 
     def pairs(batch: pa.Table) -> pa.Table:

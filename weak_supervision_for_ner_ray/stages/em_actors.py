@@ -28,6 +28,49 @@ from .encode import ObsRows
 _OBS_COLS = ["obs_fp", "n_tokens", "o_t", "o_s", "o_state", "o_conf"]
 
 
+def _dedup_rows(fp: np.ndarray, rows: ObsRows):
+    """Exact dedup of identical observation patterns.
+
+    ``obs_fp`` (a 63-bit blake2b of the pattern bytes, stages/encode.py)
+    is only the grouping PREFILTER: rows sharing an fp are verified
+    byte-equal on the actual pattern content (token count + the flat
+    (t, source, state, conf) pair arrays) before their weights merge, so
+    a fingerprint collision can never merge two different turns' EM
+    statistics — it merely costs the collided rows their dedup.
+
+    Returns (representative row indices, weights), ordered by (fp, row)
+    exactly like the previous unique-by-fp implementation so the E-step
+    accumulation order — and therefore every float result — is unchanged
+    on collision-free data.
+    """
+    uniq_fp, first_idx, inv, counts = np.unique(
+        fp, return_index=True, return_inverse=True, return_counts=True)
+    if (counts <= 1).all():
+        return first_idx.astype(np.int64), counts.astype(np.int64)
+    rep_idx = first_idx[counts == 1].tolist()
+    rep_counts = [1] * len(rep_idx)
+    off = rows.offsets
+    nt = rows.n_tokens
+    c = rows.cols
+    seen: dict[tuple, int] = {}
+    for i in np.flatnonzero(counts[inv] > 1):
+        lo, hi = int(off[i]), int(off[i + 1])
+        key = (int(fp[i]), int(nt[i]),
+               c["o_t"][lo:hi].tobytes(), c["o_s"][lo:hi].tobytes(),
+               c["o_state"][lo:hi].tobytes(), c["o_conf"][lo:hi].tobytes())
+        slot = seen.get(key)
+        if slot is None:
+            seen[key] = len(rep_idx)
+            rep_idx.append(int(i))
+            rep_counts.append(1)
+        else:
+            rep_counts[slot] += 1
+    idx = np.asarray(rep_idx, np.int64)
+    cnt = np.asarray(rep_counts, np.int64)
+    order = np.lexsort((idx, fp[idx]))
+    return idx[order], cnt[order]
+
+
 def _take_rows(rows: ObsRows, idx: np.ndarray) -> ObsRows:
     """New ObsRows view containing only the selected turns (vectorised
     gather of the flat pair arrays)."""
@@ -90,7 +133,7 @@ class EMShard:
         fp = batch.column("obs_fp").to_numpy(zero_copy_only=False)
         rows = ObsRows(batch)
         self.n_raw = len(rows)
-        uniq_idx, counts = self._dedup(fp)
+        uniq_idx, counts = _dedup_rows(fp, rows)
         if len(uniq_idx) < len(rows):
             self.rows = _take_rows(rows, uniq_idx)
             self.weights = counts.astype(np.float64)
@@ -162,24 +205,12 @@ class EMShard:
                 batch = pf.read_row_groups([rg], columns=_OBS_COLS)
                 fp = batch.column("obs_fp").to_numpy(zero_copy_only=False)
                 rows = ObsRows(batch)
-                uniq_idx, counts = self._dedup(fp)
+                uniq_idx, counts = _dedup_rows(fp, rows)
                 if len(uniq_idx) < len(rows):
                     yield _take_rows(rows, uniq_idx), \
                         counts.astype(np.float64)
                 else:
                     yield rows, None
-
-    @staticmethod
-    def _dedup(fp: np.ndarray):
-        """Group identical observation patterns by the precomputed
-        ``obs_fp`` column (stages/encode.py writes it per turn) — one
-        vectorised ``np.unique`` instead of a per-row blake2b loop.  The
-        63-bit fingerprint is collision-safe at per-shard cardinality
-        (~10⁶-10⁸ turns: collision odds < 10⁻³), and a collision only
-        merges two turns' linear statistics — bounded, not compounding."""
-        _, uniq_idx, counts = np.unique(fp, return_index=True,
-                                        return_counts=True)
-        return uniq_idx.astype(np.int64), counts.astype(np.int64)
 
     def n_turns(self) -> int:
         return getattr(self, "n_raw", 0)

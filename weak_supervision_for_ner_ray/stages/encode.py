@@ -215,10 +215,11 @@ def encode_obs_batch(batch: pa.Table) -> pa.Table:
                 o_state.append(state)
                 o_conf.append(conf)
         offsets.append(len(o_t))
-        # observation-pattern fingerprint: sorting the obs table by this
-        # key makes identical turns adjacent, so contiguous EM shards see
-        # (nearly) global duplicate groups — exact-dedup locality key only,
-        # 64-bit collisions merely cost a little locality
+        # observation-pattern fingerprint: the EM shard dedup groups
+        # turns by this key, then verifies byte-equality of the actual
+        # pattern within each group before merging weights
+        # (em_actors._dedup_rows) — so a 63-bit collision costs a little
+        # dedup, never correctness
         h = hashlib.blake2b(digest_size=8)
         h.update(int(nt).to_bytes(4, "little"))
         h.update(np.asarray(o_t[lo:], np.int32).tobytes())
