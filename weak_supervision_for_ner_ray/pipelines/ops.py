@@ -846,12 +846,31 @@ def _join_partitions() -> int:
     return max(2, cpus)
 
 
+def _smallest_by_vec_id(ds, n: int) -> pa.Table:
+    """The ``n`` rows with the smallest ``vec_id``: per-block partial
+    select (argpartition) + a tiny driver merge over ≤ n_blocks·n rows —
+    replaces ``ds.sort().limit(n)``, which runs a full distributed sort
+    of the whole table to keep n rows (measured as the dominant cost of
+    knn/ann/ivf query selection at sf0.1)."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) <= n:
+            return t
+        idx = np.argpartition(ids, n - 1)[:n]
+        return t.take(pa.array(np.sort(idx)))
+
+    parts = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    order = pc.sort_indices(parts.column("vec_id"))
+    return parts.take(order.slice(0, min(n, parts.num_rows)))
+
+
 def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     """Brute-force cosine top-k: the query matrix (smallest ``n_queries``
     vec_ids) is broadcast; each batch computes a local top-k via one matmul;
     partial top-ks are merged on the driver (tiny)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    qtbl = _smallest_by_vec_id(ds, n_queries)
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -944,7 +963,7 @@ def _kmeans_centroids(ds, k: int, iters: int,
     (assign then query) reuse the per-process cached centroids."""
     if cache_key is not None and cache_key in _KMEANS_CACHE:
         return _KMEANS_CACHE[cache_key]
-    seed_tbl = _to_arrow(ds.sort("vec_id").limit(k))
+    seed_tbl = _smallest_by_vec_id(ds, k)
     centroids = _emb_micros(seed_tbl["embedding"])          # (k, dim)
     k = centroids.shape[0]                  # corpus may hold < k vectors
     dim = centroids.shape[1]
@@ -1041,7 +1060,7 @@ def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
     C = _kmeans_centroids(
         ds, k, iters,
         cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)))
-    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    qtbl = _smallest_by_vec_id(ds, n_queries)
     q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
     Q = _emb_micros(qtbl["embedding"])                       # (nq, dim)
     # nprobe nearest cells per query (ties -> lowest cid via argsort)
@@ -1295,7 +1314,7 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
     approximate by construction (no SQL oracle; recall bound tested in
     tests/test_ops.py)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = _to_arrow(ds.sort("vec_id").limit(n_queries))
+    qtbl = _smallest_by_vec_id(ds, n_queries)
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
     dim = Q.shape[1]
@@ -1572,23 +1591,22 @@ def pricing_summary_exact(sf_dir: str):
 
 
 def revenue_by_segment_exact(sf_dir: str):
-    """Broadcast join: customer (small side) is ray.put once and probed
-    per batch with a vectorized pandas map — never a shuffle join."""
+    """Broadcast join: customer (small side) is ray.put once as Arrow
+    arrays and probed per batch with ``pc.index_in`` + ``take`` — a
+    vectorised hash probe (no per-row Python), never a shuffle join."""
     cust = _to_arrow(read_table(sf_dir, "customer",
                                 columns=["c_custkey", "c_mktsegment"]))
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
-                       cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_map)
+    seg_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                       cust["c_mktsegment"].combine_chunks()))
     orders = read_table(sf_dir, "orders",
                         columns=["o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        segments = pa.array(
-            [seg.get(k) for k in batch.column("o_custkey").to_pylist()],
-            pa.string())
+        from ..stages.util import cached_from_ref
+        keys, vals = cached_from_ref(seg_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
         t = pa.table({
-            "c_mktsegment": segments,
+            "c_mktsegment": vals.take(idx),    # null where key missing
             "price_cents": _cents(batch.column("o_totalprice")),
         })
         return t.filter(pc.is_valid(t.column("c_mktsegment")))
