@@ -42,7 +42,12 @@ UNITS = {"tons", "tonnes", "barrels", "m", "km", "miles", "kph", "mph", "kg",
          "ton", "kilograms", "inches", "inch", "megawatts", "metres", "feet",
          "ounces", "watts", "megabytes", "gigabytes", "terabytes", "hectares",
          "centimeters", "millimeters"}
-ORDINALS = ({"first", "second", "third", "fourth", "fifth", "sixth", "seventh"}
+# NOTE: replicates the reference's set verbatim, including its quirk
+# (annotations.py:30-31): the first element is the single string
+# "first, second, third", so the words "first"/"second"/"third" alone are
+# NOT ordinals — confirmed by the notebook's golden paragraph, where
+# "first-generation" yields no ORDINAL span.
+ORDINALS = ({"first, second, third", "fourth", "fifth", "sixth", "seventh"}
             | {"%i1st" % i for i in range(100)}
             | {"%i2nd" % i for i in range(100)}
             | {"%ith" % i for i in range(1000)})

@@ -31,6 +31,25 @@ FIRST_NAMES = [
     "Simon", "Greta", "Victor", "Irene", "Oscar", "Helen", "Martin", "Eva",
     "Stefan", "Lena",
 ]
+# the name list the FullName detector consults (stand-in for the
+# reference's data/first_names.json, annotations.py:17,869-875).  A
+# superset of FIRST_NAMES: the corpus generator above stays fixed while
+# the detector also knows common given names that appear in real text
+# (e.g. the notebook's golden paragraph: Karen Jacobs, Andre Grenon).
+DETECTOR_FIRST_NAMES = FIRST_NAMES + [
+    "Karen", "Andre", "Alice", "Albert", "Alan", "Amy", "Barbara", "Brian",
+    "Carl", "Carol", "Charles", "Chris", "Christine", "Claire", "Colin",
+    "Diana", "Donald", "Dorothy", "Edward", "Eric", "Frances", "Frank",
+    "Gary", "Grace", "Harold", "Helena", "Ian", "Isabel", "Jack", "Jane",
+    "Jason", "Jean", "Jennifer", "Jessica", "Joan", "Joseph", "Joyce",
+    "Juan", "Judith", "Kevin", "Kurt", "Larry", "Lisa", "Louis", "Lucy",
+    "Marc", "Margaret", "Marie", "Martha", "Matthew", "Michelle", "Nancy",
+    "Neil", "Nicholas", "Nicole", "Patricia", "Patrick", "Philip",
+    "Rachel", "Raymond", "Rebecca", "Roger", "Ronald", "Rose", "Ruth",
+    "Samuel", "Sandra", "Stephen", "Steven", "Susan", "Tony", "Victoria",
+    "Walter", "William",
+]
+
 LAST_NAMES = [
     "Moore", "Lison", "Smith", "Johnson", "Berg", "Larsen", "Hansen",
     "Olsen", "Novak", "Kovacs", "Weber", "Fischer", "Keller", "Lund",

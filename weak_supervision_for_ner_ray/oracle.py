@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .data import FIRST_NAMES, builtin_gazetteers
+from .data import DETECTOR_FIRST_NAMES, builtin_gazetteers
 from .sources.registry import LFBank
 from .stages.encode import layers_to_obs
 from .stages.kg import AliasIndex, extract_triples_for_turn
@@ -39,7 +39,7 @@ class Oracle:
         self.gaz = gazetteers if gazetteers is not None \
             else builtin_gazetteers()
         self.first_names = first_names if first_names is not None \
-            else FIRST_NAMES
+            else DETECTOR_FIRST_NAMES
         self.bank = LFBank(self.gaz, self.first_names)
         self.index = AliasIndex(self.gaz)
 

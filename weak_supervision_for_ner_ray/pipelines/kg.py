@@ -16,13 +16,13 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..data import builtin_gazetteers, FIRST_NAMES
+from ..data import builtin_gazetteers, DETECTOR_FIRST_NAMES
 from ..stages.annotate import annotate_pipeline
 from .train import train_hmm, train_hmm_sharded
 
 
 def default_bank_inputs():
-    return builtin_gazetteers(), FIRST_NAMES
+    return builtin_gazetteers(), DETECTOR_FIRST_NAMES
 
 
 def _mark(label: str, t0: float) -> float:
@@ -41,7 +41,7 @@ def annotate_turns(turns_ds, workdir: str | None = None, *,
     """Annotation pipeline; if ``workdir`` is given the annotated corpus is
     written to ``<workdir>/annotated`` (resumable: skipped when present)."""
     gaz = gazetteers if gazetteers is not None else builtin_gazetteers()
-    fn = first_names if first_names is not None else FIRST_NAMES
+    fn = first_names if first_names is not None else DETECTOR_FIRST_NAMES
     bank_ref = ray.put((gaz, fn))
     annotated = annotate_pipeline(turns_ds, bank_ref,
                                   concurrency=concurrency,
@@ -112,7 +112,7 @@ def build_kg(turns_ds, workdir: str, *, gazetteers=None, first_names=None,
     from ..state.lineage import flush_lineage, get_lineage_actor
 
     gaz = gazetteers if gazetteers is not None else builtin_gazetteers()
-    fn = first_names if first_names is not None else FIRST_NAMES
+    fn = first_names if first_names is not None else DETECTOR_FIRST_NAMES
     lin_actor = get_lineage_actor() if lineage else None
 
     # single materialization point: annotate -> conv stage -> obs encoding

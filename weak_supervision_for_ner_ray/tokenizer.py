@@ -48,11 +48,40 @@ _DIGIT_RE = re.compile(r"\d")
 _NUM_RE = re.compile(r"^[\d.,]+$")
 # abbreviated magnitude units, spacy_wrapper.py:254
 _MAGNITUDE_ABBREV_RE = re.compile(r"(?:bl?n?\.?|ml?n?\.?|k\.+)$", re.I)
+# spaCy's digit-unit suffix split (spacy.lang.char_classes UNITS +
+# punctuation.py suffix rule "(?<=[0-9])(?:UNITS)"): "3G" -> "3", "G";
+# "10km" -> "10", "km".  Longest alternatives first.
+_UNIT_SUFFIX_RE = re.compile(
+    r"^(.*\d)(km²|km³|km/h|kmh|m/s|µm|µg|m²|m³|dm²|dm³|dm|cm²|cm³|cm|mm²"
+    r"|mm³|mm|hPa|Pa|mbar|mb|MB|kb|KB|gb|GB|tb|TB|km|kg|mg|nm|yd|in|ft"
+    r"|lb|oz|ha|m|g|t|T|G|M|K)$")
 # magnitude words preceding the Korean "won", spacy_wrapper.py:258-260
 _MAGNITUDE_WORDS = {"million", "billion", "mln", "bln", "bn", "thousand",
                     "m", "k", "b", "m.", "k.", "b.", "mln.", "bln.", "bn."}
 
 _SENT_END = {".", "!", "?"}
+
+# closed-class words that spaCy's tagger never tags NNP even when
+# capitalised before a proper noun ("The iPhone" vs "New iPhone")
+_CLOSED_CLASS = {
+    "the", "a", "an", "this", "that", "these", "those", "some", "any",
+    "no", "every", "each", "all", "both", "either", "neither", "he",
+    "she", "it", "they", "we", "you", "i", "his", "her", "its", "their",
+    "our", "your", "my", "who", "whom", "whose", "what", "which", "when",
+    "where", "why", "how", "and", "but", "or", "nor", "so", "yet", "if",
+    "as", "at", "by", "for", "in", "of", "on", "to", "up", "with",
+    "from", "into", "onto", "over", "under", "after", "before", "while",
+    "not", "now", "then", "there", "here", "is", "are", "was", "were",
+    "be", "been", "being", "do", "does", "did", "can", "could", "may",
+    "might", "must", "shall", "should", "will", "would", "have", "has",
+    "had", "one", "two", "three",
+    # adverbs/connectives that precede names without being part of them
+    "yesterday", "today", "tomorrow", "tonight", "currently", "recently",
+    "lately", "soon", "later", "earlier", "meanwhile", "however",
+    "therefore", "moreover", "instead", "finally", "briefly", "also",
+    "still", "just", "even", "only", "perhaps", "maybe", "last", "next",
+    "first", "second", "third",
+}
 
 
 def _split_chunk(chunk: str, offset: int, out: list[tuple[str, int]]) -> None:
@@ -103,13 +132,23 @@ def _split_chunk(chunk: str, offset: int, out: list[tuple[str, int]]) -> None:
         out.append((m.group(1), offset))
         out.append((m.group(2), offset + len(m.group(1))))
         return
-    # hyphenated names: Jean-Pierre -> Jean, -, Pierre (utils.py:117-123)
-    if "-" in chunk[1:-1]:
-        i = chunk.index("-", 1)
-        _split_chunk(chunk[:i], offset, out)
-        out.append(("-", offset + i))
-        _split_chunk(chunk[i + 1:], offset + i + 1, out)
+    # digit followed by a measurement unit: 3G -> 3, G (spaCy suffix rule)
+    m = _UNIT_SUFFIX_RE.match(chunk)
+    if m:
+        _split_chunk(m.group(1), offset, out)
+        out.append((m.group(2), offset + len(m.group(1))))
         return
+    # hyphenated names: Jean-Pierre -> Jean, -, Pierre (utils.py:117-123).
+    # Like spaCy's infix rule, the hyphen splits only BETWEEN alphabetic
+    # characters: "16-gigabyte" stays one token (and is a plain CARDINAL),
+    # "Wal-Mart" splits.
+    for i in range(1, len(chunk) - 1):
+        if (chunk[i] == "-" and chunk[i - 1].isalpha()
+                and chunk[i + 1].isalpha()):
+            _split_chunk(chunk[:i], offset, out)
+            out.append(("-", offset + i))
+            _split_chunk(chunk[i + 1:], offset + i + 1, out)
+            return
     out.append((chunk, offset))
 
 
@@ -192,14 +231,38 @@ def make_doc(text: str) -> Doc:
     d.sent_start = ss
 
     # --- likely_proper (annotations.py:1250-1271) -----------------------
+    # Stand-ins for the reference's two parse-dependent checks, tuned
+    # against the notebook's golden Reuters paragraph:
+    #   * "lemma is titled" = the word (or its depluralised form) is not a
+    #     frequent dictionary word, OR it is a known word that spaCy's
+    #     tagger would call NNP from context (followed by another
+    #     proper-shaped token, e.g. sentence-initial "New" in "New
+    #     iPhone") and is not a closed-class word;
+    #   * tokens containing digits ("3Gs") are never title-proper — spaCy
+    #     tags them CD, whose lemma is lowercased.
     lp = [False] * n
+
+    def _form_proper(j: int) -> bool:
+        t = d.tokens[j]
+        if len(t) < 2:
+            return False
+        if d.is_title[j] and not _DIGIT_RE.search(t):
+            return True
+        if len(t) > 2 and t[0].islower() and t[1].isupper() \
+                and t[2:].islower():
+            return True
+        return (d.is_upper[j] and t not in CURRENCY_CODES
+                and t not in NOT_NAMED_ENTITIES)
+
     for i, tok in enumerate(d.tokens):
         if len(tok) < 2:
             continue
         low = d.lowers[i]
-        if d.is_title[i] and low not in WORD_RANKS:
-            # stands in for "lemma is titled": spaCy keeps case for lemmas of
-            # proper nouns; frequent dictionary words lemmatise to lowercase
+        has_digit = bool(_DIGIT_RE.search(tok))
+        known = (low in WORD_RANKS
+                 or (low.endswith("s") and low[:-1] in WORD_RANKS)
+                 or (low.endswith("es") and low[:-2] in WORD_RANKS))
+        if d.is_title[i] and not has_digit and not known:
             lp[i] = True
         elif len(tok) > 2 and tok[0].islower() and tok[1].isupper() \
                 and tok[2:].islower():
@@ -207,10 +270,13 @@ def make_doc(text: str) -> Doc:
         elif d.is_upper[i] and tok not in CURRENCY_CODES \
                 and tok not in NOT_NAMED_ENTITIES:
             lp[i] = True
-        elif (d.is_title[i] and i > 0 and not ss[i]
+        elif (d.is_title[i] and not has_digit and i > 0 and not ss[i]
               and d.tokens[i - 1] not in _QUOTES
               and not d.tokens[i - 1].endswith(".")):
             lp[i] = True
+        elif (d.is_title[i] and not has_digit and low not in _CLOSED_CLASS
+              and i + 1 < n and _form_proper(i + 1)):
+            lp[i] = True          # context-NNP: "New" in "New iPhone"
     d.likely_proper = lp
 
     # --- heuristic POS tag ----------------------------------------------
@@ -246,7 +312,12 @@ def make_doc(text: str) -> Doc:
     # dep_ == "compound"; approximate: a likely-proper token directly
     # followed by another likely-proper token (optionally across a name
     # prefix such as "von", a hyphen, or a genitive) in the same sentence.
-    prefix_set = {"-", "'s", "’s", "von", "van", "de", "di", "le", "la",
+    # NOTE: the genitive ("'s") is deliberately NOT a compound link — in
+    # UD parses a possessive breaks the compound chain ("Apple Inc's
+    # iPhone": 'iPhone' is not compound), which is what lets the
+    # reference's CompanyTypeGenerator emit 'Apple Inc' (golden notebook
+    # cell 47) rather than swallowing the following noun.
+    prefix_set = {"-", "von", "van", "de", "di", "le", "la",
                   "het", "dem", "der", "den", "d'", "ter"}
     comp = [False] * n
     for i in range(n - 1):

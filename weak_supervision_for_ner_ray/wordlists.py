@@ -63,6 +63,9 @@ expects expected win won lose lost open opened close closed start started
 begin began ended run ran held hold holds keep kept turn turned move moved
 play played live lived believe believed bring brought happen happened write
 wrote written provide provided sit sat stand stood carry carried
+buyer seller retailer customer consumer shopper maker owner holder partner
+rival supplier competitor employee employer manager founder client reader
+viewer listener speaker winner loser critic expert analysts editor writer
 """.split()
 
 
