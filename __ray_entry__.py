@@ -121,6 +121,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "weak_supervision_for_ner_ray.pipelines.kg",
             fromlist=["snorkel_table"]).snorkel_table(
                 _turns_ds(sf), _workdir(sf)),
+        # turn-level detector mentions: the SQL-expressible slice of the
+        # LF bank, hash-checked against character-level DuckDB oracles
+        # (breaks the kg-side oracle circularity)
+        "mentions_date": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["detector_mentions"]).detector_mentions(
+                _turns_ds(sf), "date_detector"),
+        "mentions_time": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["detector_mentions"]).detector_mentions(
+                _turns_ds(sf), "time_detector"),
+        "mentions_money": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["detector_mentions"]).detector_mentions(
+                _turns_ds(sf), "money_detector"),
+        "mentions_number": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["detector_mentions"]).detector_mentions(
+                _turns_ds(sf), "number_detector"),
+        "mentions_legal": lambda sf: __import__(
+            "weak_supervision_for_ner_ray.pipelines.kg",
+            fromlist=["detector_mentions"]).detector_mentions(
+                _turns_ds(sf), "legal_detector"),
         "kg_mentions": kg_mentions,
         "kg_ner": kg_ner,
         "kg_triples": kg_triples,
@@ -224,6 +247,163 @@ def _ivf_query_sql(k: int = 8, iters: int = 3, n_queries: int = 8,
               f"WHERE rank <= {topk} ORDER BY query_id, rank")
 
 
+def _detector_sqls(turns_path: str) -> dict[str, str]:
+    """DuckDB SQL oracles for the turn-level regex detectors
+    (mentions_date/time/money/number/legal).
+
+    The engine tokenises (tokenizer.py) then runs token-walk detectors
+    (functions/detectors.py); this builds character-level RE2 patterns
+    from the SAME constant sets that reproduce mentions exactly on the
+    synthetic corpus's character repertoire (single-space tokens, no
+    ordinal words, no '1st of May' genitive dates, no '12%%' compact
+    percents — the generator emits none of those; the engine handles
+    them, the SQL documents the subset it mirrors).  Exclusivity
+    (number excludes date/time/money/legal spans, annotations.py:312)
+    is expressed by REPLACING excluded spans before extraction — the
+    character-level equivalent of the interval anti-join."""
+    import re as _re
+
+    from weak_supervision_for_ner_ray.constants import (
+        CURRENCY_CODES, CURRENCY_SYMBOLS, DAYS, MAGNITUDES, MONTHS,
+        ROMAN_NUMERALS, UNITS)
+
+    def alt(items, word_guard=True):
+        """Longest-first RE2 alternation; \\b appended to alternatives
+        ending in a word char (so 'm' never eats into 'models')."""
+        out = []
+        for it in sorted(items, key=len, reverse=True):
+            esc = _re.escape(it)
+            if word_guard and it[-1].isalnum():
+                esc += r"\b"
+            out.append(esc)
+        return "(?:" + "|".join(out) + ")"
+
+    # token classes (single spaces between tokens in the corpus)
+    num_tok = r"\d[A-Za-z0-9]*(?:\.[A-Za-z0-9]+)*"
+    anynum_tok = r"[A-Za-z0-9]*\d[A-Za-z0-9]*(?:\.[A-Za-z0-9]+)*"
+    dom = r"(?:3[01]|[12][0-9]|[1-9])"
+    year = r"(?:19(?:2[1-9]|[3-9][0-9])|20(?:3[0-9]|[0-2][0-9]))"
+    month = alt(MONTHS)
+    day = (r"(?:" + "|".join(sorted((d for d in DAYS), key=len,
+                                    reverse=True)) + r")s?\b")
+    mag = alt(MAGNITUDES)
+    units_no_mag = alt(UNITS - MAGNITUDES)     # the mag loop wins ties
+    pct_words = alt({"percent", "percents", "percentage", "pct", "pc"})
+
+    date_pat = (r"\b(?:"
+                + dom + " " + month + " " + year
+                + "|" + dom + " " + month
+                + "|" + month + " " + dom + " " + year
+                + "|" + month + " " + dom
+                + "|" + month + " " + year
+                + "|" + month
+                + "|" + year + r"\b"
+                + "|" + day
+                + ")")
+    ampm = r"(?:a\.m\.|p\.m\.|am\.|pm\.|am\b|pm\b)"
+    time_pat = (r"\b(?:" + num_tok + " " + ampm
+                + r"|\d{1,2}:\d{1,2})")
+    cur = alt(CURRENCY_CODES | CURRENCY_SYMBOLS)
+    money_tail = "(?: (?:" + mag + "|" + num_tok + r"))*"
+    money_suffix = alt(CURRENCY_CODES | CURRENCY_SYMBOLS
+                       | {"euros", "cents", "rubles"})
+    money_pat = ("(?:" + cur + " ?" + num_tok + money_tail
+                 + "(?: " + money_suffix + ")?"
+                 + r"|\b" + num_tok + money_tail + " " + money_suffix
+                 + ")")
+    roman = alt(ROMAN_NUMERALS)
+    legal_head = r"(?:Articles?|Paragraphs?|Sections?|Chapters?|§)"
+    legal_ref = (legal_head + " (?:" + num_tok + "|" + roman + ")"
+                 + "(?: (?:-|to|and) (?:" + num_tok + "|" + roman
+                 + "))?")
+    legal_name = (r"(?:[A-Z][A-Za-z0-9&'’.-]* )+"
+                  + alt({"Law", "Agreement", "Act", "Bill",
+                         "Constitution", "Directive", "Treaty", "Code",
+                         "Reform", "Convention", "Resolution",
+                         "Regulation", "Amendment", "Customs",
+                         "Protocol", "Charter"}) + "s?")
+    legal_pat = r"\b(?:" + legal_ref + "|" + legal_name + ")"
+    ord_pat = (r"(?:\d{1,2}1st|\d{1,2}2nd|\d{1,3}th"
+               r"|fourth|fifth|sixth|seventh)")
+    number_pat = (r"\b(?:" + ord_pat + r"\b|" + anynum_tok
+                  + "(?: " + mag + ")*"
+                  + "(?: ?%| " + units_no_mag + "| " + pct_words + ")?)")
+    exclude_pat = ("(?:" + legal_ref + "|" + money_pat + "|" + time_pat
+                   + ")")
+    # digit-bearing date spans, split by HOW they were built: merged
+    # spans (day-month + year fused by merge_contiguous_spans) are
+    # re-inserted at the END of the span dict, which breaks the
+    # ascending-order assumption of the reference's _binary_search
+    # (annotations.py:1318-1328 + 1351-1365) — so a standalone year
+    # AFTER a merged date escapes the number exclusion.  The engine
+    # replicates that reference quirk bit-for-bit; the SQL models it by
+    # replacing lone years only BEFORE the first merged-date marker.
+    merged_date = (r"\b(?:" + dom + " " + month + " " + year
+                   + "|" + month + " " + dom + " " + year
+                   + "|" + month + " " + year + r"\b)")
+    lone_digit_date = (r"\b(?:" + dom + " " + month
+                       + "|" + month + " " + dom
+                       + "|" + year + r"\b)")
+
+    def simple(pat, label):
+        pat = pat.replace("'", "''")    # SQL string-literal escaping
+        return f"""
+        WITH m AS (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(text, '{pat}')) AS mention
+          FROM read_parquet('{turns_path}')
+        )
+        SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, mention,
+               '{label}' AS label
+        FROM m ORDER BY conv_id, turn_idx, mention
+    """
+
+    number_sql = f"""
+        WITH s1 AS (
+          SELECT conv_id, turn_idx,
+                 regexp_replace(
+                   regexp_replace(text, '{exclude_pat}', ' # ', 'g'),
+                   '{merged_date}', ' @D@ ', 'g') AS t
+          FROM read_parquet('{turns_path}')
+        ), c AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN strpos(t, '@D@') = 0
+                      THEN regexp_replace(t, '{lone_digit_date}',
+                                          ' # ', 'g')
+                      ELSE regexp_replace(
+                             substr(t, 1, strpos(t, '@D@') - 1),
+                             '{lone_digit_date}', ' # ', 'g')
+                           || substr(t, strpos(t, '@D@'))
+                 END AS ctext
+          FROM s1
+        ), m AS (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(ctext, '{number_pat}'))
+                     AS mention
+          FROM c
+        )
+        SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, mention,
+               CASE
+                 WHEN regexp_matches(mention, '^{ord_pat}$')
+                   THEN 'ORDINAL'
+                 WHEN regexp_matches(mention, '(?: ?%| {pct_words})$')
+                   THEN 'PERCENT'
+                 WHEN regexp_matches(mention, ' {units_no_mag}$')
+                   THEN 'QUANTITY'
+                 ELSE 'CARDINAL'
+               END AS label
+        FROM m ORDER BY conv_id, turn_idx, mention
+    """
+
+    return {
+        "mentions_date": simple(date_pat, "DATE"),
+        "mentions_time": simple(time_pat, "TIME"),
+        "mentions_money": simple(money_pat, "MONEY"),
+        "mentions_legal": simple(legal_pat, "LAW"),
+        "mentions_number": number_sql,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from weak_supervision_for_ner_ray.pipelines.ops import _STOPWORDS
 
@@ -261,16 +441,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # the transcripts corpus is synthesised deterministically under /tmp
-    # (BASELINE.json input_hint).  oracle_sql() returns plain strings with
-    # no per-call sf parameter, so the corpus path is baked in: it follows
-    # GRAFT_ORACLE_SF_DIR when set and otherwise defaults to sf0.01 — the
-    # scale the driver's correctness gate runs at.  At any other scale,
-    # set the env var or this one oracle mismatches (engine queries stay
-    # parameterised by sf_dir).
-    oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR",
-                               "/root/testdata/sf0.01")
-    turns_path = os.path.join(_corpus(oracle_sf),
-                              "turns.parquet", "*.parquet")
+    # (BASELINE.json input_hint).  oracle_sql() returns plain strings
+    # with no per-call sf parameter, so the turns oracles read through
+    # the /tmp/wsner_corpus/current symlink, which every engine query
+    # repoints when it materialises its corpus — the driver runs a query
+    # before comparing it, so the oracle always sees the same corpus the
+    # query ran on, at ANY sf.  GRAFT_ORACLE_SF_DIR overrides; the
+    # sf0.01 fallback only seeds the link when no query ran first.
+    oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR")
+    if oracle_sf:
+        corpus_path = _corpus(oracle_sf)
+    else:
+        link = "/tmp/wsner_corpus/current"
+        if not os.path.exists(link):
+            _corpus("/root/testdata/sf0.01")      # seeds the symlink
+        corpus_path = link
+    turns_path = os.path.join(corpus_path, "turns.parquet", "*.parquet")
     turns_sql = f"""
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM read_parquet('{turns_path}')
@@ -493,9 +679,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY a, b
     """
 
+    detector_sqls = _detector_sqls(turns_path)
+
     return {
         "lang_id": lang_id_sql,
         "turns_restore_order": turns_sql,
+        **detector_sqls,
         "dedup_simhash": simhash_sql,
         "ann_lsh_buckets": ann_sql,
         "dedup_ngram_jaccard": ngram_sql,

@@ -400,10 +400,31 @@ def write_corpus(out_dir: str, n_convs: int, seed: int = 13,
 SF_CONVS = {"sf0.001": 90, "sf0.01": 900, "sf0.1": 9000}
 
 
+def _point_current(cache_root: str, target: str) -> None:
+    """Atomically repoint ``<cache_root>/current`` at ``target``.
+
+    oracle_sql() returns static SQL strings with no per-call sf
+    parameter, so its turns oracles read through this symlink; the
+    engine queries repoint it whenever they materialise a corpus, which
+    happens before the driver compares — the oracle always sees the
+    corpus the query actually ran on (round-4 item 8)."""
+    link = os.path.join(cache_root, "current")
+    tmp = link + ".tmp"
+    try:
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+    except OSError:
+        pass                      # read-only cache_root: env override only
+
+
 def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/wsner_corpus"
                       ) -> str:
     """Deterministic transcript corpus sized to match a testdata sf dir."""
     name = os.path.basename(os.path.normpath(sf_dir))
     n = SF_CONVS.get(name, 900)
     out = os.path.join(cache_root, name)
-    return write_corpus(out, n)
+    path = write_corpus(out, n)
+    _point_current(cache_root, path)
+    return path

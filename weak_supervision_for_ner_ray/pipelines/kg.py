@@ -25,6 +25,76 @@ def default_bank_inputs():
     return builtin_gazetteers(), DETECTOR_FIRST_NAMES
 
 
+# turn-level detector sources with a standalone mentions query + DuckDB
+# SQL oracle (the SQL-expressible subset of the LF bank)
+TURN_DETECTOR_SOURCES = ("date_detector", "time_detector",
+                         "money_detector", "number_detector",
+                         "legal_detector")
+
+
+def detector_mentions(turns_ds, source: str):
+    """(conv_id, turn_idx, mention, label) rows for ONE turn-level
+    detector, with the bank's exclusivity rules applied (run_turn_sources
+    order: date/time/money unexcluded; proper2/nnp/legal exclude d/t/m;
+    number excludes d/t/m/legal — annotations.py:275-324).
+
+    A pure task-pool ``map_batches`` stage: these detectors need no
+    gazetteers or models, so per-batch setup is just four closures.  This
+    is the hash-checked bridge between the KG annotation surface and the
+    driver's DuckDB oracle (round-4 item: break the oracle circularity).
+    """
+    if source not in TURN_DETECTOR_SOURCES:
+        raise ValueError(f"not a turn-level detector source: {source}")
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        from ..functions import detectors as det
+        from ..functions.spans import Layers
+        from ..sources.registry import LFBank, make_span_generators
+        from ..tokenizer import make_doc
+
+        _, proper2_gen, nnp_gen, _ = make_span_generators()
+        exc_dtm = LFBank._EXC_DTM
+        exc_dtml = LFBank._EXC_DTML
+        convs, turns, mentions, labels = [], [], [], []
+        conv_col = batch.column("conv_id").to_pylist()
+        turn_col = batch.column("turn_idx").to_pylist()
+        for conv_id, turn_idx, text in zip(conv_col, turn_col,
+                                           batch.column("text").to_pylist()):
+            doc = make_doc(text)
+            layers = Layers()
+
+            def run(gen, src, exc=()):
+                layers.clear_source(src)
+                for s, e, lab in gen(doc, layers):
+                    layers.add(s, e, lab, src, to_exclude=exc)
+
+            run(det.date_detector, "date_detector")
+            run(det.time_detector, "time_detector")
+            run(det.money_detector, "money_detector")
+            if source in ("legal_detector", "number_detector"):
+                run(lambda d, _l: proper2_gen(d), "proper2_detector",
+                    exc_dtm)
+                run(lambda d, _l: nnp_gen(d), "nnp_detector", exc_dtm)
+                run(det.legal_detector, "legal_detector", exc_dtm)
+            if source == "number_detector":
+                run(det.number_detector, "number_detector", exc_dtml)
+            for (s, e), vals in sorted(layers.by_source.get(source,
+                                                            {}).items()):
+                convs.append(conv_id)
+                turns.append(turn_idx)
+                mentions.append(doc.span_text(s, e))
+                labels.append(vals[0][0])
+        return pa.table({
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "mention": pa.array(mentions, pa.string()),
+            "label": pa.array(labels, pa.string()),
+        })
+
+    return turns_ds.map_batches(batch_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def _mark(label: str, t0: float) -> float:
     """Phase timing print gated on GRAFT_PROF=1 (for attributing pipeline
     wall-time on the noisy bench host); returns a fresh t0."""

@@ -144,6 +144,21 @@ def best_coverage_source() -> str:
                   key=lambda s: len(SOURCE_PRIORS.get(s, {})))[-1]
 
 
+def make_span_generators():
+    """The four shape-based span generators (annotations.py:282-301), in
+    (proper, proper2, nnp, compound) order.  Module-level so the
+    standalone ``detector_mentions`` op uses EXACTLY the generators the
+    bank uses (no drift)."""
+    proper = SpanGenerator(lambda d, i: d.likely_proper[i])
+    proper2 = SpanGenerator(
+        lambda d, i: d.likely_proper[i],
+        exceptions={"'s", "’s", "-", "a", "an", "the", "at", "by", "for",
+                    "in", "of", "on", "to", "up", "and"})
+    nnp = SpanGenerator(lambda d, i: d.tag[i] == "NNP")
+    compound = SpanGenerator(likely_proper_and_compound)
+    return proper, proper2, nnp, compound
+
+
 class LFBank:
     """The fused turn-level labeling-function bank.
 
@@ -184,13 +199,8 @@ class LFBank:
             "SEC": SecNER(self.model),
         }
 
-        self.proper_gen = SpanGenerator(lambda d, i: d.likely_proper[i])
-        self.proper2_gen = SpanGenerator(
-            lambda d, i: d.likely_proper[i],
-            exceptions={"'s", "’s", "-", "a", "an", "the", "at", "by", "for",
-                        "in", "of", "on", "to", "up", "and"})
-        self.nnp_gen = SpanGenerator(lambda d, i: d.tag[i] == "NNP")
-        self.compound_gen = SpanGenerator(likely_proper_and_compound)
+        (self.proper_gen, self.proper2_gen, self.nnp_gen,
+         self.compound_gen) = make_span_generators()
         self.company_type = det.CompanyTypeDetector()
         self.full_name = det.FullNameDetector(self.first_names)
 
