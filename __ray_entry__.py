@@ -99,7 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
         "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
-        "dedup_embedding_lsh": lambda sf: ops.dedup_embedding_lsh(sf),
+        # strategy="ids" exercises the 100 TB candidates-then-verify
+        # shuffle in the hash-checked gate (identical pairs to
+        # "replicate" by construction; the oracle is all-pairs SQL)
+        "dedup_embedding_lsh":
+            lambda sf: ops.dedup_embedding_lsh(sf, strategy="ids"),
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
         "ivf_query": lambda sf: ops.ivf_query(sf),

@@ -331,6 +331,67 @@ def test_dedup_embedding_lsh_matches_allpairs(ray_session, docs_dir):
     assert (0, 1) in lsh_pairs and lsh_pairs[(0, 1)] == 1_000_000
 
 
+def test_dedup_embedding_lsh_ids_strategy_matches_replicate(ray_session,
+                                                            docs_dir):
+    """The ids-only shuffle (candidates-then-verify, the 100 TB path —
+    vector payload never rides the ×n_tables bucket exchange) emits the
+    IDENTICAL pair set + sims as the payload-replicating strategy: the
+    candidates are the same shared-bucket pairs and verification is the
+    same exact float64 cosine."""
+    rep = to_arrow(ops.dedup_embedding_lsh(
+        docs_dir, threshold_micro=400_000, strategy="replicate")).to_pydict()
+    ids = to_arrow(ops.dedup_embedding_lsh(
+        docs_dir, threshold_micro=400_000, strategy="ids")).to_pydict()
+    rep_pairs = dict(zip(zip(rep["a"], rep["b"]), rep["sim_micro"]))
+    ids_pairs = dict(zip(zip(ids["a"], ids["b"]), ids["sim_micro"]))
+    assert rep_pairs == ids_pairs
+    assert (0, 1) in ids_pairs and ids_pairs[(0, 1)] == 1_000_000
+
+
+@pytest.fixture(scope="module")
+def neardup_dir(tmp_path_factory):
+    """Embeddings with PLANTED near-duplicate pairs at sim >= 0.85:
+    40 well-separated base vectors in 32-dim, each with one small-angle
+    perturbation — the production near-dup regime."""
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("neardup")
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 32)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # perturb by a small random direction: for unit x and noise scale e,
+    # cos(x, x+e·n) ~ 1/sqrt(1+32e^2) -> e in [0.02, 0.06] gives ~0.94-0.99
+    pert = base + rng.uniform(0.02, 0.06, (40, 1)) \
+        * rng.standard_normal((40, 32))
+    X = np.concatenate([base, pert]).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_dedup_embedding_lsh_production_threshold(ray_session, neardup_dir):
+    """The production configuration (sim >= 0.85, deep codes b=12, L=8 —
+    buckets shrink to ~N/4096 so the candidate volume stays O(N·L)) finds
+    >= 0.95 of the exact near-dup pairs, every reported sim bit-identical
+    to the all-pairs kernel, zero false positives."""
+    exact = to_arrow(ops.dedup_embedding_cosine(
+        neardup_dir, threshold_micro=850_000)).to_pydict()
+    lsh = to_arrow(ops.dedup_embedding_lsh(
+        neardup_dir, threshold_micro=850_000, n_planes=12, n_tables=8,
+        strategy="ids")).to_pydict()
+    exact_pairs = dict(zip(zip(exact["a"], exact["b"]),
+                           exact["sim_micro"]))
+    lsh_pairs = dict(zip(zip(lsh["a"], lsh["b"]), lsh["sim_micro"]))
+    assert len(exact_pairs) >= 30          # the planted pairs are present
+    # exact verification: no false positives, sims bit-identical
+    assert all(exact_pairs.get(k) == v for k, v in lsh_pairs.items())
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.95, (recall, len(exact_pairs), len(lsh_pairs))
+
+
 def test_dedup_embedding_allpairs_guard(ray_session, docs_dir):
     """The all-pairs baseline refuses datasets above its size cap instead
     of broadcasting an unbounded matrix."""

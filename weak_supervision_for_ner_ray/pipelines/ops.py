@@ -1445,14 +1445,21 @@ class LSHTableStage:
     """``n_tables`` independent random-hyperplane LSH codes per vector —
     the bucketing stage of the embedding-dedup scale path.  Stateful: the
     (dim, n_tables·n_planes) plane matrix is drawn once per actor from a
-    fixed seed, so every worker buckets identically."""
+    fixed seed, so every worker buckets identically.
+
+    ``include_payload=False`` emits (table_id, bucket, vec_id) only —
+    the ids-only shuffle used by the candidates-then-verify strategy;
+    ``True`` replicates the vector into every bucket row (×n_tables
+    exchange amplification, but within-bucket exact compute needs no
+    second pass)."""
 
     def __init__(self, dim: int, n_planes: int = 4, n_tables: int = 32,
-                 seed: int = 41):
+                 seed: int = 41, include_payload: bool = True):
         rng = np.random.default_rng(seed)
         self.W = rng.standard_normal((dim, n_tables * n_planes))
         self.n_planes = n_planes
         self.n_tables = n_tables
+        self.include_payload = include_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1463,26 +1470,197 @@ class LSHTableStage:
         codes = bits.reshape(n, self.n_tables, self.n_planes) \
             @ (1 << np.arange(self.n_planes))
         rep = np.repeat(np.arange(n), self.n_tables)
-        # replicate the embedding payload in numpy (one C memcpy per row)
-        # instead of Arrow take() on the list column
-        rep_emb = pa.ListArray.from_arrays(
-            pa.array(np.arange(n * self.n_tables + 1, dtype=np.int64)
-                     * dim, pa.int32()),
-            pa.array(X32[rep].ravel(), pa.float32()))
-        return pa.table({
+        cols = {
             "table_id": pa.array(
                 np.tile(np.arange(self.n_tables, dtype=np.int32), n),
                 pa.int32()),
             "bucket": pa.array(codes.reshape(-1).astype(np.int64),
                                pa.int64()),
             "vec_id": batch.column("vec_id").take(pa.array(rep)),
-            "embedding": rep_emb,
+        }
+        if self.include_payload:
+            # replicate the embedding payload in numpy (one C memcpy per
+            # row) instead of Arrow take() on the list column
+            cols["embedding"] = pa.ListArray.from_arrays(
+                pa.array(np.arange(n * self.n_tables + 1, dtype=np.int64)
+                         * dim, pa.int32()),
+                pa.array(X32[rep].ravel(), pa.float32()))
+        return pa.table(cols)
+
+
+def _lsh_candidate_pairs(coded_ids):
+    """Distinct (a, b) id pairs sharing ≥1 (table, bucket) — ids only,
+    no vector payload crosses either exchange."""
+    def bucket_cands(group: dict) -> dict:
+        ids = np.unique(np.asarray(group["vec_id"], np.int64))
+        if len(ids) < 2:
+            return {"a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64)}
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return {"a": ids[ai], "b": ids[bi]}
+
+    # trailing repartition: the grouped aggregate emits schema-less EMPTY
+    # blocks that poison every downstream union/concat (same pitfall as
+    # the ngram_jaccard join feed) — a split-repartition coalesces them
+    return (coded_ids.groupby(["table_id", "bucket"])
+            .map_groups(bucket_cands, batch_format="numpy")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"])
+            .repartition(_join_partitions()))
+
+
+_COARSE_MULT = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)  # fib hash
+
+
+def _coarse_key(x: np.ndarray, n_groups: int) -> np.ndarray:
+    """Deterministic coarse hash-partition key for int64 ids (wrapping
+    int64 multiply is C semantics — stable across workers)."""
+    with np.errstate(over="ignore"):
+        h = x.astype(np.int64) * _COARSE_MULT
+    return np.abs(h >> np.int64(17)) % np.int64(n_groups)
+
+
+def _binary_rows_to_f32(arr: pa.Array, n: int) -> np.ndarray:
+    """(n, dim) float32 matrix from a fixed-width binary column — one
+    vectorised gather over the values buffer, no per-row Python."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + n + 1]
+    vals = np.frombuffer(arr.buffers()[2], np.uint8)
+    width = int(offs[1] - offs[0]) if n else 0
+    idx = offs[:-1, None].astype(np.int64) + np.arange(width)[None, :]
+    return vals[idx].view(np.float32)
+
+
+def _verify_cosine_pairs(sf_dir: str, pairs, threshold_micro: int,
+                         n_groups: int | None = None):
+    """Exact-cosine verification of candidate id pairs, fully
+    distributed with NO hash-join operators (chained ``Dataset.join``
+    aggregator pools each demand ``num_partitions`` concurrent actors
+    and deadlock when several joins pipeline together): the
+    ngram_jaccard union+groupby attach pattern, but over COARSE hash
+    groups so Python runs O(n_groups) times, never once per pair.
+
+    Exchange 1 groups by ``hash(vec_id)`` and attaches each pair side's
+    vector bytes via a vectorised ``index_in`` + ``take``; exchange 2
+    groups by ``hash(a, b)`` so both sides of a pair land in one group,
+    where a single float64 kernel computes every cosine.  Vector bytes
+    move once for the corpus plus once per pair side — never ×n_tables."""
+    if n_groups is None:
+        n_groups = max(64, 4 * _join_partitions())
+
+    def emb_rows(t: pa.Table) -> pa.Table:
+        # raw float32 bytes: fixed-width binary survives exchanges that
+        # reject list<float> payloads, and reassembles with one gather
+        X = _embedding_matrix(t["embedding"], np.float32)
+        step = (X.shape[1] if X.size else 0) * 4
+        vbin = pa.Array.from_buffers(
+            pa.binary(), t.num_rows,
+            [None, pa.py_buffer(np.arange(t.num_rows + 1,
+                                          dtype=np.int32) * step),
+             pa.py_buffer(np.ascontiguousarray(X).tobytes())])
+        vid = pc.cast(t.column("vec_id"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "gk": pa.array(_coarse_key(vid.to_numpy(), n_groups),
+                           pa.int64()),
+            "vec_id": vid,
+            "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "vbin": vbin,
         })
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vid = np.concatenate([a, b])
+        return pa.table({
+            "gk": pa.array(_coarse_key(vid, n_groups), pa.int64()),
+            "vec_id": pa.array(vid, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "vbin": pa.nulls(2 * len(a), pa.binary()),
+        })
+
+    tagged = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"]) \
+        .map_batches(emb_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(pairs.map_batches(pair_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def attach(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int8()),
+                          "vbin": pa.array([], pa.binary())})
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        is_emb = a < 0
+        n_pair = int((~is_emb).sum())
+        if n_pair == 0 or is_emb.sum() == 0:
+            return empty
+        sel = pa.array(is_emb)
+        emb = g.filter(sel)
+        pr = g.filter(pc.invert(sel))
+        idx = pc.index_in(pr.column("vec_id").combine_chunks(),
+                          emb.column("vec_id").combine_chunks())
+        pa_ = pr.column("a").to_numpy(zero_copy_only=False)
+        pb_ = pr.column("b").to_numpy(zero_copy_only=False)
+        pv = pr.column("vec_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pk = _coarse_key(pa_ * np.int64(3) + pb_, n_groups)
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "a": pa.array(pa_, pa.int64()),
+            "b": pa.array(pb_, pa.int64()),
+            "side": pa.array((pv == pb_).astype(np.int8), pa.int8()),
+            "vbin": emb.column("vbin").combine_chunks().take(idx),
+        })
+
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim_micro": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        V = _binary_rows_to_f32(g.column("vbin"), g.num_rows) \
+            .astype(np.float64)       # float64 BEFORE normalising —
+        # matches the all-pairs kernel bit-for-bit
+        o0 = np.lexsort((b[side == 0], a[side == 0]))
+        o1 = np.lexsort((b[side == 1], a[side == 1]))
+        X = V[side == 0][o0]
+        Y = V[side == 1][o1]
+        pa_ = a[side == 0][o0]
+        pb_ = b[side == 0][o0]
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
+                            1e-12)
+        sims = np.einsum("ij,ij->i", Xn, Yn)
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
+        keep = micros >= threshold_micro
+        return pa.table({
+            "a": pa.array(pa_[keep], pa.int64()),
+            "b": pa.array(pb_[keep], pa.int64()),
+            "sim_micro": pa.array(micros[keep], pa.int64()),
+        })
+
+    return (tagged.groupby("gk")
+            .map_groups(attach, batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(verify, batch_format="pyarrow"))
 
 
 def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
                         n_planes: int = 4, n_tables: int = 32,
-                        seed: int = 41):
+                        seed: int = 41, strategy: str = "auto"):
     """Embedding-cosine near-duplicate pairs via LSH bucketing — the
     100 TB scale path for :func:`dedup_embedding_cosine` (same output,
     same exact integer-micros threshold, no all-pairs matmul and no
@@ -1503,9 +1681,49 @@ def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
     test corpora (verified pair-exact vs the all-pairs SQL oracle —
     tests/test_ops.py); production near-dup thresholds (sim ≥ 0.85) want
     deeper codes (b 12-16, L 8-16) so buckets shrink to ~N/2^b and the
-    within-bucket kernel stays linear-ish."""
+    within-bucket kernel stays linear-ish.
+
+    ``strategy`` picks how vectors reach their buckets:
+
+    * ``"ids"`` — the 100 TB path: shuffle (table_id, bucket, vec_id)
+      ONLY (≈20 bytes ×L per vector instead of the payload ×L), emit
+      distinct candidate pairs per bucket, then verify each pair with
+      the exact float64 cosine via a distributed semi-join gather
+      (vector bytes move once per pair side).  Identical output to
+      "replicate" by construction — candidates are the same
+      shared-bucket pairs, and verification is exact.
+    * ``"replicate"`` — the original design: the payload rides the
+      bucket shuffle (×L amplification) and the exact kernel runs
+      within each bucket, emitting only survivors.  Wins when buckets
+      are few and LARGE (shallow codes), where ids-mode candidate
+      pairs would grow quadratically in bucket size.
+    * ``"auto"`` — "ids" when the expected bucket size N/2^b ≤ 8
+      (deep codes / the production regime: candidate volume per vector
+      ≈ L·bucket stays O(L)), else "replicate" (shallow codes: huge
+      buckets make candidate pairs quadratic, while the within-bucket
+      matmul only emits survivors).
+    """
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_rows = ds.count()                    # parquet metadata, no scan
+    if n_rows == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64())}))
     dim = _embedding_dim(sf_dir, ds)
+    if strategy == "auto":
+        strategy = "ids" if n_rows / (1 << n_planes) <= 8 \
+            else "replicate"
+    if strategy == "ids":
+        coded_ids = ds.map_batches(
+            LSHTableStage,
+            fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                       n_tables=n_tables, seed=seed,
+                                       include_payload=False),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=_concurrency())
+        cands = _lsh_candidate_pairs(coded_ids)
+        return _verify_cosine_pairs(sf_dir, cands,
+                                    threshold_micro).sort(["a", "b"])
     coded = ds.map_batches(
         LSHTableStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
