@@ -58,6 +58,69 @@ def test_revenue_by_segment_join_matches_broadcast(ray_session, rel_dir):
     assert got == ref
 
 
+@pytest.fixture(scope="module")
+def skew_events_dir(tmp_path_factory):
+    """One HOT user with 2000 events spanning many 1-hour buckets —
+    sessions deliberately cross and span bucket boundaries — plus a few
+    normal users, so the two-pass sessionize must stitch correctly."""
+    import numpy as np
+    d = tmp_path_factory.mktemp("skew")
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    t = base
+    for i in range(2000):
+        # mostly sub-gap steps; ~5% of steps exceed the 30-min gap and
+        # start a new session (steps up to 3h cross 1-h buckets freely)
+        step = dt.timedelta(minutes=(int(rng.integers(1, 25))
+                                     if rng.random() > 0.05
+                                     else int(rng.integers(31, 180))))
+        t = t + step
+        rows.append((i, 1, t))
+    # a session that spans >2 one-hour buckets without any 30-min gap
+    t2 = base + dt.timedelta(days=30)
+    for j in range(200):
+        rows.append((2000 + j, 2, t2 + dt.timedelta(minutes=29 * j)))
+    rows.append((9999, 3, base))               # single-event user
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_sessionize_bounded_groups_match_single_pass(ray_session,
+                                                     skew_events_dir):
+    """The skew-safe two-pass sessionize (coarse (user, time-bucket)
+    groups + boundary stitch) is row-identical to the obvious
+    single-pass per-user reference, even with tiny 1-hour buckets that
+    force heavy cross-bucket stitching."""
+    import pandas as pd
+    got = to_arrow(ops.sessionize(skew_events_dir,
+                                  bucket_hours=1)).to_pandas()
+    ev = pq.read_table(
+        str(skew_events_dir) + "/events.parquet").to_pandas()
+    ref_rows = []
+    for uid, g in ev.sort_values(["user_id", "ts", "event_id"]) \
+                    .groupby("user_id"):
+        sid = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum() + 1
+        agg = g.assign(session_id=sid).groupby("session_id").agg(
+            n_events=("event_id", "size"), start_ts=("ts", "min"),
+            end_ts=("ts", "max")).reset_index()
+        agg.insert(0, "user_id", uid)
+        ref_rows.append(agg)
+    ref = pd.concat(ref_rows).sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert got["user_id"].nunique() == 3
+    assert (got["user_id"] == 2).sum() == 1    # the spanning session holds
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_id", "n_events", "start_ts", "end_ts"]],
+        ref[["user_id", "session_id", "n_events", "start_ts", "end_ts"]],
+        check_dtype=False)
+
+
 def test_events_sliding_window(ray_session, rel_dir):
     t = to_arrow(ops.events_sliding_window(rel_dir))
     rows = list(zip(t.column("event_type").to_pylist(),

@@ -846,12 +846,79 @@ def _join_partitions() -> int:
     return max(2, cpus)
 
 
-def _smallest_by_vec_id(ds, n: int) -> pa.Table:
-    """The ``n`` rows with the smallest ``vec_id``: per-block partial
-    select (argpartition) + a tiny driver merge over ≤ n_blocks·n rows —
-    replaces ``ds.sort().limit(n)``, which runs a full distributed sort
-    of the whole table to keep n rows (measured as the dominant cost of
-    knn/ann/ivf query selection at sf0.1)."""
+def _smallest_by_stats(sf_dir: str, n: int) -> pa.Table | None:
+    """Driver-side fast path for query selection: parquet row-group
+    ``vec_id`` min/max statistics identify the only row groups that can
+    hold the ``n`` smallest ids, so selecting the query vectors costs a
+    footer scan plus typically ONE row-group read — no Ray dataset
+    execution at all (the selection pass was half of knn_bruteforce's
+    wall time, pure fixed barrier cost on a small table).  Returns None
+    when stats are missing or the data is so unsorted the read would
+    exceed a bounded budget — callers fall back to the distributed
+    partial-select."""
+    import glob
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+                 if os.path.isdir(path) else [path])
+        groups: list[tuple[int, str, int, int]] = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups == 0:
+                continue
+            col_idx = next(
+                (j for j in range(md.num_columns)
+                 if md.row_group(0).column(j).path_in_schema == "vec_id"),
+                None)
+            if col_idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                groups.append((st.min, f, g,
+                               md.row_group(g).num_rows))
+        if not groups or len(groups) > 65536:
+            return None
+        groups.sort()
+        budget = max(10 * n, 100_000)
+        collected, total, kth = [], 0, None
+        pf_cache: dict[str, pq.ParquetFile] = {}
+        for mn, f, g, rows in groups:
+            if kth is not None and mn > kth:
+                break
+            if total + rows > budget:
+                return None            # too unsorted: stay distributed
+            pf = pf_cache.setdefault(f, pq.ParquetFile(f))
+            collected.append(pf.read_row_group(
+                g, columns=["vec_id", "embedding"]))
+            total += rows
+            if kth is None and total >= n:
+                ids = np.concatenate(
+                    [t.column("vec_id").to_numpy(zero_copy_only=False)
+                     for t in collected])
+                kth = int(np.partition(ids, n - 1)[n - 1])
+        t = pa.concat_tables(collected)
+        order = pc.sort_indices(t.column("vec_id"))
+        return t.take(order.slice(0, min(n, t.num_rows)))
+    except Exception:
+        return None
+
+
+def _smallest_by_vec_id(ds, n: int, sf_dir: str | None = None) -> pa.Table:
+    """The ``n`` rows with the smallest ``vec_id``: parquet-stats pruned
+    read when possible (see :func:`_smallest_by_stats`), else per-block
+    partial select (argpartition) + a tiny driver merge over
+    ≤ n_blocks·n rows — never ``ds.sort().limit(n)``, which runs a full
+    distributed sort of the whole table to keep n rows (measured as the
+    dominant cost of knn/ann/ivf query selection at sf0.1)."""
+    if sf_dir is not None:
+        t = _smallest_by_stats(sf_dir, n)
+        if t is not None:
+            return t
+
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) <= n:
@@ -870,7 +937,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     vec_ids) is broadcast; each batch computes a local top-k via one matmul;
     partial top-ks are merged on the driver (tiny)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = _smallest_by_vec_id(ds, n_queries)
+    qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -955,7 +1022,8 @@ def _table_fingerprint(sf_dir: str, name: str = "embeddings") -> tuple:
 
 
 def _kmeans_centroids(ds, k: int, iters: int,
-                      cache_key: tuple | None = None) -> np.ndarray:
+                      cache_key: tuple | None = None,
+                      sf_dir: str | None = None) -> np.ndarray:
     """The Lloyd training loop shared by :func:`kmeans_ivf_assign` and
     :func:`ivf_query` — per-block integer partials, driver fold,
     broadcast; see kmeans_ivf_assign for the exactness contract.
@@ -963,7 +1031,7 @@ def _kmeans_centroids(ds, k: int, iters: int,
     (assign then query) reuse the per-process cached centroids."""
     if cache_key is not None and cache_key in _KMEANS_CACHE:
         return _KMEANS_CACHE[cache_key]
-    seed_tbl = _smallest_by_vec_id(ds, k)
+    seed_tbl = _smallest_by_vec_id(ds, k, sf_dir)
     centroids = _emb_micros(seed_tbl["embedding"])          # (k, dim)
     k = centroids.shape[0]                  # corpus may hold < k vectors
     dim = centroids.shape[1]
@@ -1026,7 +1094,8 @@ def kmeans_ivf_assign(sf_dir: str, k: int = 8, iters: int = 3):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     C = _kmeans_centroids(
         ds, k, iters,
-        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)))
+        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)),
+        sf_dir=sf_dir)
 
     def final(batch: pa.Table) -> pa.Table:
         X = _emb_micros(batch["embedding"])
@@ -1059,8 +1128,9 @@ def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     C = _kmeans_centroids(
         ds, k, iters,
-        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)))
-    qtbl = _smallest_by_vec_id(ds, n_queries)
+        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)),
+        sf_dir=sf_dir)
+    qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
     q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
     Q = _emb_micros(qtbl["embedding"])                       # (nq, dim)
     # nprobe nearest cells per query (ties -> lowest cid via argsort)
@@ -1314,7 +1384,7 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
     approximate by construction (no SQL oracle; recall bound tested in
     tests/test_ops.py)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = _smallest_by_vec_id(ds, n_queries)
+    qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
     dim = Q.shape[1]
@@ -1950,27 +2020,81 @@ def events_hourly_exact(sf_dir: str):
                          zero_copy_batch=True))
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               bucket_hours: int = 24):
     """Session windows per user: a new session starts after a gap of more
-    than ``gap_minutes`` (streaming-shaped op as sorted ``map_groups`` —
-    ray_guide 'Streaming-shaped workloads').  Ties broken by event_id so
-    the session numbering is deterministic and matches the SQL oracle."""
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    than ``gap_minutes``.  Ties broken by event_id so the session
+    numbering is deterministic and matches the SQL oracle.
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session_id = gap.cumsum().astype("int64") + 1
-        out = g.assign(session_id=session_id).groupby(
-            "session_id", sort=True).agg(
-                n_events=("event_id", "size"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max")).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+    Skew-safe two-pass build (a bare ``groupby(user_id)`` makes one
+    pathological user an unbounded group — the same fix as the annotate
+    stage's ``(conv_id, turn_idx // W)`` window key):
+
+    1. events are grouped by a COARSE hash of ``(user_id, ts-bucket)``
+       (``bucket_hours`` wide), so a hot user's rows spread across many
+       bounded groups; a vectorised pandas kernel emits per-session
+       summary rows (user, start, end, n_events) within each group;
+    2. summaries — O(#sessions), tiny — are stitched per user: adjacent
+       sessions whose boundary gap is ≤ ``gap_minutes`` merge (interval
+       adjacency is transitive, so bucket-spanning sessions collapse to
+       exactly the single-pass result), then renumbered by start time.
+
+    Both passes run over coarse hash groups, so per-group size is bounded
+    by the time bucket, never by one user's total volume, and Python is
+    entered O(n_groups) times."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_groups = max(64, 4 * _join_partitions())
+    gap_td = pd.Timedelta(minutes=gap_minutes)
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").combine_chunks()
+        # stable user key: ids may be strings — hash via index-free md5?
+        # user_id in the events table is int64; fall back to a cast
+        u = pc.cast(uid, pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks()
+        micros = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = micros // (bucket_hours * 3_600_000_000)
+        with np.errstate(over="ignore"):
+            gk = _coarse_key(u * np.int64(1_000_003) + bucket, n_groups)
+        return t.append_column("gk", pa.array(gk, pa.int64()))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > gap_td
+        sid = (new_user | gap).cumsum()
+        out = g.groupby(sid, sort=True).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max")).reset_index(drop=True)
+        out["sk"] = _coarse_key(
+            out["user_id"].to_numpy(np.int64), n_groups)
         return out
 
-    return (ds.groupby("user_id").map_groups(sessions,
-                                             batch_format="pandas")
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "start_ts", "end_ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        # running-max end per user (intervals from different coarse
+        # groups may nest): the textbook threshold interval-merge
+        run_end = g.groupby("user_id", sort=False)["end_ts"].cummax()
+        gap = (g["start_ts"] - run_end.shift()) > gap_td
+        sid = (new_user | gap).cumsum()
+        out = g.groupby(sid, sort=True).agg(
+            user_id=("user_id", "first"),
+            n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"),
+            end_ts=("end_ts", "max")).reset_index(drop=True)
+        out["session_id"] = (out.groupby("user_id").cumcount()
+                             + 1).astype("int64")
+        return out[["user_id", "session_id", "n_events",
+                    "start_ts", "end_ts"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(bucket_sessions,
+                                      batch_format="pandas")
+            .groupby("sk").map_groups(stitch, batch_format="pandas")
             .sort(["user_id", "session_id"]))
 
 
