@@ -69,6 +69,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_mentions(sf_dir):
         return mentions_table(_turns_ds(sf_dir))
 
+    def kg_crowd_mentions(sf_dir):
+        # reference get_crowd_data counterpart (analysis.py:213-301):
+        # load crowd span annotations (deterministic synthetic crowd
+        # file in the reference's JSON layout) onto the turns by exact
+        # text match + char_span conversion.  Rows-only check: the
+        # char->token conversion needs the engine tokeniser, which SQL
+        # can't express; the exact round-trip vs gold_spans is pytest
+        # (tests/test_crowd.py).
+        from weak_supervision_for_ner_ray.sources.crowd import (
+            crowd_mentions, synth_crowd_json)
+        path = synth_crowd_json(_corpus(sf_dir))
+        return crowd_mentions(_turns_ds(sf_dir), path) \
+            .sort(["conv_id", "turn_idx", "start", "end"])
+
     def turns_restore_order(sf_dir):
         # per-turn text equality invariant surface: restore stable order
         import ray.data as rd
@@ -149,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["detector_mentions"]).detector_mentions(
                 _turns_ds(sf), "legal_detector"),
         "kg_mentions": kg_mentions,
+        "kg_crowd_mentions": kg_crowd_mentions,
         "kg_ner": kg_ner,
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,

@@ -437,3 +437,47 @@ def test_multimodal_frame_sample_and_resize(ray_session, docs_dir):
         ops.ImageResizeStage(use_real_decoder=True).grid(b"x")
     with pytest.raises(NotImplementedError):
         ops.FrameSampleStage(use_real_decoder=True).decode_video(b"x")
+
+
+def _make_ppm(img: "np.ndarray") -> bytes:
+    h, w, _ = img.shape
+    return (f"P6\n# comment\n{w} {h}\n255\n".encode()
+            + img.astype(np.uint8).tobytes())
+
+
+def _make_bmp(img: "np.ndarray") -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    header = (b"BM" + (54 + h * stride).to_bytes(4, "little")
+              + b"\0\0\0\0" + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + (h * stride).to_bytes(4, "little") + b"\0" * 16)
+    return header + rows.tobytes()
+
+
+def test_image_decode_real_formats():
+    """The pure-numpy PPM/BMP decoders are pixel-exact and the area
+    resize equals the hand-computed pooled means."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 10, 3), np.uint8)
+    assert np.array_equal(ops._decode_ppm(_make_ppm(img)), img)
+    assert np.array_equal(ops._decode_bmp(_make_bmp(img)), img)
+    stage = ops.ImageResizeStage(h=2, w=2, use_real_decoder=True)
+    got = stage.grid(_make_ppm(img))
+    gray = img.astype(np.float64).mean(axis=2)
+    want = np.array([
+        gray[:3, :5].mean(), gray[:3, 5:].mean(),
+        gray[3:, :5].mean(), gray[3:, 5:].mean()]) / 255.0
+    assert np.allclose(got, want)
+    assert np.allclose(stage.grid(_make_bmp(img)), want)
+    # odd sizes: nearly-even segments, no crash, mass preserved
+    odd = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    g = ops.ImageResizeStage(h=3, w=3, use_real_decoder=True) \
+        .grid(_make_ppm(odd))
+    assert g.shape == (9,) and 0.0 <= g.min() and g.max() <= 1.0

@@ -140,3 +140,32 @@ def test_rolling_fingerprint_kernel_matches_bruteforce(text):
     want = [sum(ord(text[i + j]) * pw[j] for j in range(k)) % M
             for i in range(n_pos)]
     assert h.tolist() == want
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                          st.integers(0, 30)),
+                min_size=0, max_size=120))
+def test_segment_pairs_matches_triu(rows):
+    """The vectorised segment-triu expansion in _lsh_candidate_pairs
+    equals np.triu_indices over the unique ids of every bucket."""
+    t = np.array([r[0] for r in rows], np.int64)
+    b = np.array([r[1] for r in rows], np.int64)
+    v = np.array([r[2] for r in rows], np.int64)
+    order = np.lexsort((v, b, t))
+    t, b, v = t[order], b[order], v[order]
+    keep = np.ones(len(v), bool)
+    keep[1:] = (t[1:] != t[:-1]) | (b[1:] != b[:-1]) | (v[1:] != v[:-1])
+    t, b, v = t[keep], b[keep], v[keep]
+    seg = np.zeros(len(v), np.int64)
+    if len(v):
+        seg[1:] = np.cumsum((t[1:] != t[:-1]) | (b[1:] != b[:-1]))
+    a, bb = ops._segment_pairs(v, seg)
+    got = set(zip(a.tolist(), bb.tolist()))
+    want = set()
+    for key in set(zip(t.tolist(), b.tolist())):
+        ids = np.unique(v[(t == key[0]) & (b == key[1])])
+        ai, bi = np.triu_indices(len(ids), k=1)
+        want |= set(zip(ids[ai].tolist(), ids[bi].tolist()))
+    assert got == want
+    assert np.all(a < bb) if len(a) else True

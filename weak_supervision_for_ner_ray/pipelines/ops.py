@@ -716,27 +716,33 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
                             on=("doc_id",))
     mh = MinHasher(shingle=shingle)
 
+    n_groups = max(64, 4 * _join_partitions())
+
     def shingle_rows(t: pa.Table) -> pa.Table:
         ids_ = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
         sh = [np.unique(mh.shingles(text)).astype(np.int64).tolist()
               for text in texts]
         n = len(ids_)
+        ids_np = np.asarray(ids_, np.int64)
         return pa.table({
-            "doc_id": pa.array(ids_, pa.int64()),
+            "gk": pa.array(_coarse_key(ids_np, n_groups), pa.int64()),
+            "doc_id": pa.array(ids_np, pa.int64()),
             "a": pa.array([-1] * n, pa.int64()),
             "b": pa.array([-1] * n, pa.int64()),
             "sh": pa.array(sh, pa.list_(pa.int64())),
         })
 
     def pair_rows(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_pylist()
-        b = t.column("b").to_pylist()
+        a = np.asarray(t.column("a").to_pylist(), np.int64)
+        b = np.asarray(t.column("b").to_pylist(), np.int64)
+        vid = np.concatenate([a, b])
         return pa.table({
-            "doc_id": pa.array(a + b, pa.int64()),
-            "a": pa.array(a + a, pa.int64()),
-            "b": pa.array(b + b, pa.int64()),
-            "sh": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
+            "gk": pa.array(_coarse_key(vid, n_groups), pa.int64()),
+            "doc_id": pa.array(vid, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "sh": pa.nulls(2 * len(a), pa.list_(pa.int64())),
         })
 
     tagged = needed_docs.map_batches(shingle_rows, batch_format="pyarrow",
@@ -744,43 +750,80 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
         .union(cands.map_batches(pair_rows, batch_format="pyarrow",
                                  zero_copy_batch=True))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        # one group per doc_id: copy the doc's shingle set onto each pair
-        # row referencing it
-        is_doc = g["a"] < 0
-        if not is_doc.any():
-            return g.iloc[0:0]
-        sh = g.loc[is_doc, "sh"].iloc[0]
-        pairs = g.loc[~is_doc, ["doc_id", "a", "b"]].copy()
-        pairs["sh"] = [sh] * len(pairs)
-        return pairs
+    # COARSE hash groups (one Python call per group, not per doc/pair):
+    # attach copies each referenced doc's shingle set onto its pair rows
+    # via a vectorised index_in + take; jaccard counts |A∪B| with one
+    # lexsort-unique over the flattened (pair, shingle) rows.
+    def attach(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.list_(pa.int64()))})
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        is_doc = a < 0
+        if is_doc.all() or not is_doc.any():
+            return empty
+        sel = pa.array(is_doc)
+        docs_ = g.filter(sel)
+        pr = g.filter(pc.invert(sel))
+        idx = pc.index_in(pr.column("doc_id").combine_chunks(),
+                          docs_.column("doc_id").combine_chunks())
+        pa_ = pr.column("a").to_numpy(zero_copy_only=False)
+        pb_ = pr.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pk = _coarse_key(pa_ * np.int64(3) + pb_, n_groups)
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "a": pa.array(pa_, pa.int64()),
+            "b": pa.array(pb_, pa.int64()),
+            "sh": docs_.column("sh").combine_chunks().take(idx),
+        })
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard_micro": pd.Series([], dtype="int64")})
-
-    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:            # one side missing entirely
-            return _empty()
-        sa = set(g["sh"].iloc[0])
-        sb = set(g["sh"].iloc[1])
-        if not sa or not sb:
-            return _empty()
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        if inter / union < threshold:
-            return _empty()
+    def jaccard(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard_micro": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        sh = g.column("sh").combine_chunks()
+        offs = sh.offsets.to_numpy(zero_copy_only=False)
+        sizes = np.diff(offs)
+        # slice the child values from the FIRST offset: a sliced/taken
+        # list array's offsets need not start at 0
+        vals = sh.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+        pair_keys, pair_idx = np.unique(np.stack([a, b], axis=1),
+                                        axis=0, return_inverse=True)
+        n_pairs = len(pair_keys)
+        cnt = np.bincount(pair_idx, minlength=n_pairs)
+        tot = np.bincount(pair_idx, weights=sizes,
+                          minlength=n_pairs).astype(np.int64)
+        flat_pair = np.repeat(pair_idx, sizes)
+        order = np.lexsort((vals, flat_pair))
+        fp, fv = flat_pair[order], vals[order]
+        uniq = np.ones(len(fv), bool)
+        uniq[1:] = (fp[1:] != fp[:-1]) | (fv[1:] != fv[:-1])
+        union = np.bincount(fp[uniq], minlength=n_pairs).astype(np.int64)
+        inter = tot - union
+        # both sides present, both non-empty, above threshold — the same
+        # predicate the per-pair reference kernel applied
+        per_side_nonempty = np.bincount(
+            pair_idx[sizes > 0], minlength=n_pairs) == 2
+        keep = (cnt == 2) & per_side_nonempty & (union > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            keep &= np.where(union > 0, inter / union, 0.0) >= threshold
         # exact integer micros via float64 floor — mirrors the SQL oracle
-        return pd.DataFrame({"a": [int(g["a"].iloc[0])],
-                             "b": [int(g["b"].iloc[0])],
-                             "jaccard_micro": [int(np.floor(
-                                 inter * 1e6 / union))]})
+        jac = np.floor(inter[keep] * 1e6 / union[keep]).astype(np.int64)
+        return pa.table({
+            "a": pa.array(pair_keys[keep, 0], pa.int64()),
+            "b": pa.array(pair_keys[keep, 1], pa.int64()),
+            "jaccard_micro": pa.array(jac, pa.int64()),
+        })
 
-    return (tagged.groupby("doc_id").map_groups(attach,
-                                                batch_format="pandas")
-            .groupby(["a", "b"]).map_groups(jaccard,
-                                            batch_format="pandas")
+    return (tagged.groupby("gk").map_groups(attach,
+                                            batch_format="pyarrow")
+            .groupby("pk").map_groups(jaccard, batch_format="pyarrow")
             .sort(["a", "b"]))
 
 
@@ -1293,23 +1336,90 @@ class FrameSampleStage:
         })
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 — pure numpy, real decode."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <w> <h> <maxval> single-whitespace, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pos += 1                                # single whitespace after maxval
+    px = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 (BGR->RGB, bottom-up
+    row order and 4-byte row padding handled) — pure numpy, real decode."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=abs(h) * stride,
+                         offset=off).reshape(abs(h), stride)
+    img = rows[:, :w * 3].reshape(abs(h), w, 3)[..., ::-1]   # BGR -> RGB
+    return img[::-1] if h > 0 else img        # positive h = bottom-up
+
+
+def _area_resize(gray: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Mean-pool a 2-D array onto an (h, w) grid (nearly-even segments
+    via reduceat) — the downsample a real feature extractor would use."""
+    H, W = gray.shape
+    ri = (np.arange(h) * H) // h
+    ci = (np.arange(w) * W) // w
+    pooled = np.add.reduceat(np.add.reduceat(gray.astype(np.float64),
+                                             ri, axis=0), ci, axis=1)
+    rc = np.diff(np.append(ri, H)).astype(np.float64)
+    cc = np.diff(np.append(ci, W)).astype(np.float64)
+    return pooled / rc[:, None] / cc[None, :]
+
+
 class ImageResizeStage:
     """Actor-pool stage: opaque image payload -> fixed (h*w) feature grid.
 
-    ``decode_image`` is a clearly-marked stub (no PIL in this container);
-    the deterministic fallback folds the payload bytes into an h×w float
-    grid (mean byte value per cell) so the output schema — a fixed-length
-    ``list<double>`` ready for an embedding model — is real."""
+    ``decode_image`` REALLY decodes the uncompressed formats (binary PPM
+    ``P6`` and 24-bit BMP) with pure numpy — pixel-exact, tested against
+    hand-built images — then area-resizes the grayscale to h×w.
+    Compressed codecs (JPEG/PNG) need libraries absent from this
+    container and raise ``NotImplementedError``; the deterministic
+    fallback (mean byte value per cell) keeps the output schema — a
+    fixed-length ``list<double>`` ready for an embedding model — real
+    for arbitrary payloads."""
 
     def __init__(self, h: int = 8, w: int = 8,
                  use_real_decoder: bool = False):
         self.h, self.w = h, w
         self.use_real_decoder = use_real_decoder
 
-    def decode_image(self, payload: bytes):
-        raise NotImplementedError(
-            "image decoding requires PIL, which is not available in this "
-            "environment; plug a real decoder here")
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"P6"):
+            img = _decode_ppm(payload)
+        elif payload.startswith(b"BM"):
+            img = _decode_bmp(payload)
+        else:
+            raise NotImplementedError(
+                "compressed image codecs (JPEG/PNG) need PIL, which is "
+                "not available in this environment; plug a decoder here")
+        gray = img.astype(np.float64).mean(axis=2)
+        return (_area_resize(gray, self.h, self.w) / 255.0).reshape(-1)
 
     def grid(self, payload: bytes) -> np.ndarray:
         if self.use_real_decoder:
@@ -1558,21 +1668,69 @@ class LSHTableStage:
         return pa.table(cols)
 
 
-def _lsh_candidate_pairs(coded_ids):
+def _segment_pairs(vals: np.ndarray, seg: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered within-segment pairs of ``vals`` (sorted ascending
+    inside each segment, so a < b holds), fully vectorised — the
+    segment-triu expansion: element at in-segment position k pairs with
+    the (size-1-k) elements after it."""
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, vals.dtype), np.empty(0, vals.dtype)
+    change = np.flatnonzero(seg[1:] != seg[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    pos = np.arange(n) - np.repeat(starts, sizes)
+    cnt = np.repeat(sizes, sizes) - 1 - pos
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, vals.dtype), np.empty(0, vals.dtype)
+    a_idx = np.repeat(np.arange(n), cnt)
+    cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    off = np.arange(total) - np.repeat(cum, cnt) + 1
+    return vals[a_idx], vals[a_idx + off]
+
+
+def _lsh_candidate_pairs(coded_ids, n_groups: int | None = None):
     """Distinct (a, b) id pairs sharing ≥1 (table, bucket) — ids only,
-    no vector payload crosses either exchange."""
+    no vector payload crosses either exchange.  Buckets are grouped
+    under a COARSE hash key (deep codes mean n_tables·2^b tiny buckets;
+    one Python map_groups call per bucket was the dominant cost), and a
+    vectorised segment-triu kernel expands every bucket in the group at
+    once."""
+    if n_groups is None:
+        n_groups = max(64, 4 * _join_partitions())
+
+    def tag(t: pa.Table) -> pa.Table:
+        tb = t.column("table_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            gk = _coarse_key((tb << np.int64(40)) | bk, n_groups)
+        return t.append_column("gk", pa.array(gk, pa.int64()))
+
     def bucket_cands(group: dict) -> dict:
-        ids = np.unique(np.asarray(group["vec_id"], np.int64))
-        if len(ids) < 2:
-            return {"a": np.empty(0, np.int64),
-                    "b": np.empty(0, np.int64)}
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return {"a": ids[ai], "b": ids[bi]}
+        t = np.asarray(group["table_id"], np.int64)
+        b = np.asarray(group["bucket"], np.int64)
+        v = np.asarray(group["vec_id"], np.int64)
+        order = np.lexsort((v, b, t))
+        t, b, v = t[order], b[order], v[order]
+        keep = np.ones(len(v), bool)        # exact-dup (t,b,v) rows out
+        keep[1:] = ((t[1:] != t[:-1]) | (b[1:] != b[:-1])
+                    | (v[1:] != v[:-1]))
+        t, b, v = t[keep], b[keep], v[keep]
+        seg = np.zeros(len(v), np.int64)
+        if len(v):
+            seg[1:] = np.cumsum((t[1:] != t[:-1]) | (b[1:] != b[:-1]))
+        a, bb = _segment_pairs(v, seg)
+        return {"a": a, "b": bb}
 
     # trailing repartition: the grouped aggregate emits schema-less EMPTY
     # blocks that poison every downstream union/concat (same pitfall as
     # the ngram_jaccard join feed) — a split-repartition coalesces them
-    return (coded_ids.groupby(["table_id", "bucket"])
+    return (coded_ids.map_batches(tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("gk")
             .map_groups(bucket_cands, batch_format="numpy")
             .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
             .select_columns(["a", "b"])
