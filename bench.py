@@ -105,8 +105,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: ops.doc_fingerprint_rolling(sf_dir))
     timed("quality_score", lambda: ops.quality_score_exact(sf_dir))
     timed("lang_id", lambda: ops.lang_id(sf_dir))
+    timed("sessionize", lambda: ops.sessionize(sf_dir))
     timed("exact_dedup", lambda: ops.exact_dedup(sf_dir))
     timed("dedup_minhash", lambda: ops.minhash_candidates(sf_dir))
+    timed("dedup_ngram_jaccard", lambda: ops.ngram_jaccard_verify(sf_dir))
+    timed("dedup_clusters", lambda: ops.dedup_clusters(sf_dir))
     timed("dedup_simhash", lambda: ops.simhash_table(sf_dir))
     timed("dedup_embedding", lambda: ops.dedup_embedding_cosine(sf_dir))
     timed("dedup_embedding_lsh", lambda: ops.dedup_embedding_lsh(sf_dir))
