@@ -681,14 +681,17 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
     fully distributed (no driver-side text loop):
 
     1. candidate (a, b) pairs from MinHash/LSH (materialised once — they
-       feed both the id table and the pair rows);
-    2. a DISTRIBUTED semi-join (distinct candidate ids → hash join
-       against documents) selects the needed docs — no driver-side id
-       set, so candidate cardinality never bounds driver memory;
-    3. ``map_batches`` computes shingle-hash sets for those docs only;
-    4. one shuffle co-locates each pair with its two shingle sets
-       (union + ``groupby(doc_id)`` attach, then ``groupby(a, b)``);
-    5. Jaccard computed per pair inside ``map_groups``.
+       feed both sides of every pair);
+    2. ONE shuffle co-locates each document's RAW text with the pair
+       rows referencing it (union + coarse ``groupby(hash(doc_id))`` —
+       text bytes are ~8× smaller than int64 shingle lists, and no
+       distinct-ids aggregate / repartition / hash-join operators are
+       needed: those three barriers dominated wall time at 256 pairs);
+    3. the attach kernel shingles ONLY the docs that pair rows in its
+       group reference, vectorised per coarse group;
+    4. a second coarse ``groupby(hash(a, b))`` lands both sides of a
+       pair together, where one lexsort-unique kernel computes every
+       Jaccard.
 
     The driver never sees a document text or a candidate id."""
     cands = minhash_candidates(sf_dir, shingle=shingle).materialize()
@@ -697,40 +700,18 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
             "jaccard_micro": pa.array([], pa.int64())}))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    # distinct candidate doc ids as a DATASET (per-batch unique, then a
-    # grouped global distinct — ints only, stays in the object store)
-    # trailing repartition: the grouped aggregate emits schema-less EMPTY
-    # blocks which the hash join's per-partition pyarrow join rejects;
-    # a split-repartition coalesces them away (and map_batches can't —
-    # empty blocks are never handed to the fn)
-    ids = (cands.map_batches(
-        lambda t: pa.table({"doc_id": pc.unique(pa.chunked_array(
-            [t.column("a"), t.column("b")]).combine_chunks())}),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id").aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_id"])
-        .repartition(_join_partitions()))
-    needed_docs = docs.join(ids, join_type="inner",
-                            num_partitions=_join_partitions(),
-                            on=("doc_id",))
     mh = MinHasher(shingle=shingle)
 
     n_groups = max(64, 4 * _join_partitions())
 
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        ids_ = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        sh = [np.unique(mh.shingles(text)).astype(np.int64).tolist()
-              for text in texts]
-        n = len(ids_)
-        ids_np = np.asarray(ids_, np.int64)
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids_np = np.asarray(t.column("doc_id").to_pylist(), np.int64)
         return pa.table({
             "gk": pa.array(_coarse_key(ids_np, n_groups), pa.int64()),
             "doc_id": pa.array(ids_np, pa.int64()),
-            "a": pa.array([-1] * n, pa.int64()),
-            "b": pa.array([-1] * n, pa.int64()),
-            "sh": pa.array(sh, pa.list_(pa.int64())),
+            "a": pa.array(np.full(len(ids_np), -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(len(ids_np), -1, np.int64), pa.int64()),
+            "text": pc.cast(t.column("text"), pa.string()),
         })
 
     def pair_rows(t: pa.Table) -> pa.Table:
@@ -742,18 +723,19 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
             "doc_id": pa.array(vid, pa.int64()),
             "a": pa.array(np.concatenate([a, a]), pa.int64()),
             "b": pa.array(np.concatenate([b, b]), pa.int64()),
-            "sh": pa.nulls(2 * len(a), pa.list_(pa.int64())),
+            "text": pa.nulls(2 * len(a), pa.string()),
         })
 
-    tagged = needed_docs.map_batches(shingle_rows, batch_format="pyarrow",
-                                     zero_copy_batch=True) \
+    tagged = docs.map_batches(doc_rows, batch_format="pyarrow",
+                              zero_copy_batch=True) \
         .union(cands.map_batches(pair_rows, batch_format="pyarrow",
                                  zero_copy_batch=True))
 
     # COARSE hash groups (one Python call per group, not per doc/pair):
-    # attach copies each referenced doc's shingle set onto its pair rows
-    # via a vectorised index_in + take; jaccard counts |A∪B| with one
-    # lexsort-unique over the flattened (pair, shingle) rows.
+    # attach shingles only the docs referenced by pair rows in its group
+    # and copies each shingle set onto the pair rows via a vectorised
+    # lookup; jaccard counts |A∪B| with one lexsort-unique over the
+    # flattened (pair, shingle) rows.
     def attach(g: pa.Table) -> pa.Table:
         empty = pa.table({"pk": pa.array([], pa.int64()),
                           "a": pa.array([], pa.int64()),
@@ -766,8 +748,23 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
         sel = pa.array(is_doc)
         docs_ = g.filter(sel)
         pr = g.filter(pc.invert(sel))
-        idx = pc.index_in(pr.column("doc_id").combine_chunks(),
-                          docs_.column("doc_id").combine_chunks())
+        doc_ids = docs_.column("doc_id").to_numpy(zero_copy_only=False)
+        pvid = pr.column("doc_id").to_numpy(zero_copy_only=False)
+        need = np.isin(doc_ids, np.unique(pvid))
+        if not need.any():
+            return empty
+        texts = docs_.filter(pa.array(need)).column("text").to_pylist()
+        nid = doc_ids[need]
+        sh_lists = [np.unique(mh.shingles(x)).astype(np.int64)
+                    for x in texts]
+        offs = np.concatenate(
+            [[0], np.cumsum([len(x) for x in sh_lists])]).astype(np.int32)
+        vals = (np.concatenate(sh_lists) if sh_lists
+                else np.empty(0, np.int64))
+        sh_arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(vals, pa.int64()))
+        order = np.argsort(nid)
+        idx = order[np.searchsorted(nid[order], pvid)]
         pa_ = pr.column("a").to_numpy(zero_copy_only=False)
         pb_ = pr.column("b").to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
@@ -776,7 +773,7 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
             "pk": pa.array(pk, pa.int64()),
             "a": pa.array(pa_, pa.int64()),
             "b": pa.array(pb_, pa.int64()),
-            "sh": docs_.column("sh").combine_chunks().take(idx),
+            "sh": sh_arr.take(pa.array(idx, pa.int64())),
         })
 
     def jaccard(g: pa.Table) -> pa.Table:
