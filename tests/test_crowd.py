@@ -100,6 +100,35 @@ def test_crowd_roundtrip_against_gold(ray_session):
     assert gold_set == got_set
 
 
+def test_crowd_mentions_feed_eval(ray_session):
+    """The reference's purpose for get_crowd_data is scoring sources
+    against crowd labels (analysis.py evaluate path).  The loaded crowd
+    mentions plug straight into evaluate_ner: using them as predictions
+    against the gold spans of the crowd-covered turns scores a perfect
+    micro F1 (they ARE re-expressed gold spans)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
+    from weak_supervision_for_ner_ray.pipelines.eval import evaluate_ner
+    corpus = corpus_for_sf_dir("/root/testdata/sf0.001")
+    path = crowd.synth_crowd_json(corpus)
+    turns = rd.read_parquet(os.path.join(corpus, "turns.parquet"))
+    pred = crowd.crowd_mentions(turns, path)
+    covered = set(map(tuple, pred.to_pandas()[
+        ["conv_id", "turn_idx"]].itertuples(index=False)))
+    gold = pq.read_table(os.path.join(corpus, "gold_spans.parquet")) \
+        .to_pandas()
+    gold["label"] = gold["label"].str.upper()
+    gold = gold[[tuple(r) in covered for r in
+                 gold[["conv_id", "turn_idx"]].itertuples(index=False)]]
+    res = evaluate_ner(pred, pa.Table.from_pandas(gold,
+                                                  preserve_index=False))
+    assert res["entity"]["micro"]["f1"] == 1.0
+    assert res["token"]["micro"]["f1"] == 1.0
+
+
 def test_crowd_mentions_schema_matches_mentions_table(ray_session,
                                                       crowd_setup):
     """Crowd mentions must be unionable with the LF mentions table so
