@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": ops.events_hourly_exact,
         "events_sliding_window": lambda sf: ops.events_sliding_window(sf),
         "sessionize": lambda sf: ops.sessionize(sf),
+        "asof_join": lambda sf: ops.asof_join(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
@@ -802,6 +803,32 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS il
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), w AS (
+              SELECT user_id, ts, event_id, il,
+                     last_value(CASE WHEN il = 0 THEN event_id END
+                                IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, il, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS right_id,
+                     last_value(CASE WHEN il = 0 THEN ts END
+                                IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, il, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS right_ts
+              FROM u
+            )
+            SELECT user_id, event_id AS left_id, ts AS left_ts,
+                   right_id, right_ts,
+                   datediff('microsecond', right_ts, ts) AS lag_us
+            FROM w WHERE il = 1 AND right_id IS NOT NULL
+            ORDER BY user_id, left_id
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

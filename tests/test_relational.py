@@ -121,6 +121,88 @@ def test_sessionize_bounded_groups_match_single_pass(ray_session,
         check_dtype=False)
 
 
+@pytest.fixture(scope="module")
+def asof_events_dir(tmp_path_factory):
+    """Events for the as-of join: a hot user whose purchases/clicks
+    interleave across MANY 1-hour buckets (forces the carry stitch),
+    plus crafted edges — equal-ts left/right tie, duplicate-ts rights,
+    a purchase before any click (must drop), a click-less user, and a
+    purchase whose only click lives several buckets earlier (pure-carry
+    match)."""
+    import numpy as np
+    d = tmp_path_factory.mktemp("asof")
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows, eid = [], 0
+    t = base
+    for _ in range(3000):                       # hot user 1
+        t = t + dt.timedelta(minutes=int(rng.integers(1, 50)))
+        kind = ["purchase", "click", "view"][int(rng.integers(0, 3))]
+        rows.append((eid, 1, t, kind)); eid += 1
+    tie = base + dt.timedelta(days=60)
+    rows += [
+        # user 2: purchase at the exact ts of two clicks — "<=" matches,
+        # and the larger click event_id must win the tie
+        (9000, 2, tie, "click"), (9001, 2, tie, "click"),
+        (9002, 2, tie, "purchase"),
+        # user 3: purchase BEFORE any click — dropped (inner semantics)
+        (9010, 3, tie, "purchase"),
+        (9011, 3, tie + dt.timedelta(hours=1), "click"),
+        (9012, 3, tie + dt.timedelta(hours=2), "purchase"),
+        # user 4: click-less — all purchases dropped
+        (9020, 4, tie, "purchase"),
+        # user 5: only click is 5 buckets before the purchase (carry)
+        (9030, 5, tie, "click"),
+        (9031, 5, tie + dt.timedelta(hours=5, minutes=30), "purchase"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_join_matches_merge_asof(ray_session, asof_events_dir):
+    """The three-exchange skew-capped as-of join is row-identical to
+    pandas.merge_asof (backward, exact matches allowed, last-in-order
+    tie winner), even with 1-hour buckets forcing heavy carry use."""
+    import pandas as pd
+    got = to_arrow(ops.asof_join(asof_events_dir,
+                                 bucket_hours=1)).to_pandas()
+    ev = pq.read_table(
+        str(asof_events_dir) + "/events.parquet").to_pandas()
+    L = (ev[ev.event_type == "purchase"]
+         .sort_values(["ts", "event_id"], kind="stable")
+         .rename(columns={"event_id": "left_id"}))
+    R = (ev[ev.event_type == "click"]
+         .sort_values(["ts", "event_id"], kind="stable")
+         .rename(columns={"event_id": "right_id"}))
+    R["right_ts"] = R["ts"]
+    ref = pd.merge_asof(L[["ts", "user_id", "left_id"]],
+                        R[["ts", "user_id", "right_id", "right_ts"]],
+                        on="ts", by="user_id", direction="backward",
+                        allow_exact_matches=True)
+    ref = ref[ref["right_id"].notna()].copy()
+    ref["right_id"] = ref["right_id"].astype("int64")
+    ref["lag_us"] = ((ref["ts"] - ref["right_ts"])
+                     .dt.total_seconds() * 1e6).round().astype("int64")
+    ref = (ref.rename(columns={"ts": "left_ts"})
+           [["user_id", "left_id", "left_ts", "right_id", "right_ts",
+             "lag_us"]]
+           .sort_values(["user_id", "left_id"]).reset_index(drop=True))
+    got = got.sort_values(["user_id", "left_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    by_left = got.set_index("left_id")
+    assert by_left.loc[9002, "right_id"] == 9001   # equal-ts tie → max id
+    assert 9010 not in by_left.index               # no prior click → drop
+    assert by_left.loc[9012, "right_id"] == 9011
+    assert (got["user_id"] != 4).all()             # click-less user
+    assert by_left.loc[9031, "right_id"] == 9030   # pure-carry match
+    assert by_left.loc[9031, "lag_us"] == 5 * 3600 * 1_000_000 + 1800000000
+
+
 def test_events_sliding_window(ray_session, rel_dir):
     t = to_arrow(ops.events_sliding_window(rel_dir))
     rows = list(zip(t.column("event_type").to_pylist(),

@@ -2253,6 +2253,167 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
             .sort(["user_id", "session_id"]))
 
 
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click", bucket_hours: int = 24):
+    """As-of join (inner): for each ``left_type`` event, the same user's
+    latest ``right_type`` event with ``right.ts <= left.ts``.  Ties at
+    equal ``ts`` match (``<=`` semantics) and resolve to the largest
+    ``event_id`` — fully deterministic, so the DuckDB window-function
+    oracle hashes identically.
+
+    Skew-capped distributed build (a bare ``groupby(user_id)`` makes one
+    hot user an unbounded group; same cure as ``sessionize``):
+
+    1. rows are grouped by a COARSE hash of ``(user_id, ts-bucket)``
+       (``bucket_hours`` wide).  A vectorised kernel emits per
+       ``(user, bucket)`` summary rows: the last right event in the
+       bucket, plus a marker for buckets containing left events.
+    2. summaries — O(#active user-buckets), tiny — are stitched per
+       user-hash group: every left-marked bucket gets a CARRY row, the
+       latest right event from any strictly-earlier bucket (a sorted
+       forward-fill; the nearest earlier right-containing bucket's last
+       right IS the global latest, because buckets partition time).
+    3. the carry rows, re-keyed to their left bucket's coarse group, are
+       unioned with the tagged events; one more grouped pass matches each
+       left row against in-bucket rights ∪ its carry via a per-group
+       forward-fill — within-group work is a sort + two ffills, no
+       Python row loop.
+
+    Three exchanges total (two full grouped passes over the
+    column-pruned two-type slice + one tiny summary stitch); group size
+    is bounded by the time bucket, never by a user's volume; no
+    broadcast, no driver-side loop.  The tagged input is built twice
+    (summaries branch + match branch) — re-running a pruned read is
+    cheaper at scale than materialising the slice mid-pipeline."""
+    n_groups = max(64, 4 * _join_partitions())
+    bucket_us = np.int64(bucket_hours) * np.int64(3_600_000_000)
+
+    def tagged():
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts", "event_type"])
+
+        def tag(t: pa.Table) -> pa.Table:
+            et = t.column("event_type")
+            t = t.filter(pc.or_(pc.equal(et, left_type),
+                                pc.equal(et, right_type)))
+            u = pc.cast(t.column("user_id"), pa.int64())
+            ts_us = pc.cast(t.column("ts").cast(pa.timestamp("us")),
+                            pa.int64())
+            il = pc.cast(pc.equal(t.column("event_type"), left_type),
+                         pa.int8())
+            u_np = u.to_numpy(zero_copy_only=False)
+            ts_np = ts_us.to_numpy(zero_copy_only=False)
+            bucket = ts_np // bucket_us
+            with np.errstate(over="ignore"):
+                gk = _coarse_key(u_np * np.int64(1_000_003) + bucket,
+                                 n_groups)
+            return pa.table({
+                "u": u,
+                "ts_us": pa.array(ts_np, pa.int64()),
+                "eid": pc.cast(t.column("event_id"), pa.int64()),
+                "il": il,
+                "bucket": pa.array(bucket, pa.int64()),
+                "gk": pa.array(gk, pa.int64()),
+            })
+
+        return ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        rights = g[g["il"] == 0]
+        if len(rights):
+            r = (rights.sort_values(["ts_us", "eid"])
+                 .groupby(["u", "bucket"], sort=False)
+                 .last().reset_index())
+            parts.append(pd.DataFrame({
+                "u": r["u"], "bucket": r["bucket"],
+                "r_ts": r["ts_us"], "r_id": r["eid"],
+                "kind": np.int8(0)}))
+        lefts = g.loc[g["il"] == 1, ["u", "bucket"]].drop_duplicates()
+        if len(lefts):
+            parts.append(pd.DataFrame({
+                "u": lefts["u"], "bucket": lefts["bucket"],
+                "r_ts": np.int64(-1), "r_id": np.int64(-1),
+                "kind": np.int8(1)}))
+        if not parts:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "r_ts": pd.Series(dtype="int64"),
+                                 "r_id": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype="int8"),
+                                 "sk": pd.Series(dtype="int64")})
+        out = pd.concat(parts, ignore_index=True)
+        out["sk"] = _coarse_key(out["u"].to_numpy(np.int64), n_groups)
+        return out
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # kind descending: a bucket's left marker sorts BEFORE its own
+        # right summary, so the forward-fill it reads comes from strictly
+        # earlier buckets only.
+        g = g.sort_values(["u", "bucket", "kind"],
+                          ascending=[True, True, False])
+        rid = g["r_id"].where(g["kind"] == 0)
+        rts = g["r_ts"].where(g["kind"] == 0)
+        c_id = rid.groupby(g["u"], sort=False).ffill()
+        c_ts = rts.groupby(g["u"], sort=False).ffill()
+        m = (g["kind"] == 1) & c_id.notna()
+        u = g.loc[m, "u"].to_numpy(np.int64)
+        bucket = g.loc[m, "bucket"].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            gk = _coarse_key(u * np.int64(1_000_003) + bucket, n_groups)
+        return pd.DataFrame({
+            "u": u,
+            "ts_us": c_ts[m].to_numpy(np.int64),
+            "eid": c_id[m].to_numpy(np.int64),
+            "il": np.zeros(len(u), np.int8),   # a carry acts as a right
+            "bucket": bucket,
+            "gk": gk})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        # rights (il=0, incl. carries) before lefts at equal ts = "<="
+        # semantics; max event_id wins a right-side tie via the ffill.
+        g = g.sort_values(["u", "ts_us", "il", "eid"])
+        rid = g["eid"].where(g["il"] == 0)
+        rts = g["ts_us"].where(g["il"] == 0)
+        c_id = rid.groupby(g["u"], sort=False).ffill()
+        c_ts = rts.groupby(g["u"], sort=False).ffill()
+        m = (g["il"] == 1) & c_id.notna()
+        return pd.DataFrame({
+            "user_id": g.loc[m, "u"].to_numpy(np.int64),
+            "left_id": g.loc[m, "eid"].to_numpy(np.int64),
+            "left_ts_us": g.loc[m, "ts_us"].to_numpy(np.int64),
+            "right_id": c_id[m].to_numpy(np.int64),
+            "right_ts_us": c_ts[m].to_numpy(np.int64)})
+
+    carries = (tagged()
+               .groupby("gk").map_groups(summarize, batch_format="pandas")
+               .groupby("sk").map_groups(stitch, batch_format="pandas")
+               # count-style empty pandas groups can emit schema-less
+               # blocks; consolidate before the union, and normalise to
+               # Arrow blocks so the union sides share one block type
+               .repartition(8)
+               .map_batches(lambda t: t, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        lts = t.column("left_ts_us")
+        rts = t.column("right_ts_us")
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "left_id": t.column("left_id"),
+            "left_ts": lts.cast(pa.timestamp("us")),
+            "right_id": t.column("right_id"),
+            "right_ts": rts.cast(pa.timestamp("us")),
+            "lag_us": pc.subtract(lts, rts),
+        })
+
+    return (tagged().union(carries)
+            .groupby("gk").map_groups(match, batch_format="pandas")
+            .sort(["user_id", "left_id"])
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def event_type_stats_exact(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
