@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": lambda sf: ops.events_sliding_window(sf),
         "sessionize": lambda sf: ops.sessionize(sf),
         "asof_join": lambda sf: ops.asof_join(sf),
+        "range_join": lambda sf: ops.range_join(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
@@ -829,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
                    datediff('microsecond', right_ts, ts) AS lag_us
             FROM w WHERE il = 1 AND right_id IS NOT NULL
             ORDER BY user_id, left_id
+        """,
+        "range_join": """
+            SELECT l.user_id, l.event_id AS left_id,
+                   r.event_id AS right_id,
+                   datediff('microsecond', r.ts, l.ts) AS delta_us
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL 24 HOUR AND r.ts < l.ts
+            WHERE l.event_type = 'error'
+            ORDER BY l.user_id, left_id, right_id
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

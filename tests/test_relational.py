@@ -203,6 +203,39 @@ def test_asof_join_matches_merge_asof(ray_session, asof_events_dir):
     assert by_left.loc[9031, "lag_us"] == 5 * 3600 * 1_000_000 + 1800000000
 
 
+def test_range_join_matches_bruteforce(ray_session, asof_events_dir):
+    """Bucket-replicated range join == the brute-force per-user cross
+    product filtered to the window, on a fixture with a hot user, a
+    window (1 h) that forces cross-bucket pairs, equal-ts rows (strict
+    upper bound must drop them and self-pairs), and coarse-hash
+    collisions (n_groups is small relative to active buckets)."""
+    import pandas as pd
+    got = to_arrow(ops.range_join(asof_events_dir, left_type="purchase",
+                                  window_hours=1)).to_pandas()
+    ev = pq.read_table(
+        str(asof_events_dir) + "/events.parquet").to_pandas()
+    L = ev[ev.event_type == "purchase"]
+    m = L.merge(ev, on="user_id", suffixes=("_l", "_r"))
+    w = pd.Timedelta(hours=1)
+    m = m[(m["ts_r"] >= m["ts_l"] - w) & (m["ts_r"] < m["ts_l"])]
+    ref = pd.DataFrame({
+        "user_id": m["user_id"],
+        "left_id": m["event_id_l"],
+        "right_id": m["event_id_r"],
+        "delta_us": ((m["ts_l"] - m["ts_r"]).dt.total_seconds() * 1e6)
+        .round().astype("int64"),
+    }).sort_values(["user_id", "left_id", "right_id"]) \
+        .reset_index(drop=True)
+    got = got.sort_values(["user_id", "left_id", "right_id"]) \
+        .reset_index(drop=True)
+    assert len(ref) > 500            # the hot user really produces pairs
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # equal-ts rows: purchase 9002 at the tie ts must NOT pair with the
+    # equal-ts clicks 9000/9001 (strict upper bound) or itself
+    assert 9002 not in set(got["left_id"]) or \
+        not set(got.loc[got["left_id"] == 9002, "right_id"]) & {9000, 9001, 9002}
+
+
 def test_events_sliding_window(ray_session, rel_dir):
     t = to_arrow(ops.events_sliding_window(rel_dir))
     rows = list(zip(t.column("event_type").to_pylist(),

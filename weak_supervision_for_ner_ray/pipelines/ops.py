@@ -2414,6 +2414,118 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                          zero_copy_batch=True))
 
 
+def range_join(sf_dir: str, left_type: str = "error",
+               window_hours: int = 24):
+    """Time-range self join: every ``left_type`` event paired with ALL of
+    the same user's events in the preceding ``window_hours``
+    (``right.ts in [left.ts - W, left.ts)`` — the strict upper bound
+    excludes self-pairs and equal-ts rows deterministically).
+
+    A naive keyed join explodes on hot users; Ray Data has no interval
+    join.  Bucket-replication makes it ONE bounded grouped exchange:
+
+    * time is cut into ``W``-wide buckets, so a left row's window spans
+      at most its own bucket and the previous one.  Every event is
+      emitted as a RIGHT-side row into its own bucket AND the next
+      (2× fan-out, independent of window density); left rows go to their
+      own bucket only — each qualifying (left, right) pair therefore
+      meets in exactly one coarse ``(user, bucket)`` hash group, so no
+      dedup pass is needed.
+    * within a group, users are densified (``np.unique``) so
+      ``(dense_user << 52) | ts_us`` is one sortable int64 key; a sorted
+      ``searchsorted`` pair per left row yields [lo, hi) right-segments,
+      expanded to pairs with the standard vectorised segment-arange —
+      no Python row loop.
+
+    Group size is bounded by per-user traffic in one time bucket (the
+    same cap as ``sessionize``/``asof_join``), the exchange carries
+    16 B/row ids, and skew never exceeds 2× the densest bucket."""
+    n_groups = max(64, 4 * _join_partitions())
+    w_us = np.int64(window_hours) * np.int64(3_600_000_000)
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts").cast(pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = pc.cast(t.column("event_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_l = pc.equal(t.column("event_type"), left_type) \
+            .to_numpy(zero_copy_only=False)
+        bucket = ts // w_us
+        # rights: every event, into its own bucket and the next
+        ru = np.concatenate([u, u])
+        rts = np.concatenate([ts, ts])
+        rid = np.concatenate([eid, eid])
+        rb = np.concatenate([bucket, bucket + 1])
+        il = np.zeros(2 * len(u), np.int8)
+        # lefts: only left_type rows, own bucket
+        lu, lts, lid, lb = u[is_l], ts[is_l], eid[is_l], bucket[is_l]
+        au = np.concatenate([ru, lu])
+        ats = np.concatenate([rts, lts])
+        aid = np.concatenate([rid, lid])
+        ab = np.concatenate([rb, lb])
+        ail = np.concatenate([il, np.ones(len(lu), np.int8)])
+        with np.errstate(over="ignore"):
+            gk = _coarse_key(au * np.int64(1_000_003) + ab, n_groups)
+        return pa.table({
+            "u": pa.array(au, pa.int64()),
+            "ts_us": pa.array(ats, pa.int64()),
+            "eid": pa.array(aid, pa.int64()),
+            "il": pa.array(ail, pa.int8()),
+            "bucket": pa.array(ab, pa.int64()),
+            "gk": pa.array(gk, pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "left_id": pd.Series(dtype="int64"),
+                              "right_id": pd.Series(dtype="int64"),
+                              "delta_us": pd.Series(dtype="int64")})
+        is_l = g["il"].to_numpy() == 1
+        if not is_l.any() or is_l.all():
+            return empty
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        # ts_us < 2^52 through year ~2112; dense user ids keep the
+        # composite key in int64
+        assert ts.max() < (1 << 52)
+        du = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        key = (du << np.int64(52)) | ts
+        # a coarse-hash collision can co-locate an event's original AND
+        # its next-bucket replica — right rows dedupe by the globally
+        # unique event_id (pairing ignores the bucket tag)
+        rall = np.flatnonzero(~is_l)
+        rsel = rall[np.unique(eid[rall], return_index=True)[1]]
+        rk = key[rsel]
+        order = np.argsort(rk, kind="stable")
+        rk, rsel = rk[order], rsel[order]
+        lk, lsel = key[is_l], np.flatnonzero(is_l)
+        lo = np.searchsorted(rk, lk - w_us, side="left")
+        hi = np.searchsorted(rk, lk, side="left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ridx = (np.repeat(lo, cnt)
+                + np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        lidx = np.repeat(np.arange(len(lk)), cnt)
+        li, ri = lsel[lidx], rsel[ridx]
+        return pd.DataFrame({"user_id": u[li], "left_id": eid[li],
+                             "right_id": eid[ri],
+                             "delta_us": ts[li] - ts[ri]})
+
+    return (ds.map_batches(fan_out, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(pairs, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .sort(["user_id", "left_id", "right_id"]))
+
+
 def event_type_stats_exact(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
