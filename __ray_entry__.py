@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: ops.sessionize(sf),
         "asof_join": lambda sf: ops.asof_join(sf),
         "range_join": lambda sf: ops.range_join(sf),
+        "topk_by_group": lambda sf: ops.topk_by_group(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
@@ -840,6 +841,15 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts >= l.ts - INTERVAL 24 HOUR AND r.ts < l.ts
             WHERE l.event_type = 'error'
             ORDER BY l.user_id, left_id, right_id
+        """,
+        "topk_by_group": """
+            SELECT event_type, rank, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id)
+                         AS rank
+              FROM events)
+            WHERE rank <= 5 ORDER BY event_type, rank
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

@@ -106,6 +106,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quality_score", lambda: ops.quality_score_exact(sf_dir))
     timed("lang_id", lambda: ops.lang_id(sf_dir))
     timed("sessionize", lambda: ops.sessionize(sf_dir))
+    timed("asof_join", lambda: ops.asof_join(sf_dir))
+    timed("range_join", lambda: ops.range_join(sf_dir))
     timed("exact_dedup", lambda: ops.exact_dedup(sf_dir))
     timed("dedup_minhash", lambda: ops.minhash_candidates(sf_dir))
     timed("dedup_ngram_jaccard", lambda: ops.ngram_jaccard_verify(sf_dir))

@@ -236,6 +236,15 @@ def test_range_join_matches_bruteforce(ray_session, asof_events_dir):
         not set(got.loc[got["left_id"] == 9002, "right_id"]) & {9000, 9001, 9002}
 
 
+def test_topk_by_group(ray_session, rel_dir):
+    got = to_arrow(ops.topk_by_group(rel_dir, k=2)).to_pydict()
+    # type a: values 1,2,4 on events 1,2,3 -> top-2 = (3,4.0),(2,2.0)
+    assert got["event_type"] == ["a", "a", "b"]
+    assert got["rank"] == [1, 2, 1]
+    assert got["event_id"] == [3, 2, 4]
+    assert got["value"] == [4.0, 2.0, 8.0]
+
+
 def test_events_sliding_window(ray_session, rel_dir):
     t = to_arrow(ops.events_sliding_window(rel_dir))
     rows = list(zip(t.column("event_type").to_pylist(),

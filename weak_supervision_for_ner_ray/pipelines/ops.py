@@ -2526,6 +2526,35 @@ def range_join(sf_dir: str, left_type: str = "error",
             .sort(["user_id", "left_id", "right_id"]))
 
 
+def topk_by_group(sf_dir: str, k: int = 5):
+    """Per-key top-k (top ``k`` events by value per event type) with the
+    100 TB combiner shape: every block first reduces itself to ≤ k rows
+    PER KEY (a vectorised sort + grouped head — no Python row loop), so
+    the grouped exchange moves O(n_blocks · keys · k) rows instead of the
+    whole table; a final per-key kernel merges the partials and assigns
+    ranks.  Ties break by ``event_id`` so the output is deterministic and
+    hash-matches the SQL ``row_number()`` oracle."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("event_type", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_type", "rank", "event_id", "value"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(final,
+                                              batch_format="pandas")
+            .sort(["event_type", "rank"]))
+
+
 def event_type_stats_exact(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
