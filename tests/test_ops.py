@@ -461,6 +461,85 @@ def _make_bmp(img: "np.ndarray") -> bytes:
     return header + rows.tobytes()
 
 
+def _make_png(img: "np.ndarray", filters=None, split_idat=False) -> bytes:
+    """Minimal PNG encoder (test-side): forward-filters each row with the
+    given per-row filter types, so the decoder must invert them all."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    rows, prev = [], np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            enc = cur.copy()
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) \
+                    else (b if db <= dc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    z = zlib.compress(b"".join(rows))
+    if split_idat:
+        idat = chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters():
+    """The stdlib-zlib PNG decoder is pixel-exact for every filter type,
+    color type, and a multi-IDAT stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (10, 7, 3), np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    assert np.array_equal(
+        ops._decode_png(_make_png(img, filters)), img)
+    assert np.array_equal(
+        ops._decode_png(_make_png(img, filters, split_idat=True)), img)
+    rgba = rng.integers(0, 256, (5, 6, 4), np.uint8)
+    assert np.array_equal(
+        ops._decode_png(_make_png(rgba, [4, 3, 2, 1, 0])), rgba[..., :3])
+    gray = rng.integers(0, 256, (4, 9), np.uint8)
+    assert np.array_equal(
+        ops._decode_png(_make_png(gray, [1, 4, 2, 3])),
+        np.repeat(gray[..., None], 3, axis=2))
+    # the resize stage routes PNG payloads through the real decoder
+    stage = ops.ImageResizeStage(h=2, w=2, use_real_decoder=True)
+    got = stage.grid(_make_png(img, filters))
+    g = img.astype(np.float64).mean(axis=2)
+    want = np.array([
+        g[:5, :3].mean(), g[:5, 3:].mean(),
+        g[5:, :3].mean(), g[5:, 3:].mean()]) / 255.0
+    assert np.allclose(got, want)
+
+
 def test_image_decode_real_formats():
     """The pure-numpy PPM/BMP decoders are pixel-exact and the area
     resize equals the hand-computed pooled means."""

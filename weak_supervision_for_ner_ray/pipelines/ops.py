@@ -1376,6 +1376,90 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if h > 0 else img        # positive h = bottom-up
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (grayscale / RGB / gray+alpha / RGBA) ->
+    (h, w, 3) uint8 — stdlib ``zlib`` + numpy, real decode.
+
+    Filters: None/Up are fully vectorised; Sub reduces to a per-lane
+    cumulative sum mod 256; Average/Paeth carry a true per-byte data
+    dependency along x and fall back to a per-pixel loop (image decode
+    is an actor-pool setup path, not a per-batch hot loop — a real
+    deployment plugs libpng here)."""
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, hdr = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln                        # len + type + data + crc
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w = int.from_bytes(hdr[0:4], "big")
+    h = int.from_bytes(hdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = hdr[8:13]
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt \
+            or interlace:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/A PNGs")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    ftypes, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), data[y]
+        if f == 0:                             # None
+            cur = row
+        elif f == 1:                           # Sub: per-lane cumsum
+            cur = row.copy()
+            for r in range(ch):
+                cur[r::ch] = np.cumsum(cur[r::ch]) & 0xFF
+        elif f == 2:                           # Up
+            cur = (row + prev) & 0xFF
+        elif f == 3:                           # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                           # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) \
+                    else (b if db <= dc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:                             # gray+alpha: drop alpha
+        return np.repeat(img[..., :1], 3, axis=2)
+    return img[..., :3]                        # RGB / RGBA minus alpha
+
+
 def _area_resize(gray: np.ndarray, h: int, w: int) -> np.ndarray:
     """Mean-pool a 2-D array onto an (h, w) grid (nearly-even segments
     via reduceat) — the downsample a real feature extractor would use."""
@@ -1392,11 +1476,12 @@ def _area_resize(gray: np.ndarray, h: int, w: int) -> np.ndarray:
 class ImageResizeStage:
     """Actor-pool stage: opaque image payload -> fixed (h*w) feature grid.
 
-    ``decode_image`` REALLY decodes the uncompressed formats (binary PPM
-    ``P6`` and 24-bit BMP) with pure numpy — pixel-exact, tested against
-    hand-built images — then area-resizes the grayscale to h×w.
-    Compressed codecs (JPEG/PNG) need libraries absent from this
-    container and raise ``NotImplementedError``; the deterministic
+    ``decode_image`` REALLY decodes binary PPM ``P6``, 24-bit BMP and
+    8-bit non-interlaced PNG (all five filter types, stdlib zlib) with
+    pure numpy — pixel-exact, tested against hand-built images — then
+    area-resizes the grayscale to h×w.  JPEG needs a codec library
+    absent from this container and raises ``NotImplementedError``; the
+    deterministic
     fallback (mean byte value per cell) keeps the output schema — a
     fixed-length ``list<double>`` ready for an embedding model — real
     for arbitrary payloads."""
@@ -1411,10 +1496,13 @@ class ImageResizeStage:
             img = _decode_ppm(payload)
         elif payload.startswith(b"BM"):
             img = _decode_bmp(payload)
+        elif payload.startswith(_PNG_SIG):
+            img = _decode_png(payload)
         else:
             raise NotImplementedError(
-                "compressed image codecs (JPEG/PNG) need PIL, which is "
-                "not available in this environment; plug a decoder here")
+                "JPEG needs a codec library absent from this "
+                "environment; plug a decoder here (PPM/BMP/PNG are "
+                "decoded for real)")
         gray = img.astype(np.float64).mean(axis=2)
         return (_area_resize(gray, self.h, self.w) / 255.0).reshape(-1)
 
