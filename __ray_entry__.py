@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": lambda sf: ops.asof_join(sf),
         "range_join": lambda sf: ops.range_join(sf),
         "topk_by_group": lambda sf: ops.topk_by_group(sf),
+        "percentile_by_group": lambda sf: ops.percentile_by_group(sf),
         "event_type_stats": ops.event_type_stats_exact,
         "lang_count": ops.lang_count,
         # --- text analysis over documents (SQL oracles) ---
@@ -850,6 +851,14 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM events)
             WHERE rank <= 5 ORDER BY event_type, rank
+        """,
+        "percentile_by_group": """
+            SELECT event_type, count(*) AS n,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+                       AS p50_cents,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95)
+                       AS p95_cents
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

@@ -245,6 +245,27 @@ def test_topk_by_group(ray_session, rel_dir):
     assert got["value"] == [4.0, 2.0, 8.0]
 
 
+def test_percentile_by_group(ray_session, tmp_path_factory):
+    """Histogram percentiles with heavy duplicate mass match the
+    quantile_disc rule idx = max(0, ceil(p*n)-1) on the sorted values."""
+    import math
+    d = tmp_path_factory.mktemp("pct")
+    vals = [1.0] * 10 + [2.5] * 5 + [9.99] * 3 + [0.01]   # n=19, dup-heavy
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals) + 1), pa.int64()),
+        "event_type": pa.array(["x"] * len(vals) + ["y"], pa.string()),
+        "value": pa.array(vals + [7.0], pa.float64()),
+    }), str(d / "events.parquet"))
+    got = to_arrow(ops.percentile_by_group(str(d))).to_pydict()
+    s = sorted(int(round(v * 100)) for v in vals)
+    exp50 = s[max(0, math.ceil(0.5 * len(s)) - 1)]
+    exp95 = s[max(0, math.ceil(0.95 * len(s)) - 1)]
+    assert got["event_type"] == ["x", "y"]
+    assert got["n"] == [19, 1]
+    assert got["p50_cents"] == [exp50, 700]
+    assert got["p95_cents"] == [exp95, 700]
+
+
 def test_events_sliding_window(ray_session, rel_dir):
     t = to_arrow(ops.events_sliding_window(rel_dir))
     rows = list(zip(t.column("event_type").to_pylist(),
