@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": ops.lang_id,
         "multimodal_features": ops.multimodal_features,
         "multimodal_frame_sample": lambda sf: ops.multimodal_frame_sample(sf),
+        "multimodal_audio_features":
+            lambda sf: ops.multimodal_audio_features(sf),
         # --- the KG-construction engine over transcripts (rows-only:
         #     transcripts are synthesised outside the DuckDB views) ---
         "turns_restore_order": turns_restore_order,

@@ -540,6 +540,58 @@ def test_png_decode_all_filters():
     assert np.allclose(got, want)
 
 
+def test_wav_decode_real(ray_session, docs_dir):
+    """The pure-numpy WAV decoder is sample-exact against the stdlib
+    ``wave`` encoder for 16-bit mono/stereo and 8-bit payloads, and the
+    audio pipeline emits fixed-length feature rows."""
+    import io
+    import wave
+
+    def encode(samples: "np.ndarray", ch: int, width: int,
+               rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(samples.astype("<i2").tobytes())
+        else:
+            w.writeframes(samples.astype(np.uint8).tobytes())
+        w.close()
+        return buf.getvalue()
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32768, 480, np.int64)
+    got, rate = ops._decode_wav(encode(mono, 1, 2))
+    assert rate == 8000
+    assert np.allclose(got, mono / 32768.0)
+    stereo = rng.integers(-32768, 32768, 480, np.int64)
+    got2, _ = ops._decode_wav(encode(stereo, 2, 2))
+    assert np.allclose(got2, (stereo.reshape(-1, 2) / 32768.0).mean(1))
+    eight = rng.integers(0, 256, 100, np.int64)
+    got3, _ = ops._decode_wav(encode(eight, 1, 1))
+    assert np.allclose(got3, (eight - 128.0) / 128.0)
+    # synth payloads are real RIFF and round-trip through the stage
+    wavb = ops._synth_wav(b"hello")
+    x = ops._decode_wav(wavb)[0]
+    assert x.size == 5 * 32 and np.abs(x).max() <= 1.0
+    stage = ops.AudioFeatureStage(n_windows=4)
+    import pyarrow as pa
+    out = stage(pa.table({"item_id": pa.array([1, 2], pa.int64()),
+                          "payload": pa.array([wavb, b"rawbytes"],
+                                              pa.binary())}))
+    feats = out.column("audio_features").to_pylist()
+    assert all(len(f) == 8 for f in feats)
+    with pytest.raises(NotImplementedError):
+        ops.AudioFeatureStage(use_real_decoder=True).features(b"OggS...")
+    # the pipeline shape over the documents table
+    res = to_arrow(ops.multimodal_audio_features(docs_dir, n_windows=3))
+    assert res.num_rows == 6
+    assert all(len(f) == 6 for f in
+               res.column("audio_features").to_pylist())
+
+
 def test_image_decode_real_formats():
     """The pure-numpy PPM/BMP decoders are pixel-exact and the area
     resize equals the hand-computed pooled means."""
