@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
         "ivf_query": lambda sf: ops.ivf_query(sf),
+        "pq_codes": lambda sf: ops.pq_codes(sf),
+        "pq_query": lambda sf: ops.pq_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_clusters": lambda sf: ops.dedup_clusters(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
@@ -182,53 +184,64 @@ def _d2_expr(xref: str, cref: str) -> str:
             f"i -> ({xref}[i] - {cref}[i]) * ({xref}[i] - {cref}[i])))")
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3) -> list[str]:
-    """Shared unrolled Lloyd's k-means CTEs (e, c0, a/u/s/c per
-    iteration, afinal = assignment under the trained centroids) — exact
-    because the engine lives entirely on the integer-micros grid (int
-    sums are order-free; centroid = round-half-away(S/n) on exact ints;
-    distances are int64; ties argmin to the lowest cluster id)."""
+_EMB_CTE = """e AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                     v -> CAST(round(v * 1000000) AS BIGINT)) AS x
+          FROM embeddings
+        )"""
+
+
+def _lloyd_ctes(k: int, iters: int, src: str = "e",
+                sfx: str = "") -> list[str]:
+    """Unrolled Lloyd's k-means CTEs over ``src`` (vec_id, x):
+    c0{sfx}..c{iters}{sfx} centroid tables and afinal{sfx} = assignment
+    under the trained centroids — exact because the engine lives on the
+    integer-micros grid (int sums are order-free; centroid =
+    round-half-away(S/n) on exact ints; distances are int64; ties
+    argmin to the lowest cluster id)."""
     half_away = ("CAST(floor(abs(sv * 1.0 / n) + 0.5) * "
                  "(CASE WHEN sv < 0 THEN -1 ELSE 1 END) AS BIGINT)")
-    d2 = _d2_expr("e.x", "c.c")
+    d2 = _d2_expr("src.x", "c.c")
 
     def assign_cte(name: str, csrc: str) -> str:
         return f"""{name} AS (
           SELECT vec_id, x, cid, d2 FROM (
-            SELECT e.vec_id, e.x, c.cid, CAST({d2} AS BIGINT) AS d2,
-                   row_number() OVER (PARTITION BY e.vec_id
+            SELECT src.vec_id, src.x, c.cid, CAST({d2} AS BIGINT) AS d2,
+                   row_number() OVER (PARTITION BY src.vec_id
                                       ORDER BY {d2}, c.cid) AS rk
-            FROM e CROSS JOIN {csrc} c)
+            FROM {src} src CROSS JOIN {csrc} c)
           WHERE rk = 1
         )"""
 
-    parts = ["""e AS (
-          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-                     v -> CAST(round(v * 1000000) AS BIGINT)) AS x
-          FROM embeddings
-        )""", f"""c0 AS (
+    parts = [f"""c0{sfx} AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
-          FROM e ORDER BY vec_id LIMIT {k}
+          FROM {src} ORDER BY vec_id LIMIT {k}
         )"""]
     for it in range(1, iters + 1):
-        parts.append(assign_cte(f"a{it}", f"c{it - 1}"))
-        parts.append(f"""u{it} AS (
+        parts.append(assign_cte(f"a{it}{sfx}", f"c{it - 1}{sfx}"))
+        parts.append(f"""u{it}{sfx} AS (
           SELECT cid, unnest(range(1, len(x) + 1)) AS dim,
                  unnest(x) AS val
-          FROM a{it}
+          FROM a{it}{sfx}
         )""")
-        parts.append(f"""s{it} AS (
+        parts.append(f"""s{it}{sfx} AS (
           SELECT cid, list({half_away} ORDER BY dim) AS c
           FROM (SELECT cid, dim, sum(val) AS sv, count(*) AS n
-                FROM u{it} GROUP BY cid, dim)
+                FROM u{it}{sfx} GROUP BY cid, dim)
           GROUP BY cid
         )""")
-        parts.append(f"""c{it} AS (
-          SELECT c{it - 1}.cid, COALESCE(s{it}.c, c{it - 1}.c) AS c
-          FROM c{it - 1} LEFT JOIN s{it} USING (cid)
+        parts.append(f"""c{it}{sfx} AS (
+          SELECT c{it - 1}{sfx}.cid, COALESCE(s{it}{sfx}.c,
+                 c{it - 1}{sfx}.c) AS c
+          FROM c{it - 1}{sfx} LEFT JOIN s{it}{sfx} USING (cid)
         )""")
-    parts.append(assign_cte("afinal", f"c{iters}"))
+    parts.append(assign_cte(f"afinal{sfx}", f"c{iters}{sfx}"))
     return parts
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> list[str]:
+    """Shared unrolled Lloyd's k-means CTEs over the full vectors."""
+    return [_EMB_CTE] + _lloyd_ctes(k, iters)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
@@ -269,6 +282,68 @@ def _ivf_query_sql(k: int = 8, iters: int = 3, n_queries: int = 8,
         )""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT query_id, rank, vec_id, d2 FROM r "
+              f"WHERE rank <= {topk} ORDER BY query_id, rank")
+
+
+def _pq_ctes(m: int, k: int, iters: int) -> list[str]:
+    """Product-quantization CTEs: m independent Lloyd's runs, one per
+    subspace slice.  Slice bounds derive from len(x) in SQL, so the
+    oracle needs no knowledge of the embedding dimensionality."""
+    parts = [_EMB_CTE]
+    for j in range(m):
+        lo = f"({j} * (len(x) // {m}) + 1)"
+        hi = f"(({j + 1}) * (len(x) // {m}))"
+        parts.append(f"""es_{j} AS (
+          SELECT vec_id, x[{lo}:{hi}] AS x FROM e
+        )""")
+    for j in range(m):
+        parts += _lloyd_ctes(k, iters, src=f"es_{j}", sfx=f"_s{j}")
+    return parts
+
+
+def _pq_codes_sql(m: int = 4, k: int = 8, iters: int = 2) -> str:
+    parts = _pq_ctes(m, k, iters)
+    sel = ", ".join(f"a_s{j}.cid AS code_{j}" for j in range(m))
+    joins = " ".join(f"JOIN afinal_s{j} a_s{j} USING (vec_id)"
+                     for j in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT e.vec_id, {sel} FROM e {joins} ORDER BY vec_id")
+
+
+def _pq_query_sql(m: int = 4, k: int = 8, iters: int = 2,
+                  n_queries: int = 8, topk: int = 10) -> str:
+    """ADC search on the PQ codes: the approximate distance is the sum
+    over subspaces of d2(query slice, assigned centroid) — identical
+    int64 arithmetic to the engine's table lookups."""
+    parts = _pq_ctes(m, k, iters)
+    parts.append(f"""q AS (
+          SELECT vec_id AS qid, x AS qx FROM e
+          ORDER BY vec_id LIMIT {n_queries}
+        )""")
+    d2_terms = []
+    for j in range(m):
+        lo = f"({j} * (len(q.qx) // {m}) + 1)"
+        hi = f"(({j + 1}) * (len(q.qx) // {m}))"
+        d2_terms.append(_d2_expr(f"(q.qx[{lo}:{hi}])", f"cc{j}.c"))
+    joins = ["FROM q CROSS JOIN afinal_s0 a_s0"]
+    for j in range(1, m):
+        joins.append(f"JOIN afinal_s{j} a_s{j} "
+                     f"ON a_s{j}.vec_id = a_s0.vec_id")
+    for j in range(m):
+        joins.append(f"JOIN c{iters}_s{j} cc{j} ON cc{j}.cid = a_s{j}.cid")
+    parts.append(f"""adc AS (
+          SELECT q.qid, a_s0.vec_id,
+                 CAST({' + '.join(d2_terms)} AS BIGINT) AS adc_d2
+          {' '.join(joins)}
+        )""")
+    parts.append("""r AS (
+          SELECT qid AS query_id, vec_id, adc_d2,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_d2, vec_id) AS rank
+          FROM adc
+        )""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT query_id, rank, vec_id, adc_d2 FROM r "
               f"WHERE rank <= {topk} ORDER BY query_id, rank")
 
 
@@ -718,6 +793,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": emb_dedup_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
         "ivf_query": _ivf_query_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "pq_query": _pq_query_sql(),
         # the LSH-bucketed scale path must emit the IDENTICAL pair set
         # (recall 1.0 at these parameters on this corpus) — same oracle
         "dedup_embedding_lsh": emb_dedup_sql,

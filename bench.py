@@ -119,6 +119,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_lsh_query", lambda: ops.ann_lsh_query(sf_dir))
     timed("kmeans_ivf_assign", lambda: ops.kmeans_ivf_assign(sf_dir))
     timed("ivf_query", lambda: ops.ivf_query(sf_dir))
+    timed("pq_codes", lambda: ops.pq_codes(sf_dir))
+    timed("pq_query", lambda: ops.pq_query(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

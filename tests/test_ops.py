@@ -242,6 +242,54 @@ def test_ivf_query(ray_session, docs_dir):
     assert len(pairs) <= len(set(zip(full["query_id"], full["vec_id"])))
 
 
+def test_pq_codes_and_query(ray_session, docs_dir):
+    """The distributed PQ encode equals a single-process numpy recompute
+    (train + assign over the whole table), and the ADC query distances
+    equal brute-force table-lookup sums — distribution changes nothing."""
+    import pyarrow.parquet as pq_
+    m, k, iters = 2, 3, 2
+    got = to_arrow(ops.pq_codes(docs_dir, m=m, k=k, iters=iters)) \
+        .to_pandas()
+    emb = pq_.read_table(str(docs_dir) + "/embeddings.parquet") \
+        .sort_by("vec_id")
+    X = ops._emb_micros(emb["embedding"])
+    sub = X.shape[1] // m
+    books = np.stack([X[:k, j * sub:(j + 1) * sub] for j in range(m)])
+    for _ in range(iters):
+        new = books.copy()
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            a, _ = ops._kmeans_assign(Xj, books[j])
+            for c in range(k):
+                sel = Xj[a == c]
+                if len(sel):
+                    r = sel.sum(0) / len(sel)
+                    new[j, c] = np.copysign(np.floor(np.abs(r) + 0.5),
+                                            r).astype(np.int64)
+        books = new
+    want = {"vec_id": emb["vec_id"].to_pylist()}
+    for j in range(m):
+        a, _ = ops._kmeans_assign(X[:, j * sub:(j + 1) * sub], books[j])
+        want[f"code_{j}"] = a.tolist()
+    for col in want:
+        assert got[col].tolist() == want[col], col
+    # ADC query: distances are sums of per-subspace code-table lookups
+    out = ops.pq_query(docs_dir, m=m, k=k, iters=iters,
+                       n_queries=2, topk=4).to_pydict()
+    Q = X[:2]
+    codes = np.stack([want[f"code_{j}"] for j in range(m)], axis=1)
+    for qid, vid, d in zip(out["query_id"], out["vec_id"],
+                           out["adc_d2"]):
+        expect = sum(int(((Q[qid][j * sub:(j + 1) * sub]
+                           - books[j][codes[vid, j]]) ** 2).sum())
+                     for j in range(m))
+        assert d == expect
+    for q in (0, 1):
+        ranks = [r for qq, r in zip(out["query_id"], out["rank"])
+                 if qq == q]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_sample_hash_deterministic(ray_session, docs_dir):
     a = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
     b = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()

@@ -1212,6 +1212,149 @@ def ivf_query(sf_dir: str, k: int = 8, iters: int = 3,
         parts[["query_id", "rank", "vec_id", "d2"]], preserve_index=False)
 
 
+def _pq_codebooks(ds, m: int, k: int, iters: int,
+                  sf_dir: str | None = None,
+                  cache_key: tuple | None = None) -> np.ndarray:
+    """Product-quantization codebooks: an independent Lloyd's k-means per
+    length-``dim/m`` subspace, trained in ONE dataset pass per iteration
+    (each block emits per-(subspace, cluster) integer sufficient
+    statistics for all ``m`` subspaces at once).  Same integer-micros
+    exactness contract as :func:`_kmeans_centroids` — int sums are
+    order-free, centroid = round-half-away(S/n), ties argmin to the
+    lowest code — so the unrolled SQL oracle matches bit-for-bit.
+    Returns (m, k, dim/m) int64."""
+    if cache_key is not None and cache_key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[cache_key]
+    seed = _emb_micros(_smallest_by_vec_id(ds, k, sf_dir)["embedding"])
+    k = seed.shape[0]
+    dim = seed.shape[1]
+    sub = dim // m
+    books = np.stack([seed[:, j * sub:(j + 1) * sub] for j in range(m)])
+    for _ in range(iters):
+        B = books
+
+        def partial(batch: pa.Table) -> pa.Table:
+            X = _emb_micros(batch["embedding"])
+            sid, cid, n, s = [], [], [], []
+            for j in range(m):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                a, _ = _kmeans_assign(Xj, B[j])
+                sums = np.zeros((k, sub), np.int64)
+                np.add.at(sums, a, Xj)
+                sid.append(np.full(k, j, np.int64))
+                cid.append(np.arange(k, dtype=np.int64))
+                n.append(np.bincount(a, minlength=k).astype(np.int64))
+                s.append(sums)
+            return pa.table({
+                "sid": pa.array(np.concatenate(sid)),
+                "cid": pa.array(np.concatenate(cid)),
+                "n": pa.array(np.concatenate(n)),
+                "s": pa.array(list(np.concatenate(s)),
+                              pa.list_(pa.int64())),
+            })
+
+        agg = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=2048,
+                                       zero_copy_batch=True))
+        sid = np.asarray(agg["sid"].to_pylist(), np.int64)
+        cid = np.asarray(agg["cid"].to_pylist(), np.int64)
+        n = np.asarray(agg["n"].to_pylist(), np.int64)
+        s = np.asarray(agg["s"].to_pylist(), np.int64).reshape(-1, sub)
+        counts = np.zeros((m, k), np.int64)
+        sums = np.zeros((m, k, sub), np.int64)
+        np.add.at(counts, (sid, cid), n)
+        np.add.at(sums, (sid, cid), s)
+        new = books.copy()
+        nz = counts > 0
+        ratio = sums[nz] / counts[nz, None]
+        new[nz] = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio) \
+            .astype(np.int64)
+        books = new
+    if cache_key is not None:
+        if len(_KMEANS_CACHE) > 32:
+            _KMEANS_CACHE.clear()
+        _KMEANS_CACHE[cache_key] = books
+    return books
+
+
+def pq_codes(sf_dir: str, m: int = 4, k: int = 8, iters: int = 2):
+    """Product-quantization encoding — the memory-scale path for
+    embedding search (a dim·4-byte vector compresses to ``m`` one-byte
+    codes; at 100 TB of vectors the codes fit where the vectors cannot).
+    Codebooks broadcast; each block encodes with ``m`` small matmul-free
+    argmin kernels; no shuffle at all."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = _pq_codebooks(
+        ds, m, k, iters, sf_dir=sf_dir,
+        cache_key=("pq", sf_dir, m, k, iters, _table_fingerprint(sf_dir)))
+    sub = books.shape[2]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(books.shape[0]):
+            a, _ = _kmeans_assign(X[:, j * sub:(j + 1) * sub], books[j])
+            cols[f"code_{j}"] = pa.array(a.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=2048,
+                          zero_copy_batch=True).sort("vec_id")
+
+
+def pq_query(sf_dir: str, m: int = 4, k: int = 8, iters: int = 2,
+             n_queries: int = 8, topk: int = 10):
+    """Asymmetric-distance (ADC) PQ search: per query, one
+    (m × k) int64 distance table to the codebooks; a candidate's
+    approximate distance is the sum of ``m`` table lookups on its codes
+    — no vector arithmetic per candidate, the layout that scans billions
+    of compressed vectors per node.  Per-block top-k partials, tiny
+    driver merge (same shape as :func:`ivf_query`); everything on the
+    integer-micros grid so the SQL oracle is exact."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = _pq_codebooks(
+        ds, m, k, iters, sf_dir=sf_dir,
+        cache_key=("pq", sf_dir, m, k, iters, _table_fingerprint(sf_dir)))
+    sub = books.shape[2]
+    qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
+    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
+    Q = _emb_micros(qtbl["embedding"])
+    # T[j] is (nq, k): exact int64 d2 of query subspace j to every code
+    T = np.stack([((Q[:, None, j * sub:(j + 1) * sub]
+                    - books[j][None, :, :]) ** 2).sum(axis=2)
+                  for j in range(m)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        adc = np.zeros((len(ids), len(q_ids)), np.int64)
+        for j in range(m):
+            a, _ = _kmeans_assign(X[:, j * sub:(j + 1) * sub], books[j])
+            adc += T[j].T[a]                   # (B, nq) table lookups
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            order = np.lexsort((ids, adc[:, qi]))[:topk]
+            out_q.append(np.full(len(order), q_ids[qi], np.int64))
+            out_v.append(ids[order])
+            out_d.append(adc[order, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "adc_d2": pa.array(np.concatenate(out_d)),
+        })
+
+    parts = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=2048,
+                                     zero_copy_batch=True)).to_pandas()
+    parts = parts.sort_values(["query_id", "adc_d2", "vec_id"])
+    parts = parts.groupby("query_id", sort=True).head(topk) \
+        .reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        parts[["query_id", "rank", "vec_id", "adc_d2"]],
+        preserve_index=False)
+
+
 class LSHBucketStage:
     """Random-hyperplane LSH bucketing of embeddings (the scale path for
     ANN): bucket = sign bits of W·x.  Stateful: W drawn once per actor from
