@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_query": lambda sf: ops.ivf_query(sf),
         "pq_codes": lambda sf: ops.pq_codes(sf),
         "pq_query": lambda sf: ops.pq_query(sf),
+        "ivfpq_query": lambda sf: ops.ivfpq_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_clusters": lambda sf: ops.dedup_clusters(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
@@ -333,6 +334,64 @@ def _pq_query_sql(m: int = 4, k: int = 8, iters: int = 2,
         joins.append(f"JOIN c{iters}_s{j} cc{j} ON cc{j}.cid = a_s{j}.cid")
     parts.append(f"""adc AS (
           SELECT q.qid, a_s0.vec_id,
+                 CAST({' + '.join(d2_terms)} AS BIGINT) AS adc_d2
+          {' '.join(joins)}
+        )""")
+    parts.append("""r AS (
+          SELECT qid AS query_id, vec_id, adc_d2,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_d2, vec_id) AS rank
+          FROM adc
+        )""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT query_id, rank, vec_id, adc_d2 FROM r "
+              f"WHERE rank <= {topk} ORDER BY query_id, rank")
+
+
+def _ivfpq_query_sql(k_coarse: int = 8, coarse_iters: int = 3,
+                     m: int = 4, k: int = 8, iters: int = 2,
+                     n_queries: int = 8, nprobe: int = 2,
+                     topk: int = 10) -> str:
+    """IVF-PQ oracle: the coarse Lloyd CTEs (cell assignment) composed
+    with the per-subspace PQ CTEs; candidates filter to the probed
+    cells, rank by the summed subspace ADC distances."""
+    parts = [_EMB_CTE] + _lloyd_ctes(k_coarse, coarse_iters)
+    for j in range(m):
+        lo = f"({j} * (len(x) // {m}) + 1)"
+        hi = f"(({j + 1}) * (len(x) // {m}))"
+        parts.append(f"""es_{j} AS (
+          SELECT vec_id, x[{lo}:{hi}] AS x FROM e
+        )""")
+    for j in range(m):
+        parts += _lloyd_ctes(k, iters, src=f"es_{j}", sfx=f"_s{j}")
+    qc_d2 = _d2_expr("q.qx", "c.c")
+    parts.append(f"""q AS (
+          SELECT vec_id AS qid, x AS qx FROM e
+          ORDER BY vec_id LIMIT {n_queries}
+        )""")
+    parts.append(f"""qc AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY {qc_d2}, c.cid) AS rk
+            FROM q CROSS JOIN c{coarse_iters} c)
+          WHERE rk <= {nprobe}
+        )""")
+    d2_terms = []
+    for j in range(m):
+        lo = f"({j} * (len(q.qx) // {m}) + 1)"
+        hi = f"(({j + 1}) * (len(q.qx) // {m}))"
+        d2_terms.append(_d2_expr(f"(q.qx[{lo}:{hi}])", f"cc{j}.c"))
+    joins = ["FROM q JOIN qc ON qc.qid = q.qid",
+             "JOIN afinal a ON a.cid = qc.cid",
+             "JOIN afinal_s0 a_s0 ON a_s0.vec_id = a.vec_id"]
+    for j in range(1, m):
+        joins.append(f"JOIN afinal_s{j} a_s{j} "
+                     f"ON a_s{j}.vec_id = a.vec_id")
+    for j in range(m):
+        joins.append(f"JOIN c{iters}_s{j} cc{j} ON cc{j}.cid = a_s{j}.cid")
+    parts.append(f"""adc AS (
+          SELECT q.qid, a.vec_id,
                  CAST({' + '.join(d2_terms)} AS BIGINT) AS adc_d2
           {' '.join(joins)}
         )""")
@@ -795,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_query": _ivf_query_sql(),
         "pq_codes": _pq_codes_sql(),
         "pq_query": _pq_query_sql(),
+        "ivfpq_query": _ivfpq_query_sql(),
         # the LSH-bucketed scale path must emit the IDENTICAL pair set
         # (recall 1.0 at these parameters on this corpus) — same oracle
         "dedup_embedding_lsh": emb_dedup_sql,

@@ -121,6 +121,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ivf_query", lambda: ops.ivf_query(sf_dir))
     timed("pq_codes", lambda: ops.pq_codes(sf_dir))
     timed("pq_query", lambda: ops.pq_query(sf_dir))
+    timed("ivfpq_query", lambda: ops.ivfpq_query(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

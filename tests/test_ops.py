@@ -290,6 +290,32 @@ def test_pq_codes_and_query(ray_session, docs_dir):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_ivfpq_query(ray_session, docs_dir):
+    """Probing ALL coarse cells makes IVF-PQ equal to the full PQ-ADC
+    scan; fewer probes return a candidate subset with consistent
+    ranks."""
+    kw = dict(m=2, k=3, iters=2, n_queries=3, topk=5)
+    full = ops.ivfpq_query(docs_dir, k_coarse=4, coarse_iters=2,
+                           nprobe=4, **kw).to_pydict()
+    flat = ops.pq_query(docs_dir, **kw).to_pydict()
+    assert full == flat
+    part = ops.ivfpq_query(docs_dir, k_coarse=4, coarse_iters=2,
+                           nprobe=1, **kw).to_pydict()
+    pairs = set(zip(part["query_id"], part["vec_id"]))
+    adc = dict(zip(zip(flat["query_id"], flat["vec_id"]),
+                   flat["adc_d2"]))
+    # any shared (q, v) pair carries the identical ADC distance
+    for qv, d in zip(zip(part["query_id"], part["vec_id"]),
+                     part["adc_d2"]):
+        if qv in adc:
+            assert adc[qv] == d
+    for q in set(part["query_id"]):
+        ranks = [r for qq, r in zip(part["query_id"], part["rank"])
+                 if qq == q]
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert pairs  # nprobe=1 still returns candidates
+
+
 def test_sample_hash_deterministic(ray_session, docs_dir):
     a = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()
     b = to_arrow(ops.sample_hash(docs_dir, rate_ppm=500_000)).to_pydict()

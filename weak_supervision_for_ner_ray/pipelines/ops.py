@@ -1355,6 +1355,74 @@ def pq_query(sf_dir: str, m: int = 4, k: int = 8, iters: int = 2,
         preserve_index=False)
 
 
+def ivfpq_query(sf_dir: str, k_coarse: int = 8, coarse_iters: int = 3,
+                m: int = 4, k: int = 8, iters: int = 2,
+                n_queries: int = 8, nprobe: int = 2, topk: int = 10):
+    """IVF-PQ: the billion-scale ANN layout — probe the ``nprobe``
+    nearest coarse k-means cells, then rank ONLY cell-resident vectors
+    by PQ asymmetric distance (m table lookups per candidate, no vector
+    arithmetic).  A probe touches ~nprobe/k_coarse of the corpus and
+    reads codes, not vectors.  Simplification vs textbook IVF-PQ: codes
+    quantise the raw vectors, not the cell residuals (residuals would
+    put the iterative trainings in sequence; the oracle stays exact
+    either way and the access pattern — the part that matters at
+    100 TB — is identical).  Deterministic on the integer-micros grid;
+    exact unrolled-SQL oracle composes the two trainings."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(
+        ds, k_coarse, coarse_iters,
+        cache_key=(sf_dir, k_coarse, coarse_iters,
+                   _table_fingerprint(sf_dir)),
+        sf_dir=sf_dir)
+    books = _pq_codebooks(
+        ds, m, k, iters, sf_dir=sf_dir,
+        cache_key=("pq", sf_dir, m, k, iters, _table_fingerprint(sf_dir)))
+    sub = books.shape[2]
+    qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
+    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), np.int64)
+    Q = _emb_micros(qtbl["embedding"])
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    T = np.stack([((Q[:, None, j * sub:(j + 1) * sub]
+                    - books[j][None, :, :]) ** 2).sum(axis=2)
+                  for j in range(m)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        cell, _ = _kmeans_assign(X, C)
+        adc = np.zeros((len(ids), len(q_ids)), np.int64)
+        for j in range(m):
+            a, _ = _kmeans_assign(X[:, j * sub:(j + 1) * sub], books[j])
+            adc += T[j].T[a]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            msk = np.isin(cell, probe[qi])
+            if not msk.any():
+                continue
+            order = np.lexsort((ids[msk], adc[msk, qi]))[:topk]
+            out_q.append(np.full(len(order), q_ids[qi], np.int64))
+            out_v.append(ids[msk][order])
+            out_d.append(adc[msk, qi][order])
+        e = np.empty(0, np.int64)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else e),
+            "vec_id": pa.array(np.concatenate(out_v) if out_v else e),
+            "adc_d2": pa.array(np.concatenate(out_d) if out_d else e),
+        })
+
+    parts = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=2048,
+                                     zero_copy_batch=True)).to_pandas()
+    parts = parts.sort_values(["query_id", "adc_d2", "vec_id"])
+    parts = parts.groupby("query_id", sort=True).head(topk) \
+        .reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        parts[["query_id", "rank", "vec_id", "adc_d2"]],
+        preserve_index=False)
+
+
 class LSHBucketStage:
     """Random-hyperplane LSH bucketing of embeddings (the scale path for
     ANN): bucket = sign bits of W·x.  Stateful: W drawn once per actor from
