@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": ops.token_count,
         "token_count_bpe": ops.token_count_bpe,
         "distinct_token_kmv": lambda sf: ops.distinct_token_kmv(sf),
+        "distinct_token_kmv_by_lang":
+            lambda sf: ops.distinct_token_kmv_by_lang(sf),
         "quality_score": ops.quality_score_exact,
         "doc_fingerprint": ops.doc_fingerprint,
         "doc_fingerprint_rolling": lambda sf: ops.doc_fingerprint_rolling(sf),
@@ -1051,6 +1053,35 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS est_distinct
             FROM s
+        """,
+        "distinct_token_kmv_by_lang": """
+            WITH tok AS (
+              SELECT lang, unnest(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ), h AS (
+              SELECT DISTINCT lang,
+                     CAST(md5_number_lower(t) >> 1 AS BIGINT) AS hv
+              FROM tok
+            ), kk AS (
+              SELECT lang, hv FROM (
+                SELECT lang, hv,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY hv) AS rk
+                FROM h)
+              WHERE rk <= 64
+            ), s AS (
+              SELECT lang, count(*) AS m, max(hv) AS kth
+              FROM kk GROUP BY lang
+            )
+            SELECT lang, CAST(64 AS BIGINT) AS k, CAST(m AS BIGINT) AS m,
+                   kth AS kth_min_h,
+                   CASE WHEN m < 64 THEN CAST(m AS BIGINT)
+                        ELSE CAST(floor(63 * 9223372036854775808.0 / kth)
+                                  AS BIGINT)
+                   END AS est_distinct
+            FROM s ORDER BY lang
         """,
         "quality_score": """
             SELECT doc_id,

@@ -290,6 +290,20 @@ def test_pq_codes_and_query(ray_session, docs_dir):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_distinct_token_kmv_by_lang(ray_session, docs_dir):
+    """With fewer than k distinct tokens per lang the per-group sketch
+    is EXACT (m == est == true distinct)."""
+    out = to_arrow(ops.distinct_token_kmv_by_lang(docs_dir, k=64)) \
+        .to_pydict()
+    import pyarrow.parquet as pq_
+    docs = pq_.read_table(str(docs_dir) + "/documents.parquet") \
+        .to_pydict()
+    true = len({w for t in docs["text"] for w in t.split()})
+    assert out["lang"] == ["en"]
+    assert out["m"] == [true]
+    assert out["est_distinct"] == [true]
+
+
 def test_ivfpq_query(ray_session, docs_dir):
     """Probing ALL coarse cells makes IVF-PQ equal to the full PQ-ADC
     scan; fewer probes return a candidate subset with consistent

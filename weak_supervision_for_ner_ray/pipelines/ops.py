@@ -176,6 +176,51 @@ def distinct_token_kmv(sf_dir: str, k: int = 256):
     })
 
 
+def distinct_token_kmv_by_lang(sf_dir: str, k: int = 64):
+    """Per-key KMV: the mergeable distinct-count sketch of
+    :func:`distinct_token_kmv` held PER GROUP — the shape a 100 TB
+    engine uses for per-domain/per-language vocabulary stats.  Each
+    block emits ≤k minima per language it saw, the grouped exchange
+    dedups (lang, hash) pairs (≤ n_blocks·k·langs rows), and a per-lang
+    kernel reads the estimator off its k minima.  Deterministic md5
+    arithmetic end-to-end = exact SQL oracle including the estimates."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    M = 9223372036854775808.0                  # 2^63 hash space
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        langs, hvs = [], []
+        for lang, g in batch.groupby("lang", sort=False):
+            toks = [w for t in g["text"].dropna() for w in _ws_tokens(t)]
+            h = np.unique(_stable_token_hashes(toks)
+                          >> np.uint64(1))[:k].astype(np.int64)
+            langs.extend([lang] * len(h))
+            hvs.append(h)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "hv": pa.array(np.concatenate(hvs) if hvs
+                           else np.empty(0, np.int64), pa.int64()),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.sort(g["hv"].to_numpy(np.int64))[:k]
+        m = len(hv)
+        kth = int(hv[-1]) if m else 0
+        est = m if m < k else int(np.floor((k - 1) * M / kth))
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "k": np.array([k], np.int64),
+            "m": np.array([m], np.int64),
+            "kth_min_h": np.array([kth], np.int64),
+            "est_distinct": np.array([est], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["lang", "hv"]).aggregate(Count(alias_name="_n"))
+            .groupby("lang").map_groups(finalize, batch_format="pandas")
+            .sort("lang")
+            .select_columns(["lang", "k", "m", "kth_min_h",
+                             "est_distinct"]))
+
+
 _ROLL_BASE = np.uint64(1_000_003)          # polynomial base
 _ROLL_MOD = np.uint64((1 << 31) - 1)        # Mersenne 2^31-1
 _ROLL_K = 8                                 # char window
