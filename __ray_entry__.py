@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_rolling": lambda sf: ops.doc_fingerprint_rolling(sf),
         "sample_hash": lambda sf: ops.sample_hash(sf),
         "exact_dedup": ops.exact_dedup,
+        "dedup_cdc_chunks": lambda sf: ops.dedup_cdc_chunks(sf),
+        "ngram_topk": lambda sf: ops.ngram_topk(sf),
+        "anti_join": lambda sf: ops.anti_join(sf),
+        "rollup_lang_source": lambda sf: ops.rollup_lang_source(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -1125,6 +1129,75 @@ def oracle_sql() -> dict[str, str]:
             "cp[i+{j}] * {p}".format(j=j, p=p) for j, p in enumerate(
                 __import__("weak_supervision_for_ner_ray.pipelines.ops",
                            fromlist=["_roll_powers"])._roll_powers()))),
+        # chunk-level near-dup (Lee et al. 2022 substring-dedup family):
+        # pairs sharing >= 2 sampled CDC chunk fingerprints; fps present
+        # in 2..200 docs only — the >200 boilerplate drop is part of the
+        # operator definition, mirrored by the engine
+        "dedup_cdc_chunks": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                         i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+                         AS cp
+              FROM documents WHERE length(text) >= 8
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(cp) - 6),
+                         i -> ({terms}) % 2147483647) AS hs
+              FROM d
+            ), u AS (
+              SELECT DISTINCT doc_id, unnest(hs) AS fp FROM h
+            ), s AS (
+              SELECT doc_id, fp FROM u WHERE fp % 64 = 0
+            ), f AS (
+              SELECT fp FROM s GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 200
+            ), ss AS (
+              SELECT s.doc_id, s.fp FROM s JOIN f USING (fp)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+            FROM ss x JOIN ss y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY a, b
+        """.format(terms=" + ".join(
+            "cp[i+{j}] * {p}".format(j=j, p=p) for j, p in enumerate(
+                __import__("weak_supervision_for_ner_ray.pipelines.ops",
+                           fromlist=["_roll_powers"])._roll_powers()))),
+        # corpus heavy hitters: top-50 word bigrams, RE2 ASCII \\s split
+        # (same class as the engine's _ws_tokens), ties broken ngram ASC
+        "ngram_topk": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS ngram
+              FROM toks WHERE len(t) >= 2
+            ), cnts AS (
+              SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+            )
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram ASC)
+                        AS BIGINT) AS rnk,
+                   ngram, cnt
+            FROM cnts ORDER BY cnt DESC, ngram ASC LIMIT 50
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "rollup_lang_source": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), ())
+            ORDER BY lang, source
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id

@@ -254,29 +254,37 @@ def doc_fingerprint_rolling(sf_dir: str, k: int = _ROLL_K,
     powers = np.array(_roll_powers(k), np.uint64)
 
     def f(batch: pd.DataFrame) -> pa.Table:
-        out_ids, out_fps = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            if not isinstance(text, str) or len(text) < k:
-                continue
-            cp = np.frombuffer(text.encode("utf-32-le"),
-                               np.uint32).astype(np.uint64)
-            n_pos = len(cp) - k + 1
-            h = np.zeros(n_pos, np.uint64)
-            for j in range(k):                     # 8 vector ops per doc
-                h += cp[j:j + n_pos] * powers[j]
-            h %= _ROLL_MOD
-            fps = np.unique(h[h % np.uint64(sample_mod) == 0])
-            if len(fps):
-                out_ids.append(np.full(len(fps), doc_id, np.int64))
-                out_fps.append(fps.astype(np.int64))
-        if not out_ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "fp": pa.array([], pa.int64())})
-        return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
-                         "fp": pa.array(np.concatenate(out_fps))})
+        return _rolling_fp_batch(batch, k, sample_mod, powers)
 
     return ds.map_batches(f, batch_format="pandas") \
         .sort(["doc_id", "fp"])
+
+
+def _rolling_fp_batch(batch: pd.DataFrame, k: int, sample_mod: int,
+                      powers: np.ndarray) -> pa.Table:
+    """Shared kernel for :func:`doc_fingerprint_rolling` and
+    :func:`dedup_cdc_chunks`: DISTINCT (doc_id, fp) rows of sampled
+    Rabin-Karp char ``k``-gram hashes."""
+    out_ids, out_fps = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        if not isinstance(text, str) or len(text) < k:
+            continue
+        cp = np.frombuffer(text.encode("utf-32-le"),
+                           np.uint32).astype(np.uint64)
+        n_pos = len(cp) - k + 1
+        h = np.zeros(n_pos, np.uint64)
+        for j in range(k):                     # 8 vector ops per doc
+            h += cp[j:j + n_pos] * powers[j]
+        h %= _ROLL_MOD
+        fps = np.unique(h[h % np.uint64(sample_mod) == 0])
+        if len(fps):
+            out_ids.append(np.full(len(fps), doc_id, np.int64))
+            out_fps.append(fps.astype(np.int64))
+    if not out_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                     "fp": pa.array(np.concatenate(out_fps))})
 
 
 def sample_hash(sf_dir: str, rate_ppm: int = 100_000, seed: str = "s13"):
@@ -3090,3 +3098,235 @@ def event_type_stats_exact(sf_dir: str):
             .sort("event_type")
             .select_columns(["event_type", "n", "sum_value_mil",
                              "min_value", "max_value"]))
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 3: CDC chunk dedup, corpus heavy hitters, anti-join, rollup
+# ---------------------------------------------------------------------------
+
+def dedup_cdc_chunks(sf_dir: str, k: int = _ROLL_K,
+                     sample_mod: int = _ROLL_SAMPLE, min_shared: int = 2,
+                     max_bucket: int = 200, rows_per_group: int = 5000):
+    """Chunk-level near-duplicate pairs (the substring-dedup family of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): two documents are near-duplicates iff they share at least
+    ``min_shared`` content-defined sampled chunk fingerprints (the
+    :func:`doc_fingerprint_rolling` CDC scheme — robust to insertions and
+    deletions, unlike whole-document hashing, and cheaper than MinHash
+    because no permutation table is needed).
+
+    Fingerprints present in more than ``max_bucket`` documents are
+    boilerplate (headers, templates) and are dropped — this is part of the
+    operator's DEFINITION, mirrored verbatim by the SQL oracle, not a
+    silent cap.
+
+    Scale shape: one exchange of (fp, doc_id) int64 pairs (never text),
+    grouped by a COARSENED key (fp & salt_mask, sized to ~``rows_per_group``
+    rows per ``map_groups`` call — fp buckets are mostly singletons, same
+    rationale as :func:`minhash_candidates`); a second small exchange
+    aggregates pair multiplicity.  Output: (a, b, n_shared) sorted."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    powers = np.array(_roll_powers(k), np.uint64)
+    n_docs = ds.count()                 # parquet metadata, no scan
+    n_salt = 1 << max(0, (max(1, n_docs // rows_per_group) - 1)
+                      .bit_length())
+    mask = np.int64(n_salt - 1)
+
+    def fps(batch: pd.DataFrame) -> pa.Table:
+        t = _rolling_fp_batch(batch, k, sample_mod, powers)
+        return t.append_column(
+            "gsalt", pc.cast(pc.bit_wise_and(t.column("fp"), mask),
+                             pa.int32()))
+
+    tri_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def pairs(group: dict) -> dict:
+        # one call per salt group holding MANY exact fp buckets
+        fp = np.asarray(group["fp"], np.int64)
+        ids = np.asarray(group["doc_id"], np.int64)
+        order = np.lexsort((ids, fp))
+        fp_s, ids_s = fp[order], ids[order]
+        _, starts, counts = np.unique(fp_s, return_index=True,
+                                      return_counts=True)
+        a_out, b_out = [], []
+        sel = (counts >= 2) & (counts <= max_bucket)
+        for s, c in zip(starts[sel], counts[sel]):
+            u = ids_s[s:s + c]          # already distinct per doc
+            tri = tri_cache.get(len(u))
+            if tri is None:
+                tri = tri_cache[len(u)] = np.triu_indices(len(u), k=1)
+            a_out.append(u[tri[0]])
+            b_out.append(u[tri[1]])
+        if not a_out:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        return {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+
+    cand = (ds.map_batches(fps, batch_format="pandas")
+            .groupby("gsalt").map_groups(pairs, batch_format="numpy")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_shared"),
+                                         min_shared))
+
+    return (cand.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .sort(["a", "b"])
+            .select_columns(["a", "b", "n_shared"]))
+
+
+def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
+    """Corpus-wide top-``k`` word ``n``-grams by frequency — the
+    heavy-hitters primitive of corpus analysis (boilerplate discovery,
+    contamination screens).  Combiner shape: each block counts its own
+    grams via one ``np.unique`` (per-block partial counts), the exchange
+    carries (ngram, partial_count) rows — never per-occurrence rows — a
+    small groupby sums them, each post-groupby block reduces itself to its
+    local top-``k`` (the global top-``k`` is a subset of the union of
+    per-block top-``k`` since every ngram appears in exactly one block
+    after the groupby), and the driver merges O(blocks × k) rows.
+    Deterministic total order: count desc, ngram asc."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        grams: list[str] = []
+        for text in batch["text"]:
+            if not isinstance(text, str):
+                continue
+            toks = _ws_tokens(text)
+            if len(toks) < n:
+                continue
+            grams.extend(" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+        if not grams:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(grams, object),
+                                 return_counts=True)
+        return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("ngram").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def head(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas().sort_values(
+            ["cnt", "ngram"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = _to_arrow(agg.map_batches(head, batch_format="pyarrow"))
+    df = (top.to_pandas()
+          .sort_values(["cnt", "ngram"], ascending=[False, True],
+                       kind="mergesort")
+          .head(k).reset_index(drop=True))
+    df.insert(0, "rnk", np.arange(1, len(df) + 1, dtype=np.int64))
+    return pa.table({"rnk": pa.array(df["rnk"], pa.int64()),
+                     "ngram": pa.array(df["ngram"], pa.string()),
+                     "cnt": pa.array(df["cnt"], pa.int64())})
+
+
+def anti_join(sf_dir: str, priority: str = "1-URGENT",
+              rows_per_group: int = 5000):
+    """Distributed anti-join: customers with NO order of the given
+    priority.  Ray Data has no anti-join operator and chaining
+    ``Dataset.join`` pipelines deadlocks the aggregator pool (round-4
+    session-3 finding), so this uses the single-exchange tagged-union
+    shape: per-block DISTINCT right-side keys (a combiner — the exchange
+    carries keys once per block, not once per order row) union the tagged
+    left rows, ONE groupby on a coarsened key, and a vectorised
+    ``isin`` exclusion inside each group.  No driver materialisation, no
+    broadcast assumption on either side."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment",
+                               "c_acctbal"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+    n_cust = cust.count()               # parquet metadata, no scan
+    n_groups = np.int64(max(32, n_cust // rows_per_group))
+
+    def left(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey")
+        return pa.table({
+            "c_custkey": key,
+            "c_name": t.column("c_name"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "c_acctbal": t.column("c_acctbal"),
+            "tag": pa.array(np.zeros(len(key), np.int8)),
+            "gk": pc.cast(_pmod(key, n_groups), pa.int32()),
+        })
+
+    def right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.filter(pc.equal(
+            t.column("o_orderpriority"), priority)).column("o_custkey"))
+        n = len(keys)
+        return pa.table({
+            "c_custkey": keys,
+            "c_name": pa.nulls(n, pa.string()),
+            "c_mktsegment": pa.nulls(n, pa.string()),
+            "c_acctbal": pa.nulls(n, pa.float64()),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "gk": pc.cast(_pmod(keys, n_groups), pa.int32()),
+        })
+
+    unioned = (cust.map_batches(left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(orders.map_batches(right, batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+
+    def exclude(g: pd.DataFrame) -> pd.DataFrame:
+        hit = g.loc[g["tag"] == 1, "c_custkey"]
+        keep = (g["tag"] == 0) & ~g["c_custkey"].isin(hit)
+        return g.loc[keep, ["c_custkey", "c_name", "c_mktsegment",
+                            "c_acctbal"]]
+
+    return (unioned.groupby("gk").map_groups(exclude,
+                                             batch_format="pandas")
+            .sort("c_custkey")
+            .select_columns(["c_custkey", "c_name", "c_mktsegment",
+                             "c_acctbal"]))
+
+
+def _pmod(col: pa.ChunkedArray | pa.Array, m: np.int64) -> pa.Array:
+    """Non-negative ``col % m`` as an Arrow array (keys here are
+    non-negative ints, so a plain modulo suffices — kept as a helper so
+    every grouped op derives its coarse key identically)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(col.to_numpy(zero_copy_only=False) % m)
+
+
+def rollup_lang_source(sf_dir: str):
+    """Multi-level aggregate (SQL ``GROUPING SETS``/``ROLLUP``): document
+    count and character volume by (lang, source), by lang, and grand
+    total, with subtotal rows marked ``'ALL'``.  Single-pass combiner:
+    each block pre-aggregates ALL THREE levels locally, so the one
+    exchange carries O(distinct groups × 3) partial rows per block — a
+    100 TB corpus with 30 languages shuffles kilobytes."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["lang", "source"], as_index=False)
+             .agg(n_docs=("n_chars", "size"),
+                  sum_chars=("n_chars", "sum")))
+        l1 = (g.groupby("lang", as_index=False)
+              .agg(n_docs=("n_docs", "sum"),
+                   sum_chars=("sum_chars", "sum")))
+        l1["source"] = "ALL"
+        l2 = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                           "n_docs": [g["n_docs"].sum()],
+                           "sum_chars": [g["sum_chars"].sum()]})
+        out = pd.concat([g, l1, l2], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out[["lang", "source", "n_docs", "sum_chars"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .sort(["lang", "source"])
+            .select_columns(["lang", "source", "n_docs", "sum_chars"]))
