@@ -700,3 +700,105 @@ def test_image_decode_real_formats():
     g = ops.ImageResizeStage(h=3, w=3, use_real_decoder=True) \
         .grid(_make_ppm(odd))
     assert g.shape == (9,) and 0.0 <= g.min() and g.max() <= 1.0
+
+
+def _brute_cdc_pairs(texts, k=8, sample_mod=64, min_shared=2,
+                     max_bucket=200):
+    """Independent pure-Python reimplementation of the CDC pair
+    definition (polynomial hash per position, 1/sample_mod sampling,
+    boilerplate drop, >= min_shared shared fingerprints)."""
+    B, M = int(ops._ROLL_BASE), (1 << 31) - 1
+    doc_fps = {}
+    for doc_id, text in enumerate(texts):
+        if len(text) < k:
+            continue
+        cp = [ord(c) for c in text]
+        fps = set()
+        for i in range(len(cp) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h + cp[i + j] * pow(B, k - 1 - j, M)) % M
+            if h % sample_mod == 0:
+                fps.add(h)
+        if fps:
+            doc_fps[doc_id] = fps
+    from collections import Counter
+    freq = Counter(fp for fps in doc_fps.values() for fp in fps)
+    keep = {fp for fp, c in freq.items() if 2 <= c <= max_bucket}
+    pairs = {}
+    ids = sorted(doc_fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(doc_fps[a] & doc_fps[b] & keep)
+            if n >= min_shared:
+                pairs[(a, b)] = n
+    return pairs
+
+
+def test_dedup_cdc_chunks(ray_session, tmp_path):
+    """Engine pairs == brute-force pairs on a corpus constructed so the
+    truth is non-empty: long exact dup, long partial overlap, unrelated."""
+    import pyarrow.parquet as pq
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet town and nobody watches the river ") * 8
+    partial = base[: len(base) // 2] + (
+        "entirely new second half talking about compilers, parsers "
+        "and the careful art of incremental computation in engines ") * 4
+    other = ("databases store rows in pages and pages live in files "
+             "while caches keep the hot set resident in memory near ") * 8
+    texts = [base, base, partial, other, "tiny"]
+    d = tmp_path / "cdc"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    want = _brute_cdc_pairs(texts)
+    assert (0, 1) in want and (0, 2) in want       # fixture is non-trivial
+    got = to_arrow(ops.dedup_cdc_chunks(str(d))).to_pydict()
+    got_pairs = dict(zip(zip(got["a"], got["b"]), got["n_shared"]))
+    assert got_pairs == want
+
+
+def test_ngram_topk(ray_session, docs_dir):
+    """Distributed heavy hitters == Counter brute force, including the
+    (count desc, ngram asc) tie order and the rank column."""
+    from collections import Counter
+    texts = to_arrow(ops.read_table(docs_dir, "documents",
+                                    columns=["text"])).to_pydict()["text"]
+    cnt = Counter()
+    for t in texts:
+        toks = ops._ws_tokens(t)
+        cnt.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = to_arrow(ops.ngram_topk(docs_dir)).to_pydict()
+    assert list(zip(got["ngram"], got["cnt"])) == want
+    assert got["rnk"] == list(range(1, len(want) + 1))
+
+
+def test_rollup_lang_source(ray_session, tmp_path):
+    """All three grouping-set levels present and numerically exact."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "roll"
+    d.mkdir()
+    langs = ["en", "en", "de", "de", "de", "fr"]
+    srcs = ["web", "book", "web", "web", "book", "web"]
+    chars = [10, 20, 5, 7, 11, 3]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["x"] * 6, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array(chars, pa.int64()),
+    }), str(d / "documents.parquet"))
+    got = to_arrow(ops.rollup_lang_source(str(d))).to_pydict()
+    rows = dict(zip(zip(got["lang"], got["source"]),
+                    zip(got["n_docs"], got["sum_chars"])))
+    assert rows[("en", "web")] == (1, 10)
+    assert rows[("de", "web")] == (2, 12)
+    assert rows[("de", "ALL")] == (3, 23)
+    assert rows[("en", "ALL")] == (2, 30)
+    assert rows[("fr", "ALL")] == (1, 3)
+    assert rows[("ALL", "ALL")] == (6, 56)
+    assert rows[("en", "book")] == (1, 20)
+    assert len(rows) == 5 + 3 + 1    # 5 (lang,source) + 3 langs + total

@@ -26,11 +26,15 @@ def rel_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("rel")
     pq.write_table(pa.table({
         "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["ann", "bob", "cid"], pa.string()),
         "c_mktsegment": pa.array(["AUTO", "BUILD", "AUTO"], pa.string()),
+        "c_acctbal": pa.array([1.5, -2.0, 0.0], pa.float64()),
     }), str(d / "customer.parquet"))
     pq.write_table(pa.table({
         "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
         "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", "5-LOW", "1-URGENT"], pa.string()),
         "o_totalprice": pa.array([100.005, 20.0, 7.5, 1.004], pa.float64()),
     }), str(d / "orders.parquet"))
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
@@ -288,3 +292,16 @@ def test_events_sliding_window(ray_session, rel_dir):
         assert by_key[("b", us(15, 0) - k * 15 * 60 * 1_000_000)] == (1, 8000)
     # windows are sorted by (event_type, window_start_us)
     assert rows == sorted(rows)
+
+
+def test_anti_join(ray_session, rel_dir):
+    """Customers 1 and 3 each have an urgent order; only 2 survives, with
+    all payload columns intact."""
+    got = to_arrow(ops.anti_join(rel_dir)).to_pydict()
+    assert got["c_custkey"] == [2]
+    assert got["c_name"] == ["bob"]
+    assert got["c_mktsegment"] == ["BUILD"]
+    assert got["c_acctbal"] == [-2.0]
+    # a priority nobody has keeps everyone
+    all_kept = to_arrow(ops.anti_join(rel_dir, priority="nope")).to_pydict()
+    assert all_kept["c_custkey"] == [1, 2, 3]
