@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": lambda sf: ops.ngram_topk(sf),
         "anti_join": lambda sf: ops.anti_join(sf),
         "rollup_lang_source": lambda sf: ops.rollup_lang_source(sf),
+        "stratified_sample": lambda sf: ops.stratified_sample(sf),
+        "dataset_mix": lambda sf: ops.dataset_mix(sf),
+        "tfidf_topk": lambda sf: ops.tfidf_topk(sf),
+        "pivot_doc_langs": lambda sf: ops.pivot_doc_langs(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -1197,6 +1201,80 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY GROUPING SETS ((lang, source), (lang), ())
             ORDER BY lang, source
+        """,
+        # per-stratum uniform sample: n lowest md5 hashes per language
+        "stratified_sample": """
+            SELECT lang, rnk, doc_id, bucket_ppm FROM (
+              SELECT lang, doc_id, bucket_ppm,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY bucket_ppm, doc_id) AS rnk
+              FROM (SELECT lang, doc_id,
+                           CAST(md5_number_lower('s17:' ||
+                                CAST(doc_id AS VARCHAR)) % 1000000
+                                AS BIGINT) AS bucket_ppm
+                    FROM documents))
+            WHERE rnk <= 20 ORDER BY lang, rnk
+        """,
+        # source-ratio mixing: quotas generated from the shared
+        # _MIX_RATIOS_PPM table at the shared default budget of 120
+        "dataset_mix": """
+            SELECT source, rnk, doc_id, lang, bucket_ppm FROM (
+              SELECT source, lang, doc_id, bucket_ppm,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY bucket_ppm, doc_id) AS rnk
+              FROM (SELECT source, lang, doc_id,
+                           CAST(md5_number_lower('s19:' ||
+                                CAST(doc_id AS VARCHAR)) % 1000000
+                                AS BIGINT) AS bucket_ppm
+                    FROM documents
+                    WHERE source IN ({srcs})))
+            WHERE rnk <= CASE source {cases} END
+            ORDER BY source, rnk
+        """.format(
+            srcs=", ".join(
+                "'{}'".format(s) for s in sorted(
+                    __import__(
+                        "weak_supervision_for_ner_ray.pipelines.ops",
+                        fromlist=["_MIX_RATIOS_PPM"])._MIX_RATIOS_PPM)),
+            cases=" ".join(
+                "WHEN '{}' THEN {}".format(s, (p * 120) // 1_000_000)
+                for s, p in sorted(__import__(
+                    "weak_supervision_for_ner_ray.pipelines.ops",
+                    fromlist=["_MIX_RATIOS_PPM"])._MIX_RATIOS_PPM
+                    .items()))),
+        # integer tf/df score == tf * 1e6 // df, top-3 per doc,
+        # ties (score desc, token asc)
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT doc_id, rnk, token, score FROM (
+              SELECT tf.doc_id, tf.token,
+                     CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY (tf.tf * 1000000) // df.df DESC,
+                                  tf.token ASC) AS rnk
+              FROM tf JOIN df USING (token))
+            WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "pivot_doc_langs": """
+            SELECT source,
+                   count(*) FILTER (WHERE lang = 'de') AS n_de,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en,
+                   count(*) FILTER (WHERE lang = 'es') AS n_es,
+                   count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(*) FILTER (WHERE lang = 'zh') AS n_zh,
+                   count(*) AS n_total
+            FROM documents GROUP BY source ORDER BY source
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -802,3 +802,106 @@ def test_rollup_lang_source(ray_session, tmp_path):
     assert rows[("ALL", "ALL")] == (6, 56)
     assert rows[("en", "book")] == (1, 20)
     assert len(rows) == 5 + 3 + 1    # 5 (lang,source) + 3 langs + total
+
+
+def _md5_ppm(seed, doc_id):
+    import hashlib
+    h = int.from_bytes(
+        hashlib.md5(f"{seed}:{doc_id}".encode()).digest()[8:], "little")
+    return h % 1_000_000
+
+
+def test_stratified_sample(ray_session, tmp_path):
+    """Per-lang sample == the n lowest (hash, doc_id) per lang, computed
+    independently with hashlib."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "strat"
+    d.mkdir()
+    langs = ["en"] * 30 + ["de"] * 10 + ["fr"] * 2
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["x"] * len(langs), pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), str(d / "documents.parquet"))
+    n = 5
+    got = to_arrow(ops.stratified_sample(str(d), n_per_lang=n)).to_pydict()
+    by_lang = {}
+    for doc_id, lg in enumerate(langs):
+        by_lang.setdefault(lg, []).append((_md5_ppm("s17", doc_id), doc_id))
+    want = []
+    for lg in sorted(by_lang):
+        for rnk, (ppm, doc_id) in enumerate(sorted(by_lang[lg])[:n], 1):
+            want.append((lg, rnk, doc_id, ppm))
+    assert list(zip(got["lang"], got["rnk"], got["doc_id"],
+                    got["bucket_ppm"])) == want
+    assert [r for r in want if r[0] == "fr"][-1][1] == 2  # capped at avail
+
+
+def test_dataset_mix(ray_session, tmp_path):
+    """Quotas follow floor(ratio x budget), capped at availability, and
+    each source's draw is its lowest-hash docs."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "mix"
+    d.mkdir()
+    srcs = ["a"] * 20 + ["b"] * 3 + ["c"] * 10
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(srcs)), pa.int64()),
+        "text": pa.array(["x"] * len(srcs), pa.string()),
+        "lang": pa.array(["en"] * len(srcs), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    }), str(d / "documents.parquet"))
+    ratios = {"a": 500_000, "b": 400_000, "c": 0}
+    got = to_arrow(ops.dataset_mix(str(d), budget=10,
+                                   ratios_ppm=ratios)).to_pydict()
+    # quotas: a -> 5, b -> 4 but only 3 available, c -> 0 (filtered)
+    from collections import Counter
+    assert Counter(got["source"]) == {"a": 5, "b": 3}
+    by_src = {}
+    for doc_id, s in enumerate(srcs):
+        by_src.setdefault(s, []).append((_md5_ppm("s19", doc_id), doc_id))
+    want_a = [doc_id for _, doc_id in sorted(by_src["a"])[:5]]
+    got_a = [i for i, s in zip(got["doc_id"], got["source"]) if s == "a"]
+    assert got_a == want_a
+
+
+def test_tfidf_topk(ray_session, docs_dir):
+    """Distributed score == brute-force tf*1e6//df with the documented
+    tie order."""
+    from collections import Counter
+    texts = to_arrow(ops.read_table(docs_dir, "documents",
+                                    columns=["doc_id", "text"])) \
+        .to_pydict()
+    tf = {d: Counter(ops._ws_tokens(t))
+          for d, t in zip(texts["doc_id"], texts["text"])}
+    df = Counter(tok for c in tf.values() for tok in c)
+    want = []
+    for d in sorted(tf):
+        scored = sorted(((tok, cnt * 1_000_000 // df[tok])
+                         for tok, cnt in tf[d].items()),
+                        key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [(d, r, tok, s) for r, (tok, s) in enumerate(scored, 1)]
+    got = to_arrow(ops.tfidf_topk(docs_dir)).to_pydict()
+    assert list(zip(got["doc_id"], got["rnk"], got["token"],
+                    got["score"])) == want
+
+
+def test_pivot_doc_langs(ray_session, tmp_path):
+    """Out-of-domain languages land in n_total only; per-lang columns
+    are exact."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "pivot"
+    d.mkdir()
+    langs = ["en", "en", "de", "xx", "zh"]
+    srcs = ["s1", "s2", "s1", "s1", "s2"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["x"] * 5, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    }), str(d / "documents.parquet"))
+    got = to_arrow(ops.pivot_doc_langs(str(d))).to_pydict()
+    assert got["source"] == ["s1", "s2"]
+    assert got["n_en"] == [1, 1]
+    assert got["n_de"] == [1, 0]
+    assert got["n_zh"] == [0, 1]
+    assert got["n_total"] == [3, 2]      # 'xx' counts only here

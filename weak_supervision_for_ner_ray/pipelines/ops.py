@@ -3330,3 +3330,186 @@ def rollup_lang_source(sf_dir: str):
                        Sum("sum_chars", alias_name="sum_chars"))
             .sort(["lang", "source"])
             .select_columns(["lang", "source", "n_docs", "sum_chars"]))
+
+
+def stratified_sample(sf_dir: str, n_per_lang: int = 20,
+                      seed: str = "s17"):
+    """Stratified uniform sample: the ``n_per_lang`` documents with the
+    smallest ``md5(seed:doc_id)`` hash per language — the reproducible,
+    partitioning-independent way to draw a per-stratum sample of training
+    data (reruns, resumes and cluster-size changes all pick the same
+    docs).  Combiner shape (same as :func:`topk_by_group`): every block
+    reduces itself to ≤ n rows per lang before the grouped exchange, so
+    the shuffle moves O(blocks × langs × n) rows at any corpus size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _stable_token_hashes(
+            [f"{seed}:{d}" for d in df["doc_id"]])
+        df = df.assign(bucket_ppm=(h % np.uint64(1_000_000))
+                       .astype(np.int64))
+        df = df.sort_values(["lang", "bucket_ppm", "doc_id"],
+                            kind="stable")
+        return df.groupby("lang", sort=False).head(n_per_lang)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket_ppm", "doc_id"],
+                          kind="stable").head(n_per_lang)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rnk", "doc_id", "bucket_ppm"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(final, batch_format="pandas")
+            .sort(["lang", "rnk"]))
+
+
+# default mixture for dataset_mix: ppm weights per source (the remaining
+# sources get zero — a curation run that upweights a few clean sources);
+# shared verbatim with the SQL oracle's CASE expression
+_MIX_RATIOS_PPM: dict[str, int] = {
+    "src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 100_000,
+}
+
+
+def dataset_mix(sf_dir: str, budget: int = 120,
+                ratios_ppm: dict[str, int] | None = None,
+                seed: str = "s19"):
+    """Source-ratio dataset mixing — the curation primitive that builds a
+    training mix: per-source quota = floor(ratio × budget), filled with
+    each source's ``min(quota, available)`` lowest-hash documents (so the
+    draw is uniform-without-replacement per source, deterministic, and
+    independent of partitioning/cluster size).  Same bounded combiner
+    shape as :func:`stratified_sample`; sources with zero ratio are
+    filtered at the read, never shuffled."""
+    ratios = _MIX_RATIOS_PPM if ratios_ppm is None else ratios_ppm
+    quota = {s: (p * budget) // 1_000_000 for s, p in ratios.items()
+             if (p * budget) // 1_000_000 > 0}
+    max_q = max(quota.values(), default=0)
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin(quota)]
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="object"),
+                                 "source": pd.Series([], dtype="object"),
+                                 "bucket_ppm": pd.Series([],
+                                                         dtype="int64")})
+        h = _stable_token_hashes(
+            [f"{seed}:{d}" for d in df["doc_id"]])
+        df = df.assign(bucket_ppm=(h % np.uint64(1_000_000))
+                       .astype(np.int64))
+        df = df.sort_values(["source", "bucket_ppm", "doc_id"],
+                            kind="stable")
+        return df.groupby("source", sort=False).head(max_q)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket_ppm", "doc_id"], kind="stable") \
+            .head(quota[g["source"].iloc[0]])
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "rnk", "doc_id", "lang", "bucket_ppm"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("source").map_groups(final, batch_format="pandas")
+            .sort(["source", "rnk"]))
+
+
+def tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-document top-``k`` distinctive terms by an integer tf/df score
+    (``tf · 1e6 // df`` — floor-exact, so the SQL oracle hash-matches; the
+    familiar tf-idf log damping would put a float log in the hash path
+    for no semantic gain at top-k).  Scale shape: per-block exact
+    (doc_id, token, tf) rows (a document lives in one row, so its tf is
+    complete within its block), a Count-combiner aggregate builds the
+    (token, df) side, ONE ``Dataset.join`` attaches df (never chain two —
+    round-4 finding: pipelined joins deadlock the aggregator pool), and
+    the per-doc top-k uses the bounded-combiner shape.  Hot tokens are a
+    join key, not a ``map_groups`` group, so token skew never builds a
+    giant group."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pa.Table:
+        ids, toks = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if not isinstance(text, str):
+                continue
+            ws = _ws_tokens(text)
+            ids.extend([doc_id] * len(ws))
+            toks.extend(ws)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                           "token": toks})
+        g = df.groupby(["doc_id", "token"], as_index=False,
+                       sort=False).size()
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "token": pa.array(g["token"], pa.string()),
+                         "tf": pa.array(g["size"].astype("int64"))})
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    # (doc_id, token) rows are distinct, so Count == document frequency
+    df_tbl = tf.groupby("token").aggregate(Count(alias_name="df")) \
+        .select_columns(["token", "df"])
+    joined = tf.join(df_tbl, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("token",))
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.multiply(t.column("tf"), pa.scalar(1_000_000)),
+                      t.column("df"))         # int64 // int64 == floor
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "token": t.column("token"),
+                         "score": pc.cast(s, pa.int64())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("doc_id", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "rnk", "token", "score"]]
+
+    return (joined.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .map_batches(partial, batch_format="pandas")
+            .groupby("doc_id").map_groups(final, batch_format="pandas")
+            .sort(["doc_id", "rnk"]))
+
+
+# the synthetic corpus' closed language domain — shared between
+# pivot_doc_langs and its SQL oracle's FILTER columns
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_doc_langs(sf_dir: str):
+    """Crosstab pivot: one row per source, one count column per language
+    (plus the row total) — the wide-table shape reporting queries want.
+    Each block reduces to its local crosstab (a ≤ sources × 6 integer
+    table), so the exchange is tiny at any scale; languages outside the
+    closed domain count toward ``n_total`` only, exactly like the SQL
+    oracle's ``count(*) FILTER`` columns."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cols = [f"n_{lg}" for lg in _PIVOT_LANGS]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source").size().to_frame("n_total")
+        for lg, col in zip(_PIVOT_LANGS, cols):
+            out[col] = df[df["lang"] == lg].groupby("source").size()
+        out = out.fillna(0).astype("int64").reset_index()
+        return out[["source"] + cols + ["n_total"]]
+
+    aggs = [Sum(c, alias_name=c) for c in cols] + \
+        [Sum("n_total", alias_name="n_total")]
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("source").aggregate(*aggs)
+            .sort("source")
+            .select_columns(["source"] + cols + ["n_total"]))
