@@ -122,6 +122,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pq_codes", lambda: ops.pq_codes(sf_dir))
     timed("pq_query", lambda: ops.pq_query(sf_dir))
     timed("ivfpq_query", lambda: ops.ivfpq_query(sf_dir))
+    timed("dedup_cdc_chunks", lambda: ops.dedup_cdc_chunks(sf_dir))
+    timed("ngram_topk", lambda: ops.ngram_topk(sf_dir))
+    timed("tfidf_topk", lambda: ops.tfidf_topk(sf_dir))
+    timed("stratified_sample", lambda: ops.stratified_sample(sf_dir))
+    timed("anti_join", lambda: ops.anti_join(sf_dir))
+    timed("topk_by_group", lambda: ops.topk_by_group(sf_dir))
+    timed("percentile_by_group", lambda: ops.percentile_by_group(sf_dir))
+    timed("rollup_lang_source", lambda: ops.rollup_lang_source(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

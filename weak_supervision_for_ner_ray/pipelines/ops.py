@@ -3161,16 +3161,38 @@ def dedup_cdc_chunks(sf_dir: str, k: int = _ROLL_K,
             return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
         return {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
 
-    cand = (ds.map_batches(fps, batch_format="pandas")
+    def tag_pk(t: pa.Table) -> pa.Table:
+        # coarse pair key for the multiplicity count: the same (a, b)
+        # arises in DIFFERENT salt groups (one per shared fp), so a
+        # global exchange is required — but a two-key
+        # groupby().aggregate(Count) measured 19 s on 37 k pair rows
+        # (sort-aggregate barriers), while this coarse single-key
+        # map_groups with a vectorised in-group unique costs < 2 s
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (a * np.uint64(0x9E3779B97F4A7C15) + b) & np.uint64(mask)
+        return t.append_column("pk", pa.array(pk.astype(np.int32)))
+
+    def count_pairs(group: dict) -> dict:
+        a = np.asarray(group["a"], np.int64)
+        b = np.asarray(group["b"], np.int64)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        change = np.empty(len(a_s), bool)
+        change[0] = True
+        np.not_equal(a_s[1:], a_s[:-1], out=change[1:])
+        change[1:] |= b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(a_s)))
+        sel = counts >= min_shared
+        return {"a": a_s[starts[sel]], "b": b_s[starts[sel]],
+                "n_shared": counts[sel].astype(np.int64)}
+
+    return (ds.map_batches(fps, batch_format="pandas")
             .groupby("gsalt").map_groups(pairs, batch_format="numpy")
-            .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")))
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n_shared"),
-                                         min_shared))
-
-    return (cand.map_batches(keep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+            .map_batches(tag_pk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("pk").map_groups(count_pairs, batch_format="numpy")
             .sort(["a", "b"])
             .select_columns(["a", "b", "n_shared"]))
 
@@ -3453,8 +3475,15 @@ def tfidf_topk(sf_dir: str, k: int = 3):
 
     tf = ds.map_batches(tf_rows, batch_format="pandas")
     # (doc_id, token) rows are distinct, so Count == document frequency
+    # Count-aggregate partitions with no rows emit SCHEMA-LESS empty
+    # blocks, and a schema-less block on the join's build side makes the
+    # hash-join aggregator fail to resolve the key column ("no match for
+    # FieldRef token") — a map_batches identity does NOT clear it (the
+    # empty bundle's schema survives), but a repartition coalesces the
+    # empties away.  The (token, df) table is tiny next to the corpus, so
+    # the extra exchange is noise.
     df_tbl = tf.groupby("token").aggregate(Count(alias_name="df")) \
-        .select_columns(["token", "df"])
+        .repartition(_join_partitions())
     joined = tf.join(df_tbl, join_type="inner",
                      num_partitions=_join_partitions(),
                      on=("token",))
