@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_mix": lambda sf: ops.dataset_mix(sf),
         "tfidf_topk": lambda sf: ops.tfidf_topk(sf),
         "pivot_doc_langs": lambda sf: ops.pivot_doc_langs(sf),
+        "pack_sequences": lambda sf: ops.pack_sequences(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -1265,6 +1266,23 @@ def oracle_sql() -> dict[str, str]:
                                   tf.token ASC) AS rnk
               FROM tf JOIN df USING (token))
             WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        # greedy sequence packing: exclusive prefix sum of whitespace
+        # token counts in doc_id order, bins of 4096 tokens
+        "pack_sequences": """
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_tok,
+                   CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id,
+                   CAST((cum - n_tokens) % 4096 AS BIGINT) AS offset_in_bin
+            FROM (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+              FROM (SELECT doc_id,
+                           coalesce(len(list_filter(
+                               regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')), 0) AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id
         """,
         "pivot_doc_langs": """
             SELECT source,

@@ -905,3 +905,36 @@ def test_pivot_doc_langs(ray_session, tmp_path):
     assert got["n_de"] == [1, 0]
     assert got["n_zh"] == [0, 1]
     assert got["n_total"] == [3, 2]      # 'xx' counts only here
+
+
+def test_pack_sequences(ray_session, tmp_path):
+    """The distributed prefix scan equals the sequential cumsum, with a
+    range_size small enough that every range boundary exercises the
+    driver-folded offsets, plus null/empty docs contributing 0 tokens."""
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(23)
+    texts = [" ".join(["tok"] * int(rng.integers(0, 40)))
+             for _ in range(57)]
+    texts[7] = None
+    texts[8] = ""
+    d = tmp_path / "pack"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    budget, range_size = 64, 8
+    got = to_arrow(ops.pack_sequences(str(d), budget=budget,
+                                      range_size=range_size)).to_pydict()
+    cum = 0
+    for i, (doc_id, n, start, bin_id, off) in enumerate(zip(
+            got["doc_id"], got["n_tokens"], got["start_tok"],
+            got["bin_id"], got["offset_in_bin"])):
+        t = texts[doc_id]
+        n_want = len(t.split()) if isinstance(t, str) else 0
+        assert doc_id == i
+        assert n == n_want
+        assert start == cum
+        assert bin_id == cum // budget
+        assert off == cum % budget
+        cum += n_want

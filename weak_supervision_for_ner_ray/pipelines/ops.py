@@ -3542,3 +3542,64 @@ def pivot_doc_langs(sf_dir: str):
             .groupby("source").aggregate(*aggs)
             .sort("source")
             .select_columns(["source"] + cols + ["n_total"]))
+
+
+def pack_sequences(sf_dir: str, budget: int = 4096,
+                   range_size: int = 4096):
+    """Greedy sequential sequence packing — the operator that turns a
+    document corpus into fixed-token-budget training sequences: documents
+    are concatenated in ``doc_id`` order and every doc is assigned the
+    bin ``start_tok // budget`` and offset ``start_tok % budget``, where
+    ``start_tok`` is the EXCLUSIVE prefix sum of whitespace token counts.
+
+    This is the distributed prefix-scan primitive: (1) one pass computes
+    block-local (doc_id, n_tokens) rows, kept materialised (16 bytes/doc
+    — at 5 B docs that is ~80 GB across the cluster's object store,
+    spillable; the alternative is re-tokenising the corpus twice);
+    (2) a combiner aggregate sums tokens per ``doc_id // range_size``
+    range — O(n_docs / range_size) rows to the driver, which folds them
+    into exclusive range offsets (a ~16 MB dict at 5 B docs; ship via
+    ``ray.put`` if ranges outgrow closure capture); (3) a grouped second
+    pass sorts each bounded range and adds its broadcast offset to the
+    in-range cumulative sum.  Two bounded exchanges, no global sort of
+    the corpus, driver state linear in ranges — not rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pd.DataFrame) -> pa.Table:
+        n = np.fromiter(
+            (len(_ws_tokens(t)) if isinstance(t, str) else 0
+             for t in batch["text"]),
+            np.int64, len(batch))
+        doc = batch["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "n_tokens": pa.array(n),
+            "rng": pa.array((doc // range_size).astype(np.int32)),
+        })
+
+    cnt = ds.map_batches(counts, batch_format="pandas").materialize()
+    totals = _to_arrow(cnt.groupby("rng")
+                       .aggregate(Sum("n_tokens", alias_name="tot")))
+    tot_df = totals.to_pandas().sort_values("rng")
+    offs = dict(zip(
+        tot_df["rng"],
+        np.concatenate([[0], np.cumsum(tot_df["tot"].to_numpy())[:-1]])
+        .astype(np.int64)))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        cum = g["n_tokens"].to_numpy(np.int64).cumsum()
+        start = cum - g["n_tokens"].to_numpy(np.int64) \
+            + offs[int(g["rng"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "start_tok": start,
+            "bin_id": start // budget,
+            "offset_in_bin": start % budget,
+        })
+
+    return (cnt.groupby("rng").map_groups(assign, batch_format="pandas")
+            .sort("doc_id")
+            .select_columns(["doc_id", "n_tokens", "start_tok",
+                             "bin_id", "offset_in_bin"]))
