@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": lambda sf: ops.tfidf_topk(sf),
         "pivot_doc_langs": lambda sf: ops.pivot_doc_langs(sf),
         "pack_sequences": lambda sf: ops.pack_sequences(sf),
+        "decontaminate": lambda sf: ops.decontaminate(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -1267,6 +1268,36 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (token))
             WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
+        # benchmark decontamination: corpus docs sharing >= 1 sampled
+        # char-8-gram fingerprint (1/16 sampling) with any src0 doc;
+        # the polynomial is generated from the shared _roll_powers()
+        "decontaminate": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_transform(range(1, length(text) + 1),
+                         i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+                         AS cp
+              FROM documents WHERE length(text) >= 8
+            ), h AS (
+              SELECT doc_id, source,
+                     list_transform(range(1, len(cp) - 6),
+                         i -> ({terms}) % 2147483647) AS hs
+              FROM d
+            ), u AS (
+              SELECT DISTINCT doc_id, source, unnest(hs) AS fp FROM h
+            ), s AS (
+              SELECT doc_id, source, fp FROM u WHERE fp % 16 = 0
+            ), bench AS (
+              SELECT DISTINCT fp FROM s WHERE source = 'src0'
+            )
+            SELECT s.doc_id, count(*) AS n_hits
+            FROM s JOIN bench USING (fp)
+            WHERE s.source <> 'src0'
+            GROUP BY s.doc_id ORDER BY s.doc_id
+        """.format(terms=" + ".join(
+            "cp[i+{j}] * {p}".format(j=j, p=p) for j, p in enumerate(
+                __import__("weak_supervision_for_ner_ray.pipelines.ops",
+                           fromlist=["_roll_powers"])._roll_powers()))),
         # greedy sequence packing: exclusive prefix sum of whitespace
         # token counts in doc_id order, bins of 4096 tokens
         "pack_sequences": """

@@ -938,3 +938,51 @@ def test_pack_sequences(ray_session, tmp_path):
         assert bin_id == cum // budget
         assert off == cum % budget
         cum += n_want
+
+
+def test_decontaminate(ray_session, tmp_path):
+    """Engine == brute force on a corpus with one controlled overlap:
+    doc 2 embeds a long span of benchmark doc 0; doc 3 is unrelated."""
+    import pyarrow.parquet as pq
+    bench = ("canonical benchmark question about the tallest mountain "
+             "on each continent and the rivers that drain them") * 3
+    contaminated = ("some training text " + bench[40:160]
+                    + " plus an original tail about something else")
+    clean = ("entirely unrelated training document discussing pastry "
+             "recipes, oven temperatures and the economics of flour") * 2
+    texts = [bench, "another benchmark item entirely", contaminated,
+             clean]
+    srcs = ["src0", "src0", "web", "web"]
+    d = tmp_path / "decon"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    }), str(d / "documents.parquet"))
+    sample_mod = 4          # denser sampling so the overlap is seen
+    B, M = int(ops._ROLL_BASE), (1 << 31) - 1
+
+    def fps(text):
+        out = set()
+        cp = [ord(c) for c in text]
+        for i in range(len(cp) - 7):
+            h = 0
+            for j in range(8):
+                h = (h + cp[i + j] * pow(B, 7 - j, M)) % M
+            if h % sample_mod == 0:
+                out.add(h)
+        return out
+
+    bench_fps = fps(texts[0]) | fps(texts[1])
+    want = {i: len(fps(t) & bench_fps)
+            for i, t in enumerate(texts) if srcs[i] != "src0"}
+    want = {i: n for i, n in want.items() if n > 0}
+    # the embedded span makes doc 2 heavily contaminated; doc 3 may share
+    # a couple of incidental English 8-grams (" and the", …) — the op
+    # reports exact hit counts, thresholding is the caller's policy
+    assert want[2] >= 10 > want.get(3, 0)
+    got = to_arrow(ops.decontaminate(str(d), sample_mod=sample_mod)) \
+        .to_pydict()
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want

@@ -917,8 +917,14 @@ def simhash_table(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _to_arrow(ds) -> pa.Table:
+    # empty blocks out of an Aggregate can surface as SCHEMA-LESS pandas
+    # blocks that survive even a pyarrow-format map_batches untouched;
+    # to_arrow_refs then hands back raw DataFrames — drop empties of
+    # either kind before concat
     tables = [ray.get(r) for r in ds.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows]
+    tables = [t if isinstance(t, pa.Table)
+              else pa.Table.from_pandas(t, preserve_index=False)
+              for t in tables if len(t)]
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
@@ -3231,12 +3237,16 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     agg = (ds.map_batches(partial, batch_format="pandas")
            .groupby("ngram").aggregate(Sum("cnt", alias_name="cnt")))
 
-    def head(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        df = t.to_pandas().sort_values(
-            ["cnt", "ngram"], ascending=[False, True],
-            kind="mergesort").head(k)
+    def head(t) -> pa.Table:
+        # empty Aggregate partitions can surface as SCHEMA-LESS pandas
+        # blocks that bypass the requested pyarrow batch_format (the
+        # same quirk the tfidf join works around) — normalise first
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if len(df) == 0 or "ngram" not in df.columns:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        df = df.sort_values(["cnt", "ngram"], ascending=[False, True],
+                            kind="mergesort").head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     top = _to_arrow(agg.map_batches(head, batch_format="pyarrow"))
@@ -3603,3 +3613,73 @@ def pack_sequences(sf_dir: str, budget: int = 4096,
             .sort("doc_id")
             .select_columns(["doc_id", "n_tokens", "start_tok",
                              "bin_id", "offset_in_bin"]))
+
+
+def decontaminate(sf_dir: str, k: int = _ROLL_K, sample_mod: int = 16,
+                  benchmark_source: str = "src0",
+                  rows_per_group: int = 5000):
+    """Benchmark decontamination — the training-data screen that flags
+    corpus documents sharing character ``k``-gram fingerprints with a
+    held-out benchmark set (here: the docs whose ``source`` equals
+    ``benchmark_source``), in the spirit of the n-gram overlap
+    decontamination used for LLM training sets.  A training doc is
+    contaminated iff it shares ≥ 1 sampled Rabin-Karp fingerprint with
+    ANY benchmark doc; output is (doc_id, n_hits = distinct shared
+    fingerprints), benchmark docs excluded.
+
+    Scale shape: identical to :func:`dedup_cdc_chunks` — the exchange
+    carries (fp, doc_id, is_bench) int64 triples (never text) grouped on
+    a coarsened fp-salt key; within each vectorised group a fingerprint
+    contributes hits only when both sides are present, so the benchmark
+    set is never broadcast and never becomes a hot key (a benchmark is
+    tiny next to the corpus; its rows co-partition with the corpus'
+    by fp)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+    powers = np.array(_roll_powers(k), np.uint64)
+    n_docs = ds.count()                 # parquet metadata, no scan
+    n_salt = 1 << max(0, (max(1, n_docs // rows_per_group) - 1)
+                      .bit_length())
+    mask = np.int64(n_salt - 1)
+
+    def fps(batch: pd.DataFrame) -> pa.Table:
+        t = _rolling_fp_batch(batch, k, sample_mod, powers)
+        bench_ids = set(
+            batch.loc[batch["source"] == benchmark_source, "doc_id"])
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_bench = np.fromiter((d in bench_ids for d in doc), bool,
+                               len(doc))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fp": t.column("fp"),
+            "is_bench": pa.array(is_bench.astype(np.int8)),
+            "gsalt": pc.cast(pc.bit_wise_and(t.column("fp"), mask),
+                             pa.int32()),
+        })
+
+    def hits(group: dict) -> dict:
+        fp = np.asarray(group["fp"], np.int64)
+        doc = np.asarray(group["doc_id"], np.int64)
+        bench = np.asarray(group["is_bench"], np.int8).astype(bool)
+        order = np.argsort(fp, kind="stable")
+        fp_s, doc_s, bench_s = fp[order], doc[order], bench[order]
+        _, starts, counts = np.unique(fp_s, return_index=True,
+                                      return_counts=True)
+        # a segment yields hits iff it holds >= 1 bench AND >= 1 corpus row
+        seg_ids = np.repeat(np.arange(len(starts)), counts)
+        has_bench = np.zeros(len(starts), bool)
+        np.logical_or.at(has_bench, seg_ids, bench_s)
+        take = has_bench[seg_ids] & ~bench_s
+        return {"doc_id": doc_s[take], "fp": fp_s[take]}
+
+    flagged = (ds.map_batches(fps, batch_format="pandas")
+               .groupby("gsalt").map_groups(hits, batch_format="numpy"))
+
+    # (doc_id, fp) rows are distinct already (per-doc unique fps), so the
+    # per-doc hit count is a single-key Count combiner — the fast
+    # aggregate path (two-key aggregates are the slow one, see
+    # dedup_cdc_chunks)
+    return (flagged.groupby("doc_id")
+            .aggregate(Count(alias_name="n_hits"))
+            .sort("doc_id")
+            .select_columns(["doc_id", "n_hits"]))
