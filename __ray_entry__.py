@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_doc_langs": lambda sf: ops.pivot_doc_langs(sf),
         "pack_sequences": lambda sf: ops.pack_sequences(sf),
         "decontaminate": lambda sf: ops.decontaminate(sf),
+        "gopher_quality": lambda sf: ops.gopher_quality(sf),
+        # iterative graph analytics over the derived supplier—part graph
+        # (integer-micros grid -> exact unrolled-CTE SQL oracle)
+        "pagerank": lambda sf: ops.pagerank(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -183,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "weak_supervision_for_ner_ray.pipelines.kg",
             fromlist=["detector_mentions"]).detector_mentions(
                 _turns_ds(sf), "legal_detector"),
+        # numeric-PII scrub over turns (regexp count + replace, md5 of the
+        # redacted text hash-checked against DuckDB regexp_replace)
+        "pii_redact": lambda sf: ops.pii_redact(_turns_ds(sf)),
         "kg_mentions": kg_mentions,
         "kg_crowd_mentions": kg_crowd_mentions,
         "kg_ner": kg_ner,
@@ -261,6 +268,48 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
     return ("WITH " + ",\n".join(_kmeans_ctes(k, iters))
             + "\nSELECT vec_id, cid AS cluster_id, d2 FROM afinal "
               "ORDER BY vec_id")
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer-micros PageRank over the undirected bipartite
+    supplier—part graph (DISTINCT lineitem pairs; parts offset by 2^32).
+    Pure int64 arithmetic — ``//`` on positive BIGINTs floor-divides
+    identically in DuckDB and numpy — so an ITERATIVE graph algorithm
+    hash-matches the engine exactly (the k-means oracle trick)."""
+    off = 1 << 32
+    ctes = [
+        "pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p "
+        "FROM lineitem)",
+        f"""und AS (
+          SELECT CAST(s AS BIGINT) AS src, CAST(p + {off} AS BIGINT) AS dst
+          FROM pairs
+          UNION ALL
+          SELECT CAST(p + {off} AS BIGINT) AS src, CAST(s AS BIGINT) AS dst
+          FROM pairs
+        )""",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg "
+        "FROM und GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT u.dst AS node,
+                 CAST(150000 + sum((r.r * 850000) // (d.dg * 1000000))
+                      AS BIGINT) AS r
+          FROM und u
+          JOIN r{i - 1} r ON u.src = r.node
+          JOIN deg d ON u.src = d.node
+          GROUP BY u.dst
+        )""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+        SELECT CASE WHEN node >= {off} THEN 'part' ELSE 'supplier' END
+                   AS kind,
+               CAST(CASE WHEN node >= {off} THEN node - {off}
+                         ELSE node END AS BIGINT) AS node_key,
+               r AS rank_micro
+        FROM r{iters}
+        ORDER BY kind, node_key"""
 
 
 def _ivf_query_sql(k: int = 8, iters: int = 3, n_queries: int = 8,
@@ -852,10 +901,73 @@ def oracle_sql() -> dict[str, str]:
 
     detector_sqls = _detector_sqls(turns_path)
 
+    # Gopher-style quality rules: thresholds injected from the engine's own
+    # constants so both sides share one source of truth; '\\s' is RE2
+    # ASCII whitespace = the engine's _ASCII_WS_RE class
+    from weak_supervision_for_ner_ray.pipelines import ops as _ops
+    gopher_sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), w AS (
+          SELECT doc_id, unnest(tk) AS w FROM toks
+        ), c AS (
+          SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+        ), s AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(c) AS BIGINT) AS top_cnt
+          FROM c GROUP BY doc_id
+        ), l AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(tk,
+                          x -> CAST(len(x) AS BIGINT))) AS BIGINT)
+                     AS total_chars
+          FROM toks WHERE len(tk) > 0
+        )
+        SELECT s.doc_id, s.n_words,
+               (l.total_chars * 1000000) // s.n_words
+                   AS mean_word_len_micro,
+               ((s.n_words - s.n_distinct) * 1000000) // s.n_words
+                   AS dup_word_frac_micro,
+               (s.top_cnt * 1000000) // s.n_words AS top_word_frac_micro,
+               CAST(CASE WHEN s.n_words >= {_ops._GOPHER_MIN_WORDS}
+                          AND s.n_words <= {_ops._GOPHER_MAX_WORDS}
+                          AND (l.total_chars * 1000000) // s.n_words
+                              BETWEEN {_ops._GOPHER_MEAN_LEN_LO}
+                                  AND {_ops._GOPHER_MEAN_LEN_HI}
+                          AND ((s.n_words - s.n_distinct) * 1000000)
+                              // s.n_words <= {_ops._GOPHER_DUP_FRAC_MAX}
+                          AND (s.top_cnt * 1000000) // s.n_words
+                              <= {_ops._GOPHER_TOP_FRAC_MAX}
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM s JOIN l ON s.doc_id = l.doc_id
+        ORDER BY s.doc_id
+    """
+
+    # numeric-PII scrub: the oracle verifies the REPLACED text via md5,
+    # not just the count — the shared pattern is RE2 ∩ Python-re safe
+    pii_sql = f"""
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(len(regexp_extract_all(text,
+                        '{_ops._PII_PATTERN}')) AS BIGINT) AS n_redactions,
+               md5(regexp_replace(text, '{_ops._PII_PATTERN}',
+                                  '{_ops._PII_TOKEN}', 'g'))
+                   AS redacted_md5
+        FROM read_parquet('{turns_path}')
+        WHERE regexp_matches(text, '{_ops._PII_PATTERN}')
+        ORDER BY conv_id, turn_idx
+    """
+
     return {
         "lang_id": lang_id_sql,
         "turns_restore_order": turns_sql,
         **detector_sqls,
+        "pii_redact": pii_sql,
+        "gopher_quality": gopher_sql,
+        "pagerank": _pagerank_sql(),
         "dedup_simhash": simhash_sql,
         "ann_lsh_buckets": ann_sql,
         "dedup_ngram_jaccard": ngram_sql,

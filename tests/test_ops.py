@@ -986,3 +986,103 @@ def test_decontaminate(ray_session, tmp_path):
     got = to_arrow(ops.decontaminate(str(d), sample_mod=sample_mod)) \
         .to_pydict()
     assert dict(zip(got["doc_id"], got["n_hits"])) == want
+
+
+def _brute_pagerank(pairs, iters=3):
+    """Pure-Python integer-micros PageRank over the undirected bipartite
+    graph (independent of the engine's kernels)."""
+    OFF = 1 << 32
+    und = {}
+    for s, p in set(pairs):
+        und.setdefault(s, set()).add(OFF + p)
+        und.setdefault(OFF + p, set()).add(s)
+    deg = {v: len(ns) for v, ns in und.items()}
+    r = {v: 1_000_000 for v in und}
+    for _ in range(iters):
+        nxt = {v: 150_000 for v in und}
+        for u, ns in und.items():
+            c = (r[u] * 850_000) // (deg[u] * 1_000_000)
+            for v in ns:
+                nxt[v] += c
+        r = nxt
+    return {("part" if v >= OFF else "supplier",
+             v - OFF if v >= OFF else v): rv for v, rv in r.items()}
+
+
+def test_pagerank(ray_session, tmp_path):
+    """Distributed integer PageRank == brute force on a skewed fixture
+    (one hub supplier in most parts, duplicate lineitem pairs that must
+    collapse to one edge, a disconnected pair)."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "pr"
+    d.mkdir()
+    pairs = []
+    for p in range(12):
+        pairs.append((1, p))            # hub supplier
+    pairs += [(2, 0), (2, 1), (3, 5), (4, 99), (4, 99), (1, 0), (1, 0)]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([s for s, _ in pairs], pa.int64()),
+        "l_partkey": pa.array([p for _, p in pairs], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    want = _brute_pagerank(pairs)
+    got = to_arrow(ops.pagerank(str(d), rows_per_group=3)).to_pydict()
+    got_map = dict(zip(zip(got["kind"], got["node_key"]),
+                       got["rank_micro"]))
+    assert got_map == want
+    # the hub supplier must outrank every leaf supplier
+    assert got_map[("supplier", 1)] > got_map[("supplier", 3)]
+
+
+def test_gopher_quality(ray_session, tmp_path):
+    """Each rule triggers on its constructed doc; stats are exact."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "gq"
+    d.mkdir()
+    good = " ".join(f"word{i:02d}" for i in range(30))
+    short = "only three words"                       # n_words < 20
+    dupy = " ".join(["spam"] * 15 + [f"w{i}" for i in range(15)])
+    toppy = " ".join(["the"] * 8 + [f"tok{i:03d}" for i in range(22)])
+    longw = " ".join("x" * 20 for _ in range(25))    # mean len 20 > 10
+    texts = [good, short, dupy, toppy, longw, "   "]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    got = to_arrow(ops.gopher_quality(str(d))).to_pydict()
+    rows = {i: (nw, ml, df, tf, k) for i, nw, ml, df, tf, k in zip(
+        got["doc_id"], got["n_words"], got["mean_word_len_micro"],
+        got["dup_word_frac_micro"], got["top_word_frac_micro"],
+        got["keep"])}
+    assert 5 not in rows                    # whitespace-only doc excluded
+    assert rows[0][4] == 1                  # good doc kept
+    assert rows[1] == (3, 4_666_666, 0, 333_333, 0)      # too short
+    assert rows[2][2] == ((30 - 16) * 1_000_000) // 30   # dup frac exact
+    assert rows[2][4] == 0                  # dup frac 466k ok, top 500k no
+    assert rows[3][3] == (8 * 1_000_000) // 30
+    assert rows[3][4] == 0                  # top-word rule fires
+    assert rows[4][1] == 20_000_000 and rows[4][4] == 0  # mean-len rule
+
+
+def test_pii_redact(ray_session):
+    """Counts and redacted-text md5 match a pure-Python re.sub."""
+    import hashlib
+    import re
+
+    texts = ["call 555 0199 now", "paid $1,234 on 2024-01-02",
+             "no digits here", "a 12 b 99", "acct 123456789 pin 0000"]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), pa.int32()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = to_arrow(ops.pii_redact(ds)).to_pydict()
+    pat = re.compile(ops._PII_PATTERN)
+    want = {}
+    for i, t in enumerate(texts):
+        n = len(pat.findall(t))
+        if n:
+            red = pat.sub(ops._PII_TOKEN, t)
+            want[f"c{i}"] = (n, hashlib.md5(red.encode()).hexdigest())
+    assert dict(zip(got["conv_id"],
+                    zip(got["n_redactions"], got["redacted_md5"]))) == want
+    assert "c2" not in got["conv_id"] and "c3" not in got["conv_id"]

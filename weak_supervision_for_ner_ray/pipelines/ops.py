@@ -3683,3 +3683,309 @@ def decontaminate(sf_dir: str, k: int = _ROLL_K, sample_mod: int = 16,
             .aggregate(Count(alias_name="n_hits"))
             .sort("doc_id")
             .select_columns(["doc_id", "n_hits"]))
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over derived entity graphs
+# ---------------------------------------------------------------------------
+
+# node encoding for the bipartite supplier—part graph: suppliers keep their
+# key, parts live at key + 2^32 (both id spaces are far below 2^32 at any
+# TPC-H sf this engine sees, and the offset also serves as the kind bit)
+_PR_PART_OFFSET = np.int64(1) << np.int64(32)
+
+
+def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
+    """PageRank over the undirected bipartite supplier—part graph derived
+    from ``lineitem`` (an edge per DISTINCT (l_suppkey, l_partkey) pair) —
+    the canonical iterative graph-analytics op a KG engine needs once the
+    graph is materialised (ranking canonical entities by connectivity).
+
+    Integer-micros grid (the k-means/IVF trick, so an *iterative*
+    algorithm has an exact unrolled-SQL oracle): r0 = 1e6 for every node;
+    each iteration r'(v) = 150000 + Σ_{u→v} (r(u)·850000) // (deg(u)·1e6)
+    with pure int64 arithmetic — fully deterministic, no float. The graph
+    is undirected so there are no dangling nodes and every node receives
+    ≥ 1 contribution.
+
+    Distributed shape (two bounded exchanges per iteration, the
+    dedup_clusters pattern with COARSE vectorised groups instead of
+    one-Python-call-per-node ``map_groups``):
+
+    1. per-block DISTINCT pair keys (combiner) → one coarse groupby
+       dedups globally and expands to both directions — the edge table is
+       materialised ONCE and re-unioned each iteration;
+    2. scatter pass: edges ∪ rank rows grouped by coarse(src); inside a
+       group a ``searchsorted`` join attaches (rank, deg) to each out-edge
+       and emits (dst, contrib) rows plus a per-node deg carrier;
+    3. gather pass: groupby coarse(dst) segment-sums contributions into
+       the new rank rows.
+
+    The exchange carries int64 quadruples only — never adjacency lists —
+    so a hot node (supplier in every order) costs rows proportional to
+    its degree spread across blocks, not a single giant group."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    n_rows = li.count()                       # parquet metadata, no scan
+    n_groups = int(max(32, n_rows // rows_per_group))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = (s << np.int64(33)) | p           # p < 2^33 at any sf here
+        uk = np.unique(k)
+        return pa.table({
+            "k": pa.array(uk, pa.int64()),
+            "gk": pa.array(_coarse_key(uk, n_groups), pa.int64()),
+        })
+
+    # rows: key (node the row is grouped by), dst (edge target, -1 other),
+    # deg (carrier/rank rows), r (rank or contribution), tag 0=edge 1=rank
+    # 2=contribution. gk = coarse(key) precomputed so each groupby is a
+    # plain column key.
+    def expand(g: dict) -> dict:
+        k = np.unique(np.asarray(g["k"], np.int64))
+        s = k >> np.int64(33)
+        p = (k & ((np.int64(1) << np.int64(33)) - np.int64(1))) \
+            + _PR_PART_OFFSET
+        src = np.concatenate([s, p])
+        dst = np.concatenate([p, s])
+        n = len(src)
+        return {"key": src, "dst": dst,
+                "deg": np.full(n, -1, np.int64),
+                "r": np.full(n, -1, np.int64),
+                "tag": np.zeros(n, np.int8),
+                "gk": _coarse_key(src, n_groups)}
+
+    edges = (li.map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("gk").map_groups(expand, batch_format="numpy")
+             .materialize())
+
+    # degree = rows per src over the globally-distinct undirected edges;
+    # per-block partial counts make the aggregate exchange carry
+    # (node, partial) rows, then seed rank rows r0 = 1e6
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t.column("key").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(src, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "dg": pa.array(cnt.astype(np.int64))})
+
+    def seed(t) -> pa.Table:
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if len(df) == 0 or "node" not in df.columns:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64()),
+                             "tag": pa.array([], pa.int8()),
+                             "gk": pa.array([], pa.int64())})
+        node = df["node"].to_numpy(np.int64)
+        dg = df["dg"].to_numpy(np.int64)
+        n = len(node)
+        return pa.table({
+            "key": pa.array(node, pa.int64()),
+            "dst": pa.array(np.full(n, -1, np.int64)),
+            "deg": pa.array(dg, pa.int64()),
+            "r": pa.array(np.full(n, 1_000_000, np.int64)),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "gk": pa.array(_coarse_key(node, n_groups), pa.int64()),
+        })
+
+    ranks = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("node").aggregate(Sum("dg", alias_name="dg"))
+             .map_batches(seed, batch_format="pyarrow")
+             .materialize())
+
+    def scatter(g: dict) -> dict:
+        tag = np.asarray(g["tag"], np.int8)
+        key = np.asarray(g["key"], np.int64)
+        dst = np.asarray(g["dst"], np.int64)
+        deg = np.asarray(g["deg"], np.int64)
+        r = np.asarray(g["r"], np.int64)
+        is_rank = tag == np.int8(1)
+        rk, rdeg, rr = key[is_rank], deg[is_rank], r[is_rank]
+        order = np.argsort(rk)
+        rk, rdeg, rr = rk[order], rdeg[order], rr[order]
+        ek, ed = key[~is_rank], dst[~is_rank]
+        idx = np.searchsorted(rk, ek)
+        contrib = (rr[idx] * np.int64(850_000)) \
+            // (rdeg[idx] * np.int64(1_000_000))
+        out_key = np.concatenate([ed, rk])
+        n_e, n_r = len(ed), len(rk)
+        return {"key": out_key,
+                "dst": np.full(n_e + n_r, -1, np.int64),
+                "deg": np.concatenate([np.full(n_e, -1, np.int64), rdeg]),
+                "r": np.concatenate([contrib, np.zeros(n_r, np.int64)]),
+                "tag": np.concatenate([np.full(n_e, 2, np.int8),
+                                       np.ones(n_r, np.int8)]),
+                "gk": _coarse_key(out_key, n_groups)}
+
+    def gather(g: dict) -> dict:
+        tag = np.asarray(g["tag"], np.int8)
+        key = np.asarray(g["key"], np.int64)
+        deg = np.asarray(g["deg"], np.int64)
+        r = np.asarray(g["r"], np.int64)
+        nodes, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(nodes), np.int64)
+        np.add.at(sums, inv[tag == np.int8(2)], r[tag == np.int8(2)])
+        degs = np.zeros(len(nodes), np.int64)
+        degs[inv[tag == np.int8(1)]] = deg[tag == np.int8(1)]
+        n = len(nodes)
+        return {"key": nodes,
+                "dst": np.full(n, -1, np.int64),
+                "deg": degs,
+                "r": np.int64(150_000) + sums,
+                "tag": np.ones(n, np.int8),
+                "gk": _coarse_key(nodes, n_groups)}
+
+    for _ in range(iters):
+        ranks = (edges.union(ranks)
+                 .groupby("gk").map_groups(scatter, batch_format="numpy")
+                 .groupby("gk").map_groups(gather, batch_format="numpy")
+                 .materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = t.column("key").to_numpy(zero_copy_only=False)
+        is_part = node >= _PR_PART_OFFSET
+        kind = np.where(is_part, "part", "supplier")
+        nkey = np.where(is_part, node - _PR_PART_OFFSET, node)
+        return pa.table({
+            "kind": pa.array(kind.tolist(), pa.string()),
+            "node_key": pa.array(nkey, pa.int64()),
+            "rank_micro": t.column("r"),
+        })
+
+    return (ranks.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["kind", "node_key"]))
+
+
+# ---------------------------------------------------------------------------
+# quality-rule filtering (Gopher-style repetition/shape rules)
+# ---------------------------------------------------------------------------
+
+# thresholds in integer micros — chosen so the synthetic corpus splits
+# non-trivially (word-salad docs have heavy duplicate-word mass). The rule
+# SHAPE is the published Gopher one: word-count bounds, mean-word-length
+# band, duplicate-word and top-word repetition caps.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MEAN_LEN_LO = 3_000_000       # 3 chars
+_GOPHER_MEAN_LEN_HI = 10_000_000      # 10 chars
+_GOPHER_DUP_FRAC_MAX = 600_000        # ≤60% duplicate word mass
+_GOPHER_TOP_FRAC_MAX = 200_000        # top word ≤20% of the doc
+
+
+def gopher_quality(sf_dir: str):
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 shape):
+    per-document word statistics + a boolean keep flag, all on the
+    integer-micros grid so the DuckDB oracle hash-matches exactly.
+
+    Emitted per doc (docs with ≥ 1 ASCII-whitespace token):
+    ``n_words``, ``mean_word_len_micro`` = (Σ len(w) · 1e6) // n_words,
+    ``dup_word_frac_micro`` = ((n_words − n_distinct) · 1e6) // n_words,
+    ``top_word_frac_micro`` = (max word count · 1e6) // n_words, and
+    ``keep`` (1 iff every rule passes).
+
+    Fully vectorised per batch: one flatten of the batch's tokens,
+    ``pd.factorize`` token codes, a single ``np.unique`` over
+    (doc, code) composite keys for the per-doc distinct/top counts —
+    no per-document Python loop beyond the tokenising split itself.
+    Embarrassingly parallel (no shuffle at all): the filter each 100 TB
+    curation pass runs first, so it must stream at read speed."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        tok_lists = [_ws_tokens(t) if isinstance(t, str) else []
+                     for t in batch["text"]]
+        n_words = np.array([len(t) for t in tok_lists], np.int64)
+        mask = n_words > 0
+        doc_ids = batch["doc_id"].to_numpy(np.int64)[mask]
+        tok_lists = [t for t in tok_lists if t]
+        nw = n_words[mask]
+        n = len(tok_lists)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "mean_word_len_micro": pa.array([], pa.int64()),
+                "dup_word_frac_micro": pa.array([], pa.int64()),
+                "top_word_frac_micro": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            })
+        flat = np.asarray([w for toks in tok_lists for w in toks], object)
+        doc_idx = np.repeat(np.arange(n), nw)
+        lens = np.char.str_len(flat.astype(str)).astype(np.int64)
+        total_chars = np.bincount(doc_idx, weights=lens,
+                                  minlength=n).astype(np.int64)
+        codes, _ = pd.factorize(flat)
+        comp = doc_idx.astype(np.int64) * np.int64(len(flat) + 1) + codes
+        uniq_comp, comp_counts = np.unique(comp, return_counts=True)
+        uniq_doc = (uniq_comp // np.int64(len(flat) + 1)).astype(np.int64)
+        n_distinct = np.bincount(uniq_doc, minlength=n).astype(np.int64)
+        top_cnt = np.zeros(n, np.int64)
+        np.maximum.at(top_cnt, uniq_doc, comp_counts.astype(np.int64))
+        mean_len = (total_chars * np.int64(1_000_000)) // nw
+        dup_frac = ((nw - n_distinct) * np.int64(1_000_000)) // nw
+        top_frac = (top_cnt * np.int64(1_000_000)) // nw
+        keep = ((nw >= _GOPHER_MIN_WORDS) & (nw <= _GOPHER_MAX_WORDS)
+                & (mean_len >= _GOPHER_MEAN_LEN_LO)
+                & (mean_len <= _GOPHER_MEAN_LEN_HI)
+                & (dup_frac <= _GOPHER_DUP_FRAC_MAX)
+                & (top_frac <= _GOPHER_TOP_FRAC_MAX)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "mean_word_len_micro": pa.array(mean_len, pa.int64()),
+            "dup_word_frac_micro": pa.array(dup_frac, pa.int64()),
+            "top_word_frac_micro": pa.array(top_frac, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII / numeric-token scrubbing over transcripts
+# ---------------------------------------------------------------------------
+
+# digit runs of >= 3 — the account/phone/amount scrub shape; RE2 ∩ Python
+# ``re`` safe (no lookarounds, ASCII class) so the engine and the DuckDB
+# oracle evaluate it identically
+_PII_PATTERN = "[0-9][0-9][0-9]+"
+_PII_TOKEN = "<NUM>"
+
+
+def pii_redact(turns_ds):
+    """Numeric-PII scrubbing over transcript turns: replace every run of
+    ≥ 3 digits with ``<NUM>`` (the standard pre-training scrub for
+    account numbers / phone numbers / amounts) and report, per turn that
+    had at least one hit, the redaction count and the md5 of the redacted
+    text (so the oracle verifies the REPLACEMENT, not just the count).
+
+    Entirely Arrow-native compute — ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` over zero-copy batches, no Python
+    string loop — and embarrassingly parallel (no shuffle): at 100 TB
+    this runs at read bandwidth as a pure map stage."""
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_red = pc.count_substring_regex(text, _PII_PATTERN)
+        hit = pc.greater(n_red, 0)
+        sel = t.filter(hit)
+        red = pc.replace_substring_regex(sel.column("text"), _PII_PATTERN,
+                                         _PII_TOKEN)
+        md5 = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in red.to_pylist()]
+        return pa.table({
+            "conv_id": sel.column("conv_id"),
+            "turn_idx": pc.cast(sel.column("turn_idx"), pa.int64()),
+            "n_redactions": pc.cast(n_red.filter(hit), pa.int64()),
+            "redacted_md5": pa.array(md5, pa.string()),
+        })
+
+    return (turns_ds.map_batches(f, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .sort(["conv_id", "turn_idx"]))
