@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics over the derived supplier—part graph
         # (integer-micros grid -> exact unrolled-CTE SQL oracle)
         "pagerank": lambda sf: ops.pagerank(sf),
+        "degree_distribution": lambda sf: ops.degree_distribution(sf),
+        "semi_join_bloom": lambda sf: ops.semi_join_bloom(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -270,25 +272,43 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
               "ORDER BY vec_id")
 
 
+_PR_OFF = 1 << 32
+
+# shared derived-graph CTEs: DISTINCT supplier—part pairs from lineitem,
+# undirected edges (parts offset by 2^32), per-node degree
+_GRAPH_CTES = [
+    "pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p "
+    "FROM lineitem)",
+    f"""und AS (
+      SELECT CAST(s AS BIGINT) AS src, CAST(p + {_PR_OFF} AS BIGINT) AS dst
+      FROM pairs
+      UNION ALL
+      SELECT CAST(p + {_PR_OFF} AS BIGINT) AS src, CAST(s AS BIGINT) AS dst
+      FROM pairs
+    )""",
+    "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg "
+    "FROM und GROUP BY src)",
+]
+
+
+def _degree_sql() -> str:
+    joined = ",\n".join(_GRAPH_CTES)
+    return f"""WITH {joined}
+        SELECT CASE WHEN node >= {_PR_OFF} THEN 'part' ELSE 'supplier' END
+                   AS kind,
+               dg AS deg, CAST(count(*) AS BIGINT) AS n
+        FROM deg GROUP BY kind, dg
+        ORDER BY kind, deg"""
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Unrolled integer-micros PageRank over the undirected bipartite
     supplier—part graph (DISTINCT lineitem pairs; parts offset by 2^32).
     Pure int64 arithmetic — ``//`` on positive BIGINTs floor-divides
     identically in DuckDB and numpy — so an ITERATIVE graph algorithm
     hash-matches the engine exactly (the k-means oracle trick)."""
-    off = 1 << 32
-    ctes = [
-        "pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p "
-        "FROM lineitem)",
-        f"""und AS (
-          SELECT CAST(s AS BIGINT) AS src, CAST(p + {off} AS BIGINT) AS dst
-          FROM pairs
-          UNION ALL
-          SELECT CAST(p + {off} AS BIGINT) AS src, CAST(s AS BIGINT) AS dst
-          FROM pairs
-        )""",
-        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg "
-        "FROM und GROUP BY src)",
+    off = _PR_OFF
+    ctes = _GRAPH_CTES + [
         "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg)",
     ]
     for i in range(1, iters + 1):
@@ -968,6 +988,19 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "pagerank": _pagerank_sql(),
+        "degree_distribution": _degree_sql(),
+        # the bloom is only a prefilter — the verified output is the plain
+        # semi-join, so the oracle is the plain semi-join
+        "semi_join_bloom": """
+            SELECT l.l_orderkey,
+                   CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM lineitem l
+            WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT')
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
         "dedup_simhash": simhash_sql,
         "ann_lsh_buckets": ann_sql,
         "dedup_ngram_jaccard": ngram_sql,

@@ -132,6 +132,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("rollup_lang_source", lambda: ops.rollup_lang_source(sf_dir))
     timed("pack_sequences", lambda: ops.pack_sequences(sf_dir))
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
+    timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
+    timed("pagerank", lambda: ops.pagerank(sf_dir))
+    timed("pii_redact",
+          lambda: ops.pii_redact(rd.read_parquet(turns_path)))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

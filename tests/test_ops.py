@@ -1086,3 +1086,61 @@ def test_pii_redact(ray_session):
     assert dict(zip(got["conv_id"],
                     zip(got["n_redactions"], got["redacted_md5"]))) == want
     assert "c2" not in got["conv_id"] and "c3" not in got["conv_id"]
+
+
+def test_degree_distribution(ray_session, tmp_path):
+    """Histogram matches the brute-force undirected degree counts."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "dd"
+    d.mkdir()
+    pairs = [(1, p) for p in range(5)] + [(2, 0), (3, 0), (1, 0)]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([s for s, _ in pairs], pa.int64()),
+        "l_partkey": pa.array([p for _, p in pairs], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    # degrees: supplier 1 -> 5, suppliers 2,3 -> 1; part 0 -> 3,
+    # parts 1..4 -> 1
+    got = to_arrow(ops.degree_distribution(str(d), rows_per_group=2)) \
+        .to_pydict()
+    rows = dict(zip(zip(got["kind"], got["deg"]), got["n"]))
+    assert rows == {("part", 1): 4, ("part", 3): 1,
+                    ("supplier", 1): 2, ("supplier", 5): 1}
+
+
+def test_semi_join_bloom(ray_session, tmp_path):
+    """Bloom-prefiltered semi-join output == plain semi-join brute force
+    (the bloom only sizes the shuffle; verification removes any false
+    positives)."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "sjb"
+    d.mkdir()
+    n_orders = 200
+    prio = ["1-URGENT" if i % 7 == 0 else "3-MEDIUM"
+            for i in range(n_orders)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_orderpriority": pa.array(prio, pa.string()),
+    }), str(d / "orders.parquet"))
+    li = [(ok, ln, float(ok) + ln / 10.0)
+          for ok in range(n_orders) for ln in range(1, 4)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([x[0] for x in li], pa.int64()),
+        "l_linenumber": pa.array([x[1] for x in li], pa.int64()),
+        "l_extendedprice": pa.array([x[2] for x in li], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    want = sorted((ok, ln, round(p * 100))
+                  for ok, ln, p in li if prio[ok] == "1-URGENT")
+    got = to_arrow(ops.semi_join_bloom(str(d), rows_per_group=50)) \
+        .to_pydict()
+    assert list(zip(got["l_orderkey"], got["l_linenumber"],
+                    got["price_cents"])) == want
+
+
+def test_bloom_positions_no_false_negatives(ray_session):
+    """Every inserted key must hit its own bits (bloom soundness)."""
+    keys = np.arange(0, 100000, 37, dtype=np.int64)
+    pos = ops._bloom_positions(keys)
+    assert pos.shape == (len(keys), ops._BLOOM_HASHES)
+    assert pos.min() >= 0 and pos.max() < ops._BLOOM_BITS
+    # deterministic across calls
+    assert (ops._bloom_positions(keys) == pos).all()

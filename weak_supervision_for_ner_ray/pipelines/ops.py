@@ -3695,35 +3695,13 @@ def decontaminate(sf_dir: str, k: int = _ROLL_K, sample_mod: int = 16,
 _PR_PART_OFFSET = np.int64(1) << np.int64(32)
 
 
-def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
-    """PageRank over the undirected bipartite supplier—part graph derived
-    from ``lineitem`` (an edge per DISTINCT (l_suppkey, l_partkey) pair) —
-    the canonical iterative graph-analytics op a KG engine needs once the
-    graph is materialised (ranking canonical entities by connectivity).
-
-    Integer-micros grid (the k-means/IVF trick, so an *iterative*
-    algorithm has an exact unrolled-SQL oracle): r0 = 1e6 for every node;
-    each iteration r'(v) = 150000 + Σ_{u→v} (r(u)·850000) // (deg(u)·1e6)
-    with pure int64 arithmetic — fully deterministic, no float. The graph
-    is undirected so there are no dangling nodes and every node receives
-    ≥ 1 contribution.
-
-    Distributed shape (two bounded exchanges per iteration, the
-    dedup_clusters pattern with COARSE vectorised groups instead of
-    one-Python-call-per-node ``map_groups``):
-
-    1. per-block DISTINCT pair keys (combiner) → one coarse groupby
-       dedups globally and expands to both directions — the edge table is
-       materialised ONCE and re-unioned each iteration;
-    2. scatter pass: edges ∪ rank rows grouped by coarse(src); inside a
-       group a ``searchsorted`` join attaches (rank, deg) to each out-edge
-       and emits (dst, contrib) rows plus a per-node deg carrier;
-    3. gather pass: groupby coarse(dst) segment-sums contributions into
-       the new rank rows.
-
-    The exchange carries int64 quadruples only — never adjacency lists —
-    so a hot node (supplier in every order) costs rows proportional to
-    its degree spread across blocks, not a single giant group."""
+def _bipartite_edges(sf_dir: str, rows_per_group: int):
+    """Materialised globally-DISTINCT undirected supplier—part edges from
+    ``lineitem``, in the shared iteration row schema (key, dst, deg, r,
+    tag, gk): per-block distinct pair keys (combiner) → ONE coarse
+    groupby dedups globally and expands both directions.  Returns
+    (edges dataset, n_groups) — n_groups keys every later exchange of
+    the same job so co-grouping holds."""
     li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
     n_rows = li.count()                       # parquet metadata, no scan
     n_groups = int(max(32, n_rows // rows_per_group))
@@ -3762,6 +3740,39 @@ def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
                             zero_copy_batch=True)
              .groupby("gk").map_groups(expand, batch_format="numpy")
              .materialize())
+    return edges, n_groups
+
+
+def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
+    """PageRank over the undirected bipartite supplier—part graph derived
+    from ``lineitem`` (an edge per DISTINCT (l_suppkey, l_partkey) pair) —
+    the canonical iterative graph-analytics op a KG engine needs once the
+    graph is materialised (ranking canonical entities by connectivity).
+
+    Integer-micros grid (the k-means/IVF trick, so an *iterative*
+    algorithm has an exact unrolled-SQL oracle): r0 = 1e6 for every node;
+    each iteration r'(v) = 150000 + Σ_{u→v} (r(u)·850000) // (deg(u)·1e6)
+    with pure int64 arithmetic — fully deterministic, no float. The graph
+    is undirected so there are no dangling nodes and every node receives
+    ≥ 1 contribution.
+
+    Distributed shape (two bounded exchanges per iteration, the
+    dedup_clusters pattern with COARSE vectorised groups instead of
+    one-Python-call-per-node ``map_groups``):
+
+    1. per-block DISTINCT pair keys (combiner) → one coarse groupby
+       dedups globally and expands to both directions — the edge table is
+       materialised ONCE and re-unioned each iteration;
+    2. scatter pass: edges ∪ rank rows grouped by coarse(src); inside a
+       group a ``searchsorted`` join attaches (rank, deg) to each out-edge
+       and emits (dst, contrib) rows plus a per-node deg carrier;
+    3. gather pass: groupby coarse(dst) segment-sums contributions into
+       the new rank rows.
+
+    The exchange carries int64 quadruples only — never adjacency lists —
+    so a hot node (supplier in every order) costs rows proportional to
+    its degree spread across blocks, not a single giant group."""
+    edges, n_groups = _bipartite_edges(sf_dir, rows_per_group)
 
     # degree = rows per src over the globally-distinct undirected edges;
     # per-block partial counts make the aggregate exchange carry
@@ -3989,3 +4000,185 @@ def pii_redact(turns_ds):
     return (turns_ds.map_batches(f, batch_format="pyarrow",
                                  zero_copy_batch=True)
             .sort(["conv_id", "turn_idx"]))
+
+
+def degree_distribution(sf_dir: str, rows_per_group: int = 5000):
+    """Degree histogram of the derived supplier—part graph, split by node
+    kind — the first sanity read of any materialised graph (hub
+    detection, skew planning for the iterative ops).  Two combiner-shaped
+    exchanges over int64 pairs: per-block (node, partial) counts →
+    ``groupby(node).sum`` = degrees, then per-block (kind, deg, partial)
+    counts → a tiny ``groupby`` over the histogram cells (bounded by the
+    distinct-degree domain, not node count)."""
+    edges, _ = _bipartite_edges(sf_dir, rows_per_group)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t.column("key").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(src, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "dg": pa.array(cnt.astype(np.int64))})
+
+    degs = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("node").aggregate(Sum("dg", alias_name="dg")))
+
+    def hist_partial(t) -> pa.Table:
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        empty = pa.table({"kind": pa.array([], pa.string()),
+                          "deg": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(df) == 0 or "node" not in df.columns:
+            return empty
+        node = df["node"].to_numpy(np.int64)
+        dg = df["dg"].to_numpy(np.int64)
+        is_part = node >= _PR_PART_OFFSET
+        cells, counts = np.unique(np.stack([is_part.astype(np.int64), dg],
+                                           axis=1),
+                                  axis=0, return_counts=True)
+        kind = np.where(cells[:, 0] == 1, "part", "supplier")
+        return pa.table({
+            "kind": pa.array(kind.tolist(), pa.string()),
+            "deg": pa.array(cells[:, 1], pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return (degs.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["kind", "deg"]).aggregate(Sum("n", alias_name="n"))
+            .sort(["kind", "deg"])
+            .select_columns(["kind", "deg", "n"]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (broadcast-prefilter pattern for big ⋉ small)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20                 # 128 KiB — broadcast once per job
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, k) bit positions per key — double hashing from two independent
+    fib-mix streams (deterministic, C int64 wrap semantics)."""
+    with np.errstate(over="ignore"):
+        h1 = keys.astype(np.int64) * _COARSE_MULT
+        h2 = (keys.astype(np.int64) + np.int64(0x5851F42D4C957F2D)) \
+            * np.int64(0x2545F4914F6CDD1D)
+    pos = (h1[:, None] + np.arange(_BLOOM_HASHES, dtype=np.int64)[None, :]
+           * h2[:, None])
+    return np.abs(pos >> np.int64(13)) % np.int64(_BLOOM_BITS)
+
+
+def semi_join_bloom(sf_dir: str, priority: str = "1-URGENT",
+                    rows_per_group: int = 5000):
+    """Semi-join of the BIG table against a filtered small one (lineitems
+    belonging to urgent orders) via the 100 TB broadcast-prefilter
+    pattern: when the right-side key set is too large to broadcast raw,
+    broadcast an m-bit Bloom filter instead and let every lineitem block
+    drop the (vast) non-matching majority locally; only the bloom-passing
+    candidates enter the exact verification exchange, where right-side
+    DISTINCT keys (the anti_join combiner) remove the false positives —
+    so the output is EXACT (the bloom only sizes the shuffle).
+
+    Bloom build is a mergeable sketch: per-block partial bit arrays are
+    emitted as sparse non-zero (word_idx, word) rows, OR-merged in one
+    coarse grouped pass (bounded by m/64 words, not row count), and the
+    driver assembles the m-bit array once (128 KiB) for ``ray.put``."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+    n_words = _BLOOM_BITS // 64
+    word_groups = np.int64(64)
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t.column("o_orderpriority"), priority)) \
+            .column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = np.zeros(n_words, np.uint64)
+        if len(keys):
+            pos = _bloom_positions(keys).ravel()
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos.astype(np.uint64)
+                                              & np.uint64(63)))
+        nz = np.nonzero(bits)[0].astype(np.int64)
+        return pa.table({
+            "w": pa.array(nz, pa.int64()),
+            # int64 view: uint64 does not survive Ray block conversions
+            "bits": pa.array(bits[nz].view(np.int64), pa.int64()),
+            "gw": pa.array(nz % word_groups, pa.int64()),
+        })
+
+    def or_merge(g: dict) -> dict:
+        w = np.asarray(g["w"], np.int64)
+        b = np.asarray(g["bits"], np.int64).view(np.uint64)
+        order = np.argsort(w, kind="stable")
+        w, b = w[order], b[order]
+        uw, starts = np.unique(w, return_index=True)
+        merged = np.bitwise_or.reduceat(b, starts)
+        return {"w": uw, "bits": merged.view(np.int64)}
+
+    sparse = _to_arrow(orders.map_batches(bloom_partial,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                       .groupby("gw").map_groups(or_merge,
+                                                 batch_format="numpy"))
+    bloom = np.zeros(n_words, np.uint64)
+    bloom[sparse.column("w").to_numpy(zero_copy_only=False)] = \
+        sparse.column("bits").to_numpy(zero_copy_only=False) \
+        .view(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    n_li = li.count()                       # parquet metadata, no scan
+    n_groups = np.int64(max(32, n_li // rows_per_group))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = _bloom_positions(keys)
+        hit = (bl[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))
+               & np.uint64(1)).astype(bool).all(axis=1)
+        sel = t.filter(pa.array(hit))
+        key = sel.column("l_orderkey")
+        return pa.table({
+            "k": key,
+            "ln": pc.cast(sel.column("l_linenumber"), pa.int64()),
+            "price_cents": _cents(sel.column("l_extendedprice")),
+            "tag": pa.array(np.zeros(sel.num_rows, np.int8)),
+            "gk": pc.cast(_pmod(key, n_groups), pa.int32()),
+        })
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.filter(pc.equal(
+            t.column("o_orderpriority"), priority)).column("o_orderkey"))
+        n = len(keys)
+        return pa.table({
+            "k": keys,
+            "ln": pa.nulls(n, pa.int64()),
+            "price_cents": pa.nulls(n, pa.int64()),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "gk": pc.cast(_pmod(keys, n_groups), pa.int32()),
+        })
+
+    unioned = (li.map_batches(prefilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(orders.map_batches(right_keys,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        member = g.loc[g["tag"] == 1, "k"]
+        keep = (g["tag"] == 0) & g["k"].isin(member)
+        out = g.loc[keep, ["k", "ln", "price_cents"]]
+        # the right-side null rows degrade the int64 columns to float64
+        # in the pandas group frame — restore after they are filtered out
+        out = out.astype({"ln": "int64", "price_cents": "int64"})
+        return out.rename(columns={"k": "l_orderkey",
+                                   "ln": "l_linenumber"})
+
+    return (unioned.groupby("gk").map_groups(verify,
+                                             batch_format="pandas")
+            .sort(["l_orderkey", "l_linenumber"])
+            .select_columns(["l_orderkey", "l_linenumber",
+                             "price_cents"]))
