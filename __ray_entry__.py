@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: ops.pack_sequences(sf),
         "decontaminate": lambda sf: ops.decontaminate(sf),
         "gopher_quality": lambda sf: ops.gopher_quality(sf),
+        "unigram_lm_score": lambda sf: ops.unigram_lm_score(sf),
         # iterative graph analytics over the derived supplier—part graph
         # (integer-micros grid -> exact unrolled-CTE SQL oracle)
         "pagerank": lambda sf: ops.pagerank(sf),
@@ -987,6 +988,29 @@ def oracle_sql() -> dict[str, str]:
         **detector_sqls,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
+        # corpus-unigram-LM scoring: integer mean inverse probability
+        # (see ops.unigram_lm_score — float-log-free so it hash-matches)
+        "unigram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(tk) AS w FROM toks
+            ), cnt AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w
+            ), n AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM w
+            ), per AS (
+              SELECT w.doc_id, ((n.n * 1000000) // c.c) AS ip
+              FROM w JOIN cnt c ON w.w = c.w CROSS JOIN n
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(ip) // count(*) AS BIGINT) AS lm_score_micro
+            FROM per GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         "pagerank": _pagerank_sql(),
         "degree_distribution": _degree_sql(),
         # the bloom is only a prefilter — the verified output is the plain

@@ -133,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pack_sequences", lambda: ops.pack_sequences(sf_dir))
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
+    timed("unigram_lm_score", lambda: ops.unigram_lm_score(sf_dir))
     timed("pagerank", lambda: ops.pagerank(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))

@@ -1144,3 +1144,34 @@ def test_bloom_positions_no_false_negatives(ray_session):
     assert pos.min() >= 0 and pos.max() < ops._BLOOM_BITS
     # deterministic across calls
     assert (ops._bloom_positions(keys) == pos).all()
+
+
+def test_unigram_lm_score(ray_session, tmp_path):
+    """Integer mean-inverse-probability score matches brute force; rare
+    tokens score higher than common ones."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    d = tmp_path / "lm"
+    d.mkdir()
+    texts = ["the the the common words here",
+             "zyxqv flurble quizzical rarities",
+             "the common words", "   "]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    flat = [w for t in texts for w in ops._ws_tokens(t)]
+    cnt, N = Counter(flat), len(flat)
+    want = {}
+    for i, t in enumerate(texts):
+        ws = ops._ws_tokens(t)
+        if ws:
+            want[i] = (len(ws),
+                       sum((N * 1_000_000) // cnt[w] for w in ws)
+                       // len(ws))
+    got = to_arrow(ops.unigram_lm_score(str(d))).to_pydict()
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_tokens"], got["lm_score_micro"]))) == want
+    assert 3 not in got["doc_id"]           # tokenless doc excluded
+    scores = dict(zip(got["doc_id"], got["lm_score_micro"]))
+    assert scores[1] > scores[0]            # rare-token doc scores higher

@@ -3449,6 +3449,30 @@ def dataset_mix(sf_dir: str, budget: int = 120,
             .sort(["source", "rnk"]))
 
 
+def _tf_rows(batch: pd.DataFrame) -> pa.Table:
+    """Exact (doc_id, token, tf) rows per block — a document lives in one
+    row, so its term frequencies are complete within its block (the
+    combiner property the tf/df and LM-scoring ops rely on)."""
+    ids, toks = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        if not isinstance(text, str):
+            continue
+        ws = _ws_tokens(text)
+        ids.extend([doc_id] * len(ws))
+        toks.extend(ws)
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                       "token": toks})
+    g = df.groupby(["doc_id", "token"], as_index=False,
+                   sort=False).size()
+    return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                     "token": pa.array(g["token"], pa.string()),
+                     "tf": pa.array(g["size"].astype("int64"))})
+
+
 def tfidf_topk(sf_dir: str, k: int = 3):
     """Per-document top-``k`` distinctive terms by an integer tf/df score
     (``tf · 1e6 // df`` — floor-exact, so the SQL oracle hash-matches; the
@@ -3462,28 +3486,7 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     join key, not a ``map_groups`` group, so token skew never builds a
     giant group."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def tf_rows(batch: pd.DataFrame) -> pa.Table:
-        ids, toks = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            if not isinstance(text, str):
-                continue
-            ws = _ws_tokens(text)
-            ids.extend([doc_id] * len(ws))
-            toks.extend(ws)
-        if not ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "token": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64())})
-        df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
-                           "token": toks})
-        g = df.groupby(["doc_id", "token"], as_index=False,
-                       sort=False).size()
-        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                         "token": pa.array(g["token"], pa.string()),
-                         "tf": pa.array(g["size"].astype("int64"))})
-
-    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    tf = ds.map_batches(_tf_rows, batch_format="pandas")
     # (doc_id, token) rows are distinct, so Count == document frequency
     # Count-aggregate partitions with no rows emit SCHEMA-LESS empty
     # blocks, and a schema-less block on the join's build side makes the
@@ -4000,6 +4003,65 @@ def pii_redact(turns_ds):
     return (turns_ds.map_batches(f, batch_format="pyarrow",
                                  zero_copy_batch=True)
             .sort(["conv_id", "turn_idx"]))
+
+
+def unigram_lm_score(sf_dir: str):
+    """Corpus-unigram-LM document scoring — the CCNet/perplexity-filter
+    shape (score each doc by how surprising its tokens are under a
+    language model fit on the corpus itself; head/tail bucketing is the
+    caller's thresholding).  Exactness trick: instead of float
+    log-probabilities the score is the integer mean inverse probability,
+    ``lm_score_micro = (Σ_occ tf·((N·1e6) // cnt(tok))) // n_tokens``
+    with N = total corpus token occurrences — order-independent int64
+    arithmetic, so the DuckDB oracle hash-matches.  (int64-safe while
+    N ≤ ~9.2e12 occurrences; a larger corpus rescales the 1e6 constant.)
+
+    Scale shape (the tf/df pattern): per-block exact (doc, token, tf)
+    rows, a Sum-combiner builds the (token, cnt) LM table — the exchange
+    is vocabulary-bounded, not occurrence-bounded — ONE ``Dataset.join``
+    attaches cnt (hot tokens are a join key, never a group), and the
+    per-doc reduction is a two-Sum aggregate."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(_tf_rows, batch_format="pandas")
+    cnt = tf.groupby("token").aggregate(Sum("tf", alias_name="cnt")) \
+        .repartition(_join_partitions()).materialize()
+    n_total = int(cnt.sum("cnt"))
+    joined = tf.join(cnt, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("token",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        f = t.column("tf").to_numpy(zero_copy_only=False)
+        ip = (np.int64(n_total) * np.int64(1_000_000)) // c
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(f, pa.int64()),
+            "ipsum": pa.array(f * ip, pa.int64()),
+        })
+
+    agg = (joined.map_batches(contrib, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("doc_id")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("ipsum", alias_name="ipsum")))
+
+    def final(t) -> pa.Table:
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "lm_score_micro": pa.array([], pa.int64())})
+        nt = df["n_tokens"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "lm_score_micro": pa.array(
+                df["ipsum"].to_numpy(np.int64) // nt, pa.int64()),
+        })
+
+    return (agg.map_batches(final, batch_format="pyarrow")
+            .sort("doc_id"))
 
 
 def degree_distribution(sf_dir: str, rows_per_group: int = 5000):
