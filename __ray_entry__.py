@@ -131,7 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (integer-micros grid -> exact unrolled-CTE SQL oracle)
         "pagerank": lambda sf: ops.pagerank(sf),
         "degree_distribution": lambda sf: ops.degree_distribution(sf),
+        "butterfly_count": lambda sf: ops.butterfly_count(sf),
         "semi_join_bloom": lambda sf: ops.semi_join_bloom(sf),
+        "running_total": lambda sf: ops.running_total(sf),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_query": lambda sf: ops.ivfpq_query(sf),
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_clusters": lambda sf: ops.dedup_clusters(sf),
+        "dedup_keep_best": lambda sf: ops.dedup_keep_best(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
         "lang_id": ops.lang_id,
@@ -906,6 +909,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY v ORDER BY doc_id
     """
 
+    # cluster resolution: same components, then keep the longest doc per
+    # cluster (ties -> lowest doc_id) via the engine's packed priority key
+    # (n_chars << 33) | (2^33-1 - doc_id): max == longest-then-lowest-id
+    keep_best_sql = f"""
+        WITH RECURSIVE pairs AS ({minhash_sql}),
+        nodes AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+        edges2 AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+        reach (v, r) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT rc.v, e.b FROM reach rc JOIN edges2 e ON e.a = rc.r
+        ),
+        cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach
+               GROUP BY v)
+        SELECT cl.cluster_id,
+               arg_max(d.doc_id,
+                       d.n_chars * 8589934592 + (8589934591 - d.doc_id))
+                   AS keep_doc_id,
+               CAST(max(d.n_chars) AS BIGINT) AS kept_n_chars,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM cl JOIN documents d USING (doc_id)
+        GROUP BY cl.cluster_id ORDER BY cl.cluster_id
+    """
+
     # embedding-cosine near-dup: same integer-micros rounding as the knn
     # oracle; the >= filter compares the SAME integers on both sides
     emb_dedup_sql = """
@@ -1013,6 +1041,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "degree_distribution": _degree_sql(),
+        # butterfly (4-cycle) counting over the same bipartite graph:
+        # distinct-edge self-join on the part key = the wedge pass
+        "butterfly_count": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+            w AS (
+              SELECT a.s AS s1, b.s AS s2,
+                     CAST(count(*) AS BIGINT) AS shared_parts
+              FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+              GROUP BY a.s, b.s HAVING count(*) >= 2
+            )
+            SELECT s1, s2, shared_parts,
+                   shared_parts * (shared_parts - 1) // 2 AS butterflies
+            FROM w ORDER BY s1, s2
+        """,
+        # ordered per-key window scan in exact integer cents
+        "running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) AS run_cents
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
         # the bloom is only a prefilter — the verified output is the plain
         # semi-join, so the oracle is the plain semi-join
         "semi_join_bloom": """
@@ -1030,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_sql,
         "dedup_minhash": minhash_sql,
         "dedup_clusters": clusters_sql,
+        "dedup_keep_best": keep_best_sql,
         "dedup_embedding": emb_dedup_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
         "ivf_query": _ivf_query_sql(),

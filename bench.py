@@ -135,6 +135,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
     timed("unigram_lm_score", lambda: ops.unigram_lm_score(sf_dir))
     timed("pagerank", lambda: ops.pagerank(sf_dir))
+    timed("butterfly_count", lambda: ops.butterfly_count(sf_dir))
+    timed("running_total", lambda: ops.running_total(sf_dir))
+    timed("dedup_keep_best", lambda: ops.dedup_keep_best(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
 

@@ -1175,3 +1175,106 @@ def test_unigram_lm_score(ray_session, tmp_path):
     assert 3 not in got["doc_id"]           # tokenless doc excluded
     scores = dict(zip(got["doc_id"], got["lm_score_micro"]))
     assert scores[1] > scores[0]            # rare-token doc scores higher
+
+
+def test_running_total(ray_session, tmp_path):
+    """Per-customer running sum matches a pandas window with the same
+    (o_orderdate, o_orderkey) total order, including date ties."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "rt"
+    d.mkdir()
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        # (orderkey, custkey, totalprice, date) — cust 7 has a date tie
+        (4, 7, 10.005, ts), (2, 7, 20.0, ts), (9, 7, 5.0,
+                                               ts + pd.Timedelta("1d")),
+        (1, 3, 100.0, ts + pd.Timedelta("2d")), (8, 3, 0.494, ts),
+        (5, 1, 7.0, ts),
+    ]
+    t = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[3] for r in rows],
+                                pa.timestamp("us")),
+    })
+    pq.write_table(t, str(d / "orders.parquet"))
+    got = to_arrow(ops.running_total(str(d))).to_pandas()
+    df = t.to_pandas()
+    df["cents"] = np.copysign(
+        np.floor(np.abs(df["o_totalprice"] * 100) + 0.5),
+        df["o_totalprice"]).astype(np.int64)
+    df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    df["run_cents"] = df.groupby("o_custkey")["cents"].cumsum()
+    want = df.sort_values(["o_custkey", "o_orderkey"])[
+        ["o_orderkey", "o_custkey", "run_cents"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the tie (orders 2 and 4, same date) resolves by o_orderkey
+    by_key = dict(zip(got["o_orderkey"], got["run_cents"]))
+    assert by_key[2] == 2000 and by_key[4] == 2000 + 1001
+
+
+def test_dedup_keep_best(ray_session, docs_dir):
+    """Cluster {0,1,2}: doc 2 (the near-dup) is one char longer, so it is
+    the representative; n_members counts the whole component."""
+    out = to_arrow(ops.dedup_keep_best(docs_dir)).to_pydict()
+    assert out["cluster_id"] == [0]
+    assert out["keep_doc_id"] == [2]
+    assert out["n_members"] == [3]
+    assert out["kept_n_chars"][0] > 0
+
+
+def test_dedup_keep_best_tie_lowest_id(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    d = tmp_path / "kb"
+    d.mkdir()
+    dup = "an identical document repeated three times for the cluster"
+    texts = [dup, dup, dup, "something else entirely about other topics"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 9, 3, 7], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    out = to_arrow(ops.dedup_keep_best(str(d))).to_pydict()
+    assert out["cluster_id"] == [3]      # min doc_id labels the cluster
+    assert out["keep_doc_id"] == [3]     # equal lengths -> lowest id
+    assert out["n_members"] == [3]
+
+
+def test_butterfly_count(ray_session, tmp_path):
+    """Wedge counting matches itertools brute force on a known graph,
+    including duplicate (supplier, part) lineitems collapsing to one
+    edge."""
+    import itertools
+    import pyarrow.parquet as pq
+    d = tmp_path / "bf"
+    d.mkdir()
+    edges = [(1, 10), (2, 10), (3, 10),          # part 10: 3 suppliers
+             (1, 20), (2, 20),                   # part 20: sup 1, 2
+             (1, 30), (3, 30),                   # part 30: sup 1, 3
+             (2, 40),                            # degree-1 part
+             (1, 10), (1, 10)]                   # duplicate lineitems
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    got = to_arrow(ops.butterfly_count(str(d))).to_pydict()
+    dedup = sorted(set(edges))
+    parts = {}
+    for s, p in dedup:
+        parts.setdefault(p, set()).add(s)
+    from collections import Counter
+    w = Counter()
+    for sups in parts.values():
+        for a, b in itertools.combinations(sorted(sups), 2):
+            w[(a, b)] += 1
+    want = {k: v for k, v in w.items() if v >= 2}
+    got_pairs = {(a, b): (sp, bf) for a, b, sp, bf in
+                 zip(got["s1"], got["s2"], got["shared_parts"],
+                     got["butterflies"])}
+    assert {k: v[0] for k, v in got_pairs.items()} == want
+    for (sp, bf) in got_pairs.values():
+        assert bf == sp * (sp - 1) // 2
+    # total butterflies on this graph: pairs (1,2) share {10,20} -> 1,
+    # (1,3) share {10,30} -> 1; (2,3) share only part 10 -> excluded
+    assert sum(bf for _, bf in got_pairs.values()) == 2

@@ -4244,3 +4244,219 @@ def semi_join_bloom(sf_dir: str, priority: str = "1-URGENT",
             .sort(["l_orderkey", "l_linenumber"])
             .select_columns(["l_orderkey", "l_linenumber",
                              "price_cents"]))
+
+
+def butterfly_count(sf_dir: str, min_shared: int = 2,
+                    rows_per_group: int = 5000):
+    """Butterfly (4-cycle) counting over the bipartite supplier—part
+    graph — the bipartite analogue of triangle counting (a butterfly is
+    two suppliers sharing two parts; its density is the standard cohesion
+    motif for bipartite graphs, cf. Sanei-Mehri et al. 2018).  Output:
+    one row per supplier pair sharing ≥ ``min_shared`` parts, with the
+    shared-part count ``w`` and its butterfly contribution C(w, 2) —
+    pure integer arithmetic, so the SQL oracle (a distinct-edge self-join
+    on the part key) hash-matches exactly.
+
+    Scale shape (the :func:`dedup_cdc_chunks` wedge pattern): per-block
+    DISTINCT (part, supplier) edge keys (combiner) → one coarse
+    ``groupby(hash(part))`` dedups globally and emits wedge pairs per
+    part via a cached triu kernel — the exchange carries int64 edge keys,
+    never adjacency lists — then a second coarse ``groupby(hash(s1, s2))``
+    counts pair multiplicity vectorised (a two-key aggregate measured
+    ~10× slower on this shape).  Wedge fan-out is C(deg(part), 2): exact
+    by definition (the oracle needs every wedge); a production run on a
+    hub-heavy graph caps or samples the hot side first (the
+    minhash-bucket sentinel pattern)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    n_rows = li.count()                  # parquet metadata, no scan
+    n_groups = int(max(32, n_rows // rows_per_group))
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk = np.unique((p << np.int64(33)) | s)   # s < 2^33 at any sf here
+        return pa.table({
+            "k": pa.array(uk, pa.int64()),
+            "gk": pa.array(_coarse_key(uk >> np.int64(33), n_groups),
+                           pa.int64()),
+        })
+
+    tri_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def wedges(g: dict) -> dict:
+        # all edges of a part land in this group (gk keys on the part);
+        # dedup globally, then emit one (s1 < s2) wedge row per part
+        # hosting both suppliers
+        k = np.unique(np.asarray(g["k"], np.int64))
+        part = k >> np.int64(33)
+        sup = k & ((np.int64(1) << np.int64(33)) - np.int64(1))
+        _, starts, counts = np.unique(part, return_index=True,
+                                      return_counts=True)
+        a_out, b_out = [], []
+        for s0, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            u = sup[s0:s0 + c]           # sorted ascending within the part
+            tri = tri_cache.get(len(u))
+            if tri is None:
+                tri = tri_cache[len(u)] = np.triu_indices(len(u), k=1)
+            a_out.append(u[tri[0]])
+            b_out.append(u[tri[1]])
+        if not a_out:
+            return {"s1": np.empty(0, np.int64),
+                    "s2": np.empty(0, np.int64)}
+        return {"s1": np.concatenate(a_out), "s2": np.concatenate(b_out)}
+
+    def tag_pk(t: pa.Table) -> pa.Table:
+        a = t.column("s1").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("s2").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = ((a * np.uint64(0x9E3779B97F4A7C15) + b)
+              % np.uint64(n_groups)).astype(np.int64)
+        return t.append_column("pk", pa.array(pk))
+
+    def count_pairs(g: dict) -> dict:
+        a = np.asarray(g["s1"], np.int64)
+        b = np.asarray(g["s2"], np.int64)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        change = np.empty(len(a_s), bool)
+        change[0] = True
+        np.not_equal(a_s[1:], a_s[:-1], out=change[1:])
+        change[1:] |= b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(change)
+        w = np.diff(np.append(starts, len(a_s))).astype(np.int64)
+        sel = w >= min_shared
+        w = w[sel]
+        return {"s1": a_s[starts[sel]], "s2": b_s[starts[sel]],
+                "shared_parts": w, "butterflies": w * (w - 1) // 2}
+
+    return (li.map_batches(edge_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(wedges, batch_format="numpy")
+            .map_batches(tag_pk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("pk").map_groups(count_pairs, batch_format="numpy")
+            .sort(["s1", "s2"])
+            .select_columns(["s1", "s2", "shared_parts", "butterflies"]))
+
+
+def running_total(sf_dir: str, rows_per_group: int = 5000):
+    """Per-customer running revenue: the ordered-window scan
+    (``SUM() OVER (PARTITION BY key ORDER BY ...)``) the engine's window
+    family lacked — tumbling/sliding windows bucket by time, this one is
+    a per-key prefix sum over an explicit sort order.  Money is exact
+    integer cents (:func:`_cents`), so the oracle hash-matches.
+
+    Scale shape: ONE exchange — per-key grouping is coarse
+    (``hash(custkey)``, ~``rows_per_group`` rows per group) because a
+    customer's history is small but customers are many (millions of
+    one-Python-call groups is the anti-pattern); inside a group one
+    ``lexsort`` + segment-offset-subtracted ``cumsum`` computes every
+    customer's prefix sums vectorised.  A key whose history exceeds a
+    block (one user = years of events) would need the
+    :func:`pack_sequences` two-pass carry instead — documented, not hit
+    by this schema."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice", "o_orderdate"])
+    n_rows = orders.count()              # parquet metadata, no scan
+    n_groups = int(max(32, n_rows // rows_per_group))
+
+    def pre(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": pa.array(cust, pa.int64()),
+            "cents": _cents(t.column("o_totalprice")),
+            "ts": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "gk": pa.array(_coarse_key(cust, n_groups), pa.int64()),
+        })
+
+    def scan(g: dict) -> dict:
+        cust = np.asarray(g["o_custkey"], np.int64)
+        ts = np.asarray(g["ts"], np.int64)
+        okey = np.asarray(g["o_orderkey"], np.int64)
+        cents = np.asarray(g["cents"], np.int64)
+        # (o_orderdate, o_orderkey) is a total order within a customer —
+        # o_orderkey is unique, so ties on the date are deterministic
+        order = np.lexsort((okey, ts, cust))
+        cust_s, cents_s = cust[order], cents[order]
+        cum = np.cumsum(cents_s)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], cust_s[1:] != cust_s[:-1])))
+        seg_len = np.diff(np.append(starts, len(cust_s)))
+        base = np.repeat(cum[starts] - cents_s[starts], seg_len)
+        return {"o_orderkey": okey[order], "o_custkey": cust_s,
+                "run_cents": cum - base}
+
+    return (orders.map_batches(pre, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("gk").map_groups(scan, batch_format="numpy")
+            .sort(["o_custkey", "o_orderkey"])
+            .select_columns(["o_orderkey", "o_custkey", "run_cents"]))
+
+
+def dedup_keep_best(sf_dir: str):
+    """Duplicate-cluster RESOLUTION: for every near-dup cluster from
+    :func:`dedup_clusters`, pick the representative to keep — longest
+    document (``n_chars``), ties to the lowest ``doc_id`` — the step a
+    real dedup pipeline runs after the transitive closure ("keep one per
+    cluster" needs a deterministic *which one*).
+
+    Scale shape: the cluster table (only docs inside dup clusters) joins
+    ``documents(doc_id, n_chars)`` with ONE ``Dataset.join``; the argmax
+    is a pure Max combiner over the packed priority key
+    ``(n_chars << 33) | (2^33-1 - doc_id)`` — max picks longest-then-
+    lowest-id with no per-cluster group materialisation, so a pathological
+    giant cluster costs nothing extra."""
+    cl = dedup_clusters(sf_dir)
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "keep_doc_id": pa.array([], pa.int64()),
+                      "kept_n_chars": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64())})
+    cl = cl.materialize()
+    if cl.count() == 0:
+        return rd.from_arrow(empty)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # sorted output can carry SCHEMA-LESS empty blocks, which crash the
+    # hash join's FieldRef resolution — .repartition() rewrites them
+    # (identity map_batches does NOT; see tfidf_topk)
+    joined = (cl.repartition(_join_partitions())
+              .join(docs, join_type="inner",
+                    num_partitions=_join_partitions(), on=("doc_id",)))
+
+    _M33 = (np.int64(1) << np.int64(33)) - np.int64(1)
+
+    def pack(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "cluster_id": t.column("cluster_id"),
+            "pk": pa.array((nc << np.int64(33)) | (_M33 - did), pa.int64()),
+            "one": pa.array(np.ones(len(nc), np.int64)),
+        })
+
+    agg = (joined.map_batches(pack, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("cluster_id")
+           .aggregate(Max("pk", alias_name="pk"),
+                      Sum("one", alias_name="n_members")))
+
+    def unpack(t) -> pa.Table:
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if len(df) == 0 or "cluster_id" not in df.columns:
+            return empty
+        pk = df["pk"].to_numpy(np.int64)
+        return pa.table({
+            "cluster_id": pa.array(df["cluster_id"].to_numpy(np.int64)),
+            "keep_doc_id": pa.array(int(_M33) - (pk & int(_M33)),
+                                    pa.int64()),
+            "kept_n_chars": pa.array(pk >> np.int64(33), pa.int64()),
+            "n_members": pa.array(df["n_members"].to_numpy(np.int64)),
+        })
+
+    return (agg.map_batches(unpack, batch_format="pyarrow")
+            .sort("cluster_id"))
