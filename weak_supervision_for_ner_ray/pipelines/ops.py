@@ -3215,6 +3215,11 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     after the groupby), and the driver merges O(blocks × k) rows.
     Deterministic total order: count desc, ngram asc."""
     ds = read_table(sf_dir, "documents", columns=["text"])
+    # a string-key sort-aggregate over the whole vocabulary measured 8 s
+    # at sf0.1 where these coarse hash groups (+ an in-group vectorised
+    # pandas sum) cost ~2 s — the dedup_cdc_chunks lesson applied to a
+    # string domain; pandas hash_array is process-stable (fixed hash_key)
+    n_groups = 4 * _join_partitions()
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         grams: list[str] = []
@@ -3228,28 +3233,28 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
                          for i in range(len(toks) - n + 1))
         if not grams:
             return pa.table({"ngram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
+                             "cnt": pa.array([], pa.int64()),
+                             "gk": pa.array([], pa.int64())})
         uniq, counts = np.unique(np.asarray(grams, object),
                                  return_counts=True)
+        gk = (pd.util.hash_array(uniq) % np.uint64(n_groups)) \
+            .astype(np.int64)
         return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
-                         "cnt": pa.array(counts.astype(np.int64))})
+                         "cnt": pa.array(counts.astype(np.int64)),
+                         "gk": pa.array(gk)})
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("ngram").aggregate(Sum("cnt", alias_name="cnt")))
-
-    def head(t) -> pa.Table:
-        # empty Aggregate partitions can surface as SCHEMA-LESS pandas
-        # blocks that bypass the requested pyarrow batch_format (the
-        # same quirk the tfidf join works around) — normalise first
-        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
-        if len(df) == 0 or "ngram" not in df.columns:
-            return pa.table({"ngram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        df = df.sort_values(["cnt", "ngram"], ascending=[False, True],
-                            kind="mergesort").head(k)
+    def head(df: pd.DataFrame) -> pa.Table:
+        # every distinct ngram hashes into exactly one group, so the
+        # per-group local top-k union is a superset of the global top-k
+        df = (df.groupby("ngram", sort=False, as_index=False)["cnt"]
+              .sum()
+              .sort_values(["cnt", "ngram"], ascending=[False, True],
+                           kind="mergesort").head(k))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    top = _to_arrow(agg.map_batches(head, batch_format="pyarrow"))
+    top = _to_arrow(ds.map_batches(partial, batch_format="pandas")
+                    .groupby("gk").map_groups(head,
+                                              batch_format="pandas"))
     df = (top.to_pandas()
           .sort_values(["cnt", "ngram"], ascending=[False, True],
                        kind="mergesort")
