@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: ops.decontaminate(sf),
         "gopher_quality": lambda sf: ops.gopher_quality(sf),
         "unigram_lm_score": lambda sf: ops.unigram_lm_score(sf),
+        "bm25_topk": lambda sf: ops.bm25_topk(sf),
         # iterative graph analytics over the derived supplier—part graph
         # (integer-micros grid -> exact unrolled-CTE SQL oracle)
         "pagerank": lambda sf: ops.pagerank(sf),
@@ -1038,6 +1039,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(ip) // count(*) AS BIGINT) AS lm_score_micro
             FROM per GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # BM25 retrieval on the integer grid (idf_milli = (N*1000)//df,
+        # floor-division tf saturation — see ops.bm25_topk); queries =
+        # distinct first-6 tokens of the 3 lowest-doc_id docs, top-5
+        "bm25_topk": """
+            WITH doc AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), q AS (
+              SELECT doc_id AS q_id, unnest(list_distinct(tk[1:6])) AS term
+              FROM doc
+              WHERE doc_id IN (SELECT doc_id FROM documents
+                               ORDER BY doc_id LIMIT 3)
+            ), w AS (
+              SELECT doc_id, unnest(tk) AS w FROM doc
+            ), tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY doc_id, w
+            ), dl AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM doc
+              WHERE len(tk) > 0
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     (CAST(sum(dl) AS BIGINT) * 1000000) // count(*)
+                         AS avgdl_micro
+              FROM dl
+            ), df AS (
+              SELECT t.w AS term, CAST(count(*) AS BIGINT) AS df
+              FROM tf t WHERE t.w IN (SELECT DISTINCT term FROM q)
+              GROUP BY t.w
+            ), c AS (
+              SELECT q.q_id, tf.doc_id,
+                     ((stats.n * 1000) // df.df) *
+                     (tf.tf * (1200000 + 1000000)) //
+                     (tf.tf * 1000000 +
+                      (1200000 * ((1000000 - 750000) +
+                        (750000 * ((dl.dl * 1000000000000)
+                                   // stats.avgdl_micro)) // 1000000))
+                          // 1000000) AS contrib
+              FROM q JOIN tf ON tf.w = q.term
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     JOIN df ON df.term = q.term
+                     CROSS JOIN stats
+            ), s AS (
+              SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT)
+                         AS score_milli
+              FROM c GROUP BY q_id, doc_id
+            ), r AS (
+              SELECT q_id, doc_id, score_milli,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_milli DESC,
+                                                 doc_id) AS rnk
+              FROM s
+            )
+            SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_milli
+            FROM r WHERE rnk <= 5 ORDER BY q_id, rnk
         """,
         "pagerank": _pagerank_sql(),
         "degree_distribution": _degree_sql(),

@@ -134,6 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
     timed("unigram_lm_score", lambda: ops.unigram_lm_score(sf_dir))
+    timed("bm25_topk", lambda: ops.bm25_topk(sf_dir))
     timed("pagerank", lambda: ops.pagerank(sf_dir))
     timed("butterfly_count", lambda: ops.butterfly_count(sf_dir))
     timed("running_total", lambda: ops.running_total(sf_dir))

@@ -1278,3 +1278,60 @@ def test_butterfly_count(ray_session, tmp_path):
     # total butterflies on this graph: pairs (1,2) share {10,20} -> 1,
     # (1,3) share {10,30} -> 1; (2,3) share only part 10 -> excluded
     assert sum(bf for _, bf in got_pairs.values()) == 2
+
+
+def test_bm25_topk(ray_session, tmp_path):
+    """Integer-grid BM25 matches a pure-Python brute force (same floor
+    chain) on a corpus with repeated and query-exclusive terms."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    d = tmp_path / "bm25"
+    d.mkdir()
+    texts = [
+        "apple banana cherry apple",            # doc 0 -> a query
+        "banana banana date elderberry",        # doc 1 -> a query
+        "cherry fig grape",                     # doc 2 -> a query
+        "apple apple apple apple banana",
+        "date elderberry fig grape honeydew",
+        "unrelated words only here",
+        "",                                      # tokenless
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+
+    toks = [ops._ws_tokens(t) for t in texts]
+    dls = {i: len(t) for i, t in enumerate(toks) if t}
+    N = len(dls)
+    avgdl = (sum(dls.values()) * 1_000_000) // N
+    tfs = {i: Counter(t) for i, t in enumerate(toks)}
+    K1, B = 1_200_000, 750_000
+
+    def brute(qid, k=5):
+        terms = sorted(set(toks[qid][:6]))
+        scores = {}
+        for doc, tf_c in tfs.items():
+            s = 0
+            for w in terms:
+                tf = tf_c.get(w, 0)
+                if not tf:
+                    continue
+                df = sum(1 for c in tfs.values() if w in c)
+                idf = (N * 1000) // df
+                br = (B * ((dls[doc] * 10**12) // avgdl)) // 10**6
+                den = tf * 10**6 + (K1 * ((10**6 - B) + br)) // 10**6
+                s += idf * (tf * (K1 + 10**6)) // den
+            if s:
+                scores[doc] = s
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(qid, r + 1, doc, s) for r, (doc, s) in enumerate(ranked)]
+
+    want = [row for q in (0, 1, 2) for row in brute(q)]
+    got = ops.bm25_topk(str(d)).to_pydict()
+    got_rows = list(zip(got["q_id"], got["rnk"], got["doc_id"],
+                        got["score_milli"]))
+    assert got_rows == want
+    # each query's own doc ranks first (it contains all its terms)
+    top1 = {q: doc for q, r, doc, _ in got_rows if r == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}

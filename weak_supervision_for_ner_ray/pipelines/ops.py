@@ -636,6 +636,9 @@ def minhash_candidates(sf_dir: str, num_perm=128, bands=32, shingle=3,
                                zero_copy_batch=True)
 
 
+_CLUSTERS_CACHE: dict[tuple, pa.Table] = {}
+
+
 def dedup_clusters(sf_dir: str, max_iters: int = 64):
     """Duplicate CLUSTERS: connected components over the MinHash-LSH
     candidate-pair graph (a near-dup pair is an edge; a component is one
@@ -650,11 +653,22 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
     exchanges per iteration, converging in graph-diameter iterations
     (duplicate clusters are shallow).  Labels are monotone decreasing
     ints, so the fixpoint test is an exact Sum aggregate.  The SQL
-    oracle computes the same components with a recursive CTE."""
+    oracle computes the same components with a recursive CTE.
+
+    The result (a tiny table — only docs inside dup clusters) is memoised
+    per process keyed on the documents fingerprint, because downstream
+    consumers (:func:`dedup_keep_best`) re-derive it; the fingerprint
+    invalidates on data regeneration (the kmeans-cache convention)."""
+    cache_key = ("clusters", os.path.abspath(sf_dir), max_iters,
+                 _table_fingerprint(sf_dir, "documents"))
+    hit = _CLUSTERS_CACHE.get(cache_key)
+    if hit is not None:
+        return rd.from_arrow(hit)
     pairs = minhash_candidates(sf_dir).materialize()
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
     if pairs.count() == 0:
+        _CLUSTERS_CACHE[cache_key] = empty
         return rd.from_arrow(empty)      # same return type as the main path
 
     # sentinel encoding keeps everything int64 (nulls degrade to float
@@ -725,8 +739,13 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
         return pa.table({"doc_id": t.column("node"),
                          "cluster_id": t.column("lbl")})
 
-    return labels.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True).sort("doc_id")
+    tbl = _to_arrow(labels.map_batches(finish, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                    .sort("doc_id"))
+    if len(_CLUSTERS_CACHE) > 8:
+        _CLUSTERS_CACHE.clear()
+    _CLUSTERS_CACHE[cache_key] = tbl
+    return rd.from_arrow(tbl)
 
 
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.7, shingle=3):
@@ -4465,3 +4484,198 @@ def dedup_keep_best(sf_dir: str):
 
     return (agg.map_batches(unpack, batch_format="pyarrow")
             .sort("cluster_id"))
+
+
+_BM25_K1_PPM = np.int64(1_200_000)       # k1 = 1.2 on the ppm grid
+_BM25_B_PPM = np.int64(750_000)          # b = 0.75
+
+
+def bm25_topk(sf_dir: str, k: int = 5, nq: int = 3, qlen: int = 6):
+    """BM25 lexical retrieval: score every document against ``nq``
+    data-derived query term sets (the distinct first ``qlen`` whitespace
+    tokens of the ``nq`` lowest-``doc_id`` documents) and return the
+    top-``k`` docs per query — the retrieval-based curation primitive
+    (contamination probes, seed-document expansion) beside the vector
+    family (knn/ann/ivf/pq).
+
+    Exactness: textbook BM25 uses a float ln() idf; this op stays on the
+    integer grid so the DuckDB oracle hash-matches —
+    ``idf_milli = (N*1000) // df`` and the tf saturation evaluated with
+    explicit floor divisions::
+
+        bratio_ppm = (B · ((dl·1e12) // avgdl_micro)) // 1e6
+        den        = tf·1e6 + (K1 · ((1e6 − B) + bratio_ppm)) // 1e6
+        contrib    = (idf_milli · tf·(K1 + 1e6)) // den
+        score      = Σ contrib over the query's distinct terms in the doc
+
+    (int64-safe while N·tf ≲ 4e12; a bigger corpus rescales the milli
+    constant — the :func:`unigram_lm_score` convention.)
+
+    Scale shape: queries are found with a per-block n-smallest combiner
+    (the knn selection pattern); ONE corpus pass emits per-doc match rows
+    ``(q, term, tf, dl)`` plus a doc-length row — a doc lives in one row,
+    so everything per-doc is block-local, flattened token membership is
+    one ``isin`` (no per-token Python); N / avgdl / df come from tiny
+    partial aggregates of those rows (a match row exists exactly for the
+    docs containing the term, so df needs no second corpus pass); scoring
+    reduces per (q, doc) in coarse hash groups and the per-query top-k is
+    a per-block head-k combiner with an O(blocks·nq·k) driver merge."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # -- query derivation: nq lowest doc_ids via per-block partial heads
+    def qpart(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) > nq:
+            sel = np.argpartition(ids, nq)[:nq]
+            t = t.take(pa.array(np.sort(sel)))
+        return t
+
+    cand = _to_arrow(docs.map_batches(qpart, batch_format="pyarrow",
+                                      zero_copy_batch=True)).to_pandas()
+    cand = cand.sort_values("doc_id").head(nq)
+    term_rows = []                       # (term, q_id)
+    canon_q: dict[str, int] = {}
+    for qid, text in zip(cand["doc_id"], cand["text"]):
+        for term in sorted(set(_ws_tokens(text)[:qlen])):
+            term_rows.append((term, int(qid)))
+            canon_q.setdefault(term, int(qid))
+    if not term_rows:
+        return pa.table({"q_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_milli": pa.array([], pa.int64())})
+    term_q = pd.DataFrame(term_rows, columns=["term", "q_id"])
+    all_terms = set(term_q["term"])
+
+    # -- one corpus pass: doc rows (q_id = -1, dl) + match rows
+    def matches(batch: pd.DataFrame) -> pa.Table:
+        toks = [x if isinstance(x, str) else "" for x in batch["text"]]
+        toks = [_ws_tokens(t) for t in toks]
+        lens = np.array([len(t) for t in toks], np.int64)
+        ids = batch["doc_id"].to_numpy()
+        keep = lens > 0
+        out_q = [np.full(int(keep.sum()), -1, np.int64)]
+        out_doc = [ids[keep].astype(np.int64)]
+        out_term = [[""] * int(keep.sum())]
+        out_tf = [np.zeros(int(keep.sum()), np.int64)]
+        out_dl = [lens[keep]]
+        flat = pd.Series([w for t in toks for w in t], dtype=object)
+        if len(flat):
+            doc_idx = np.repeat(np.arange(len(toks)), lens)
+            hit = flat.isin(all_terms).to_numpy()
+            if hit.any():
+                sub = pd.DataFrame({"di": doc_idx[hit],
+                                    "term": flat[hit].to_numpy()})
+                tf = sub.groupby(["di", "term"], sort=False,
+                                 as_index=False).size()
+                tf = tf.merge(term_q, on="term")   # one row per (q, term)
+                di = tf["di"].to_numpy()
+                out_q.append(tf["q_id"].to_numpy(np.int64))
+                out_doc.append(ids[di].astype(np.int64))
+                out_term.append(tf["term"].tolist())
+                out_tf.append(tf["size"].to_numpy(np.int64))
+                out_dl.append(lens[di])
+        return pa.table({
+            "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "term": pa.array([w for part in out_term for w in part],
+                             pa.string()),
+            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            "dl": pa.array(np.concatenate(out_dl), pa.int64()),
+        })
+
+    m = docs.map_batches(matches, batch_format="pandas").materialize()
+
+    # -- tiny driver-folded aggregates: N, avgdl, df(term)
+    def stat_part(t: pa.Table) -> pa.Table:
+        q = t.column("q_id").to_numpy(zero_copy_only=False)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)
+        is_doc = q == -1
+        rows = [("", int(is_doc.sum()), int(dl[is_doc].sum()))]
+        # df partial: match rows are unique per (q, term, doc); count a
+        # term's docs once via its canonical query
+        tm = t.column("term").to_pandas()
+        canon = np.array([canon_q.get(w, -2) for w in tm], np.int64)
+        sel = (q >= 0) & (q == canon)
+        if sel.any():
+            vc = tm[sel].value_counts()
+            rows += [(term, int(c), 0) for term, c in vc.items()]
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "dls": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = _to_arrow(m.map_batches(stat_part, batch_format="pyarrow",
+                                    zero_copy_batch=True)).to_pandas()
+    folded = parts.groupby("term", sort=False).sum()
+    n_docs = int(folded.loc["", "n"]) if "" in folded.index else 0
+    if n_docs == 0:                      # all-empty corpus: nothing to rank
+        return pa.table({"q_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_milli": pa.array([], pa.int64())})
+    avgdl_micro = (int(folded.loc["", "dls"]) * 1_000_000) // n_docs
+    df_map = {t: int(r["n"]) for t, r in folded.iterrows() if t}
+
+    n_groups = 4 * _join_partitions()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("q_id"), 0))
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)
+        df = np.array([df_map[w] for w in t.column("term").to_pylist()],
+                      np.int64)
+        idf_milli = (np.int64(n_docs) * np.int64(1000)) // df
+        bratio = (_BM25_B_PPM
+                  * ((dl * np.int64(1_000_000_000_000))
+                     // np.int64(avgdl_micro))) // np.int64(1_000_000)
+        den = (tf * np.int64(1_000_000)
+               + (_BM25_K1_PPM * ((np.int64(1_000_000) - _BM25_B_PPM)
+                                  + bratio)) // np.int64(1_000_000))
+        c = (idf_milli * (tf * (_BM25_K1_PPM + np.int64(1_000_000)))) // den
+        qv = t.column("q_id").to_numpy(zero_copy_only=False)
+        dv = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pk = _coarse_key(qv * np.int64(1_000_003) + dv, n_groups)
+        return pa.table({"q_id": pa.array(qv, pa.int64()),
+                         "doc_id": pa.array(dv, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "pk": pa.array(pk, pa.int64())})
+
+    def score_group(g: dict) -> dict:
+        q = np.asarray(g["q_id"], np.int64)
+        d = np.asarray(g["doc_id"], np.int64)
+        c = np.asarray(g["c"], np.int64)
+        order = np.lexsort((d, q))
+        q_s, d_s, c_s = q[order], d[order], c[order]
+        change = np.empty(len(q_s), bool)
+        change[0] = True
+        np.not_equal(q_s[1:], q_s[:-1], out=change[1:])
+        change[1:] |= d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(c_s, starts)
+        return {"q_id": q_s[starts], "doc_id": d_s[starts],
+                "score_milli": sums}
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["q_id", "score_milli", "doc_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("q_id", sort=False).head(k))
+
+    scored = (m.map_batches(contrib, batch_format="pyarrow",
+                            zero_copy_batch=True)
+              .groupby("pk").map_groups(score_group, batch_format="numpy")
+              .map_batches(local_topk, batch_format="pandas"))
+    top = _to_arrow(scored).to_pandas()
+    top = (top.sort_values(["q_id", "score_milli", "doc_id"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+           .groupby("q_id", sort=False).head(k).reset_index(drop=True))
+    top["rnk"] = top.groupby("q_id", sort=False).cumcount() + 1
+    return pa.table({
+        "q_id": pa.array(top["q_id"].to_numpy(np.int64)),
+        "rnk": pa.array(top["rnk"].to_numpy(np.int64)),
+        "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+        "score_milli": pa.array(top["score_milli"].to_numpy(np.int64)),
+    })
