@@ -135,6 +135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count": lambda sf: ops.butterfly_count(sf),
         "semi_join_bloom": lambda sf: ops.semi_join_bloom(sf),
         "running_total": lambda sf: ops.running_total(sf),
+        "chunk_text": lambda sf: ops.chunk_text(sf),
+        "bigram_lift": lambda sf: ops.bigram_lift(sf),
+        "interarrival_stats": lambda sf: ops.interarrival_stats(sf),
+        "histogram_numeric": lambda sf: ops.histogram_numeric(sf),
+        # ordered per-conversation flattening into training documents
+        # (the turns oracle path: string_agg ORDER BY turn_idx)
+        "conv_flatten": lambda sf: ops.conv_flatten(_turns_ds(sf)),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
@@ -1011,9 +1018,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY conv_id, turn_idx
     """
 
+    # ordered per-conversation flattening: string_agg ORDER BY turn_idx
+    # verifies order, separator and payload via the flat-doc md5
+    conv_flatten_sql = f"""
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(length(string_agg(role || ': ' || text, chr(10)
+                                      ORDER BY turn_idx)) AS BIGINT)
+                   AS n_chars,
+               md5(string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx)) AS doc_md5
+        FROM read_parquet('{turns_path}')
+        GROUP BY conv_id ORDER BY conv_id
+    """
+
     return {
         "lang_id": lang_id_sql,
         "turns_restore_order": turns_sql,
+        "conv_flatten": conv_flatten_sql,
         **detector_sqls,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
@@ -1123,6 +1145,90 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderdate, o_orderkey)
                         AS BIGINT) AS run_cents
             FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        # overlapping char-window chunking: every chunk boundary AND
+        # payload verified (md5 of the exact substring; Python slicing
+        # and DuckDB substring both count code points)
+        "chunk_text": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) > 0
+            ), c AS (
+              SELECT doc_id, text,
+                     CASE WHEN n <= 512 THEN CAST(1 AS BIGINT)
+                          ELSE (n - 512 + 383) // 384 + 1 END AS nc
+              FROM d
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(length(substring(text,
+                                         CAST(1 + i * 384 AS BIGINT),
+                                         512)) AS BIGINT) AS n_chars,
+                   md5(substring(text, CAST(1 + i * 384 AS BIGINT), 512))
+                       AS chunk_md5
+            FROM c, LATERAL (SELECT unnest(range(nc)) AS i) t
+            ORDER BY doc_id, chunk_idx
+        """,
+        # collocation lift: HUGEINT product // HUGEINT product mirrors
+        # the engine's arbitrary-precision Python-int evaluation exactly
+        "bigram_lift": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS ngram
+              FROM toks WHERE len(t) >= 2
+            ), cab AS (
+              SELECT split_part(ngram, ' ', 1) AS a,
+                     split_part(ngram, ' ', 2) AS b,
+                     count(*) AS cnt
+              FROM grams GROUP BY 1, 2
+            ), la AS (SELECT a, sum(cnt) AS ca FROM cab GROUP BY a),
+            rb AS (SELECT b, sum(cnt) AS cb FROM cab GROUP BY b),
+            tot AS (SELECT sum(cnt) AS n FROM cab)
+            SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, a, b)
+                        AS BIGINT) AS rnk,
+                   a, b, CAST(cnt AS BIGINT) AS cnt, lift_ppm
+            FROM (
+              SELECT cab.a, cab.b, cab.cnt,
+                     CAST((CAST(cab.cnt AS HUGEINT) * CAST(n AS HUGEINT)
+                           * 1000000)
+                          // (CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT))
+                          AS BIGINT) AS lift_ppm
+              FROM cab JOIN la USING (a) JOIN rb USING (b)
+                   CROSS JOIN tot
+              WHERE cab.cnt >= 5
+            ) ORDER BY lift_ppm DESC, a, b LIMIT 50
+        """,
+        # per-user ordered lag() gaps in exact integer microseconds
+        "interarrival_stats": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                         AS prev
+              FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(prev) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(sum(ts_us - prev), 0) AS BIGINT)
+                       AS sum_gap_us,
+                   CAST(coalesce(max(ts_us - prev), 0) AS BIGINT)
+                       AS max_gap_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        # fixed-width histogram on the exact integer-cents grid
+        "histogram_numeric": """
+            WITH b AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000
+                     AS bucket
+              FROM orders
+            )
+            SELECT bucket, bucket * 2500000 AS lo_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         # the bloom is only a prefilter — the verified output is the plain
         # semi-join, so the oracle is the plain semi-join

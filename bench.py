@@ -139,8 +139,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("butterfly_count", lambda: ops.butterfly_count(sf_dir))
     timed("running_total", lambda: ops.running_total(sf_dir))
     timed("dedup_keep_best", lambda: ops.dedup_keep_best(sf_dir))
+    timed("chunk_text", lambda: ops.chunk_text(sf_dir))
+    timed("bigram_lift", lambda: ops.bigram_lift(sf_dir))
+    timed("interarrival_stats", lambda: ops.interarrival_stats(sf_dir))
+    timed("histogram_numeric", lambda: ops.histogram_numeric(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
+    timed("conv_flatten",
+          lambda: ops.conv_flatten(rd.read_parquet(turns_path)))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

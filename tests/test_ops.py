@@ -1335,3 +1335,168 @@ def test_bm25_topk(ray_session, tmp_path):
     # each query's own doc ranks first (it contains all its terms)
     top1 = {q: doc for q, r, doc, _ in got_rows if r == 1}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_chunk_text(ray_session, tmp_path):
+    """Every chunk boundary and payload vs a brute-force slicer, incl.
+    the short-doc, ragged-tail, empty-doc and unicode cases."""
+    import hashlib
+    import pyarrow.parquet as pq
+    texts = ["a" * 100,                       # n < size -> 1 chunk
+             "b" * 512,                       # n == size -> 1 chunk
+             "c" * 513,                       # ragged 1-char tail
+             "",                              # dropped
+             "héllo wörld ünicode " * 60,     # non-ASCII payload
+             "d" * (512 + 384 * 3)]           # exact multiple of stride
+    d = tmp_path / "chunks"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    size, stride = 512, 384
+    want = []
+    for doc_id, t in enumerate(texts):
+        if not t:
+            continue
+        n = len(t)
+        nc = 1 if n <= size else (n - size + stride - 1) // stride + 1
+        for i in range(nc):
+            c = t[i * stride: i * stride + size]
+            want.append((doc_id, i, len(c),
+                         hashlib.md5(c.encode()).hexdigest()))
+    got = to_arrow(ops.chunk_text(str(d))).to_pydict()
+    assert list(zip(got["doc_id"], got["chunk_idx"], got["n_chars"],
+                    got["chunk_md5"])) == want
+
+
+def test_bigram_lift(ray_session, tmp_path):
+    """Distributed lift == brute-force Counter lift with big-int floor
+    division, including the min_cnt filter and (lift desc, a, b) order."""
+    from collections import Counter
+    import pyarrow.parquet as pq
+    texts = ["new york city is in new york state",
+             "new york city hosts the new york marathon",
+             "san francisco bay meets san francisco fog",
+             "the city by the bay is san francisco"] * 3
+    d = tmp_path / "lift"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    cab = Counter()
+    for t in texts:
+        toks = ops._ws_tokens(t)
+        cab.update((toks[i], toks[i + 1]) for i in range(len(toks) - 1))
+    n_total = sum(cab.values())
+    ca, cb = Counter(), Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        cb[b] += c
+    min_cnt, k = 3, 10
+    rows = [(a, b, c, (c * n_total * 1_000_000) // (ca[a] * cb[b]))
+            for (a, b), c in cab.items() if c >= min_cnt]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:k]
+    assert len(want) >= 3                     # fixture is non-trivial
+    got = to_arrow(ops.bigram_lift(str(d), min_cnt=min_cnt, k=k)) \
+        .to_pydict()
+    assert list(zip(got["a"], got["b"], got["cnt"],
+                    got["lift_ppm"])) == want
+    assert got["rnk"] == list(range(1, len(want) + 1))
+
+
+def test_interarrival_stats(ray_session, tmp_path):
+    """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
+    single-event users report zero gaps, cross-user boundaries masked."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [  # (event_id, user, t_offset_s)
+        (5, 1, 0), (2, 1, 10), (9, 1, 10),    # tie at +10 -> order 2, 9
+        (3, 2, 7),                            # single event: no gaps
+        (1, 3, 100), (4, 3, 40), (6, 3, 0),   # out of order in storage
+    ]
+    d = tmp_path / "inter"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * sec for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(d / "events.parquet"))
+    got = to_arrow(ops.interarrival_stats(str(d))).to_pydict()
+    want = {
+        1: (3, 2, 10_000_000, 10_000_000),    # gaps 10s then 0s (tie)
+        2: (1, 0, 0, 0),
+        3: (3, 2, 100_000_000, 60_000_000),   # 0->40 (40s), 40->100 (60s)
+    }
+    assert dict(zip(got["user_id"],
+                    zip(got["n_events"], got["n_gaps"],
+                        got["sum_gap_us"], got["max_gap_us"]))) == want
+
+
+def test_histogram_numeric(ray_session, tmp_path):
+    """Bucket boundaries on the exact cents grid, incl. the half-away
+    rounding edge and a value exactly on a bucket boundary."""
+    import pyarrow.parquet as pq
+    prices = [0.0, 24999.99, 25000.00, 25000.005, 74999.994, 100.005]
+    d = tmp_path / "hist"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+        "o_custkey": pa.array([1] * len(prices), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(prices), pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array(
+            [pd.Timestamp("2024-01-01")] * len(prices),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"] * len(prices), pa.string()),
+    }), str(d / "orders.parquet"))
+    got = to_arrow(ops.histogram_numeric(str(d))).to_pydict()
+    # cents: 0, 2499999, 2500000, 2500001 (half-away), 7499999, 10001
+    want = {0: (0, 3), 1: (2_500_000, 2), 2: (5_000_000, 1)}
+    assert dict(zip(got["bucket"],
+                    zip(got["lo_cents"], got["n"]))) == want
+
+
+def test_conv_flatten(ray_session, tmp_path):
+    """Flat-doc md5 vs brute force: storage order scrambled, restore by
+    (conv_id, turn_idx); separator and role prefix byte-exact."""
+    import datetime as dt
+    import hashlib
+    import pyarrow.parquet as pq
+    rows = [  # (conv, idx, role, text) written deliberately out of order
+        ("c2", 1, "assistant", "saw the logs"),
+        ("c1", 2, "user", "thanks"),
+        ("c1", 0, "user", "hej there"),
+        ("c2", 0, "user", "look at this"),
+        ("c1", 1, "assistant", "hello!"),
+    ]
+    d = tmp_path / "convs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([""] * len(rows), pa.string()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * len(rows),
+                       pa.timestamp("us")),
+    }), str(d / "turns.parquet"))
+    ds = rd.read_parquet(str(d / "turns.parquet"))
+    got = to_arrow(ops.conv_flatten(ds)).to_pydict()
+    docs = {
+        "c1": "user: hej there\nassistant: hello!\nuser: thanks",
+        "c2": "user: look at this\nassistant: saw the logs",
+    }
+    assert got["conv_id"] == ["c1", "c2"]
+    assert got["n_turns"] == [3, 2]
+    assert got["n_chars"] == [len(docs["c1"]), len(docs["c2"])]
+    assert got["doc_md5"] == [
+        hashlib.md5(docs[c].encode()).hexdigest() for c in ("c1", "c2")]

@@ -4679,3 +4679,326 @@ def bm25_topk(sf_dir: str, k: int = 5, nq: int = 3, qlen: int = 6):
         "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
         "score_milli": pa.array(top["score_milli"].to_numpy(np.int64)),
     })
+
+
+def conv_flatten(turns_ds, rows_per_group: int = 4000):
+    """Per-conversation training-document assembly: restore stable
+    ``(conv_id, turn_idx)`` order and concatenate each conversation's
+    turns into ONE flat ``role: text`` document — the step that turns a
+    transcript table into LLM pre-training documents (the reference's
+    docbin corpus is exactly such flattened conversations; north-rule
+    "turns restored to stable order" applied as a materialising op).
+    Output per conversation: turn count, flat-doc char count, and the
+    md5 of the flat doc, so the oracle verifies the CONCATENATION —
+    order, separator and payload — not just group sizes.
+
+    Scale shape: ONE exchange.  Per-conversation grouping is coarse
+    (``hash(conv_id)`` groups of ~``rows_per_group`` turns — conversations
+    are many and small, and one Python group call per conversation is the
+    anti-pattern); inside a group a single mergesort + one pandas
+    ``groupby.agg(join)`` assembles every conversation vectorised.  A
+    conversation longer than a block would need the windowed
+    ``(conv_id, turn_idx // 5000)`` key + a stitch pass (the annotate
+    stage's convention) — documented, not hit by this corpus."""
+    n_rows = turns_ds.count()            # parquet metadata, no scan
+    n_groups = int(max(32, n_rows // rows_per_group))
+
+    def pre(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        gk = (pd.util.hash_array(conv.astype(object))
+              % np.uint64(n_groups)).astype(np.int64)
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "role": t.column("role"),
+            "text": t.column("text"),
+            "gk": pa.array(gk),
+        })
+
+    def flatten(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        lines = (df["role"] + ": " + df["text"]).to_numpy(dtype=object)
+        conv = df["conv_id"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1])))
+        seg_len = np.diff(np.append(starts, len(conv)))
+        docs = ["\n".join(lines[s:s + n])
+                for s, n in zip(starts, seg_len)]
+        return pa.table({
+            "conv_id": pa.array(conv[starts].tolist(), pa.string()),
+            "n_turns": pa.array(seg_len.astype(np.int64)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            "doc_md5": pa.array(
+                [hashlib.md5(d.encode("utf-8")).hexdigest()
+                 for d in docs], pa.string()),
+        })
+
+    return (turns_ds.map_batches(pre, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("gk").map_groups(flatten, batch_format="pandas")
+            .sort("conv_id"))
+
+
+def chunk_text(sf_dir: str, size: int = 512, stride: int = 384):
+    """Overlapping fixed-window chunking of documents — the context-
+    chunking step of RAG indexing / long-doc training prep: char windows
+    of ``size`` advancing by ``stride`` (``size - stride`` chars of
+    overlap), last window ragged, empty docs dropped.  Emits
+    ``(doc_id, chunk_idx, n_chars, chunk_md5)`` so the oracle verifies
+    every chunk boundary AND payload (md5 of the exact substring).
+
+    Scale shape: a pure ``flat_map``-style ``map_batches`` stage — no
+    shuffle, runs at read bandwidth; output rows amplify the input
+    ~``1/stride`` per char, so blocks stay bounded by the input block
+    size × (1 + size/stride).  Chunk windows are CHARACTER-based on both
+    sides (Python slicing and DuckDB ``substring`` both count code
+    points), so parity holds for any unicode payload."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        lens: list[int] = []
+        md5s: list[str] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if not isinstance(text, str) or not text:
+                continue
+            n = len(text)
+            nc = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            for i in range(nc):
+                c = text[i * stride: i * stride + size]
+                ids.append(int(doc_id))
+                idxs.append(i)
+                lens.append(len(c))
+                md5s.append(hashlib.md5(c.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_chars": pa.array(lens, pa.int64()),
+            "chunk_md5": pa.array(md5s, pa.string()),
+        })
+
+    return (ds.map_batches(chunks, batch_format="pandas")
+            .sort(["doc_id", "chunk_idx"]))
+
+
+def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
+    """Collocation detection: the ``k`` adjacent word pairs with the
+    highest LIFT — observed bigram frequency over the frequency expected
+    if first and second position were independent — restricted to pairs
+    seen ≥ ``min_cnt`` times (textbook association mining over a corpus;
+    the phrase-vocabulary step of tokenizer construction).  Lift stays on
+    the integer grid so the oracle hash-matches: with ``N`` total bigram
+    occurrences, ``ca``/``cb`` the left/right marginal counts, ::
+
+        lift_ppm = (cnt * N * 1_000_000) // (ca * cb)
+
+    evaluated in arbitrary precision (Python int / DuckDB HUGEINT — the
+    product overflows int64 at corpus scale), ties broken ``(a, b)``
+    ascending.
+
+    Scale shape: per-block ``np.unique`` bigram partials (the
+    :func:`ngram_topk` combiner — the exchange carries (bigram,
+    partial_count) rows, never occurrences) → coarse ``hash(bigram)``
+    groups for exact counts → the small exact table is materialised
+    (vocabulary-sized, object-store-resident) and re-grouped twice by
+    ``hash(a)`` then ``hash(b)``, each group attaching its marginal with
+    one in-group vectorised ``transform('sum')`` — marginals need no
+    driver round-trip and no join.  Only the ``cnt ≥ min_cnt`` survivors
+    (the heavy tail, vocabulary-scale not corpus-scale) reach the driver
+    for the exact big-int ranking."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    n_groups = 4 * _join_partitions()
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        grams: list[str] = []
+        for text in batch["text"]:
+            if not isinstance(text, str):
+                continue
+            toks = _ws_tokens(text)
+            grams.extend(toks[i] + " " + toks[i + 1]
+                         for i in range(len(toks) - 1))
+        if not grams:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "gk": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(grams, object),
+                                 return_counts=True)
+        gk = (pd.util.hash_array(uniq) % np.uint64(n_groups)) \
+            .astype(np.int64)
+        return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype(np.int64)),
+                         "gk": pa.array(gk)})
+
+    def exact(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("ngram", sort=False, as_index=False)["cnt"].sum())
+        parts = g["ngram"].str.partition(" ")
+        a, b = parts[0].to_numpy(object), parts[2].to_numpy(object)
+        return pa.table({
+            "a": pa.array(a.tolist(), pa.string()),
+            "b": pa.array(b.tolist(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            "gka": pa.array((pd.util.hash_array(a)
+                             % np.uint64(n_groups)).astype(np.int64)),
+        })
+
+    bi = (ds.map_batches(partial, batch_format="pandas")
+          .groupby("gk").map_groups(exact, batch_format="pandas")
+          .materialize())               # vocabulary-sized, spillable
+    n_total = int(bi.sum("cnt") or 0)
+    if n_total == 0:
+        return pa.table({"rnk": pa.array([], pa.int64()),
+                         "a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "lift_ppm": pa.array([], pa.int64())})
+
+    def attach_ca(df: pd.DataFrame) -> pa.Table:
+        ca = df.groupby("a", sort=False)["cnt"].transform("sum")
+        b = df["b"].to_numpy(object)
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy(object).tolist(), pa.string()),
+            "b": pa.array(b.tolist(), pa.string()),
+            "cnt": pa.array(df["cnt"].to_numpy(np.int64)),
+            "ca": pa.array(ca.to_numpy(np.int64)),
+            "gkb": pa.array((pd.util.hash_array(b)
+                             % np.uint64(n_groups)).astype(np.int64)),
+        })
+
+    def attach_cb(df: pd.DataFrame) -> pa.Table:
+        cb = df.groupby("b", sort=False)["cnt"].transform("sum")
+        out = df[df["cnt"] >= min_cnt]
+        keep = out.index
+        return pa.table({
+            "a": pa.array(out["a"].to_numpy(object).tolist(), pa.string()),
+            "b": pa.array(out["b"].to_numpy(object).tolist(), pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+            "ca": pa.array(out["ca"].to_numpy(np.int64)),
+            "cb": pa.array(cb.loc[keep].to_numpy(np.int64)),
+        })
+
+    surv = _to_arrow(bi.groupby("gka")
+                     .map_groups(attach_ca, batch_format="pandas")
+                     .groupby("gkb")
+                     .map_groups(attach_cb, batch_format="pandas")) \
+        .to_pandas()
+    if len(surv) == 0:
+        return pa.table({"rnk": pa.array([], pa.int64()),
+                         "a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "lift_ppm": pa.array([], pa.int64())})
+    surv["lift_ppm"] = [
+        (int(c) * n_total * 1_000_000) // (int(ca) * int(cb))
+        for c, ca, cb in zip(surv["cnt"], surv["ca"], surv["cb"])]
+    surv = (surv.sort_values(["lift_ppm", "a", "b"],
+                             ascending=[False, True, True],
+                             kind="mergesort")
+            .head(k).reset_index(drop=True))
+    return pa.table({
+        "rnk": pa.array(np.arange(1, len(surv) + 1, dtype=np.int64)),
+        "a": pa.array(surv["a"].tolist(), pa.string()),
+        "b": pa.array(surv["b"].tolist(), pa.string()),
+        "cnt": pa.array(surv["cnt"].to_numpy(np.int64)),
+        "lift_ppm": pa.array(surv["lift_ppm"].to_numpy(np.int64)),
+    })
+
+
+def interarrival_stats(sf_dir: str, rows_per_group: int = 5000):
+    """Per-user event inter-arrival statistics — the ordered ``lag()``
+    window scan over the event stream (burst / churn analysis): for every
+    user, the number of events, the number of consecutive-event gaps, and
+    the exact sum and max of those gaps in integer microseconds, events
+    ordered by ``(ts, event_id)``.
+
+    Scale shape: ONE exchange, the :func:`running_total` pattern — coarse
+    ``hash(user_id)`` groups (~``rows_per_group`` rows), one in-group
+    ``lexsort``; gaps come from a single ``np.diff`` with cross-user
+    boundary positions masked, per-user sums from two prefix-sum lookups
+    (int64-exact), and the per-user max from ``np.maximum.reduceat`` over
+    the masked diff (boundary slots carry int64.min, so they never win)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+    n_rows = ev.count()
+    n_groups = int(max(32, n_rows // rows_per_group))
+
+    def pre(t: pa.Table) -> pa.Table:
+        user = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "user_id": pa.array(user),
+            "gk": pa.array(_coarse_key(user, n_groups), pa.int64()),
+        })
+
+    def scan(g: dict) -> dict:
+        user = np.asarray(g["user_id"], np.int64)
+        ts = np.asarray(g["ts_us"], np.int64)
+        eid = np.asarray(g["event_id"], np.int64)
+        order = np.lexsort((eid, ts, user))
+        user_s, ts_s = user[order], ts[order]
+        n = len(user_s)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], user_s[1:] != user_s[:-1])))
+        seg_len = np.diff(np.append(starts, n))
+        d = np.diff(ts_s)                       # n-1 candidate gaps
+        valid = user_s[1:] == user_s[:-1]       # same-user positions
+        dsum = np.where(valid, d, 0)
+        cum = np.concatenate(([0], np.cumsum(dsum)))
+        ends = np.append(starts[1:], n)
+        sum_gap = cum[ends - 1] - cum[starts]   # d[s : e-1] summed
+        has_gap = seg_len >= 2
+        max_gap = np.zeros(len(starts), np.int64)
+        if d.size:
+            dmax = np.where(valid, d, np.iinfo(np.int64).min)
+            red = np.maximum.reduceat(
+                dmax, np.minimum(starts, d.size - 1))
+            max_gap[has_gap] = red[has_gap]
+        return {"user_id": user_s[starts],
+                "n_events": seg_len.astype(np.int64),
+                "n_gaps": (seg_len - 1).astype(np.int64),
+                "sum_gap_us": sum_gap.astype(np.int64),
+                "max_gap_us": max_gap}
+
+    return (ev.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(scan, batch_format="numpy")
+            .sort("user_id"))
+
+
+def histogram_numeric(sf_dir: str, width_cents: int = 2_500_000):
+    """Fixed-width histogram of order totals — the classic distribution
+    primitive (``width_bucket`` / numeric_histogram): bucket =
+    ``cents // width`` on the exact integer-cents grid (:func:`_cents`),
+    one row per non-empty bucket with its inclusive lower bound.
+
+    Scale shape: per-block ``np.unique`` partial counts (the exchange
+    carries at most ``n_buckets`` rows per block, never row counts) →
+    one tiny ``groupby(bucket).Sum`` — the canonical pre-aggregated
+    combiner; at 100 TB the shuffle is a few hundred rows."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        bucket = cents // np.int64(width_cents)
+        uniq, counts = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    out = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+           .sort("bucket"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "lo_cents": pa.array(bucket * np.int64(width_cents)),
+            "n": pa.array(t.column("n").to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
