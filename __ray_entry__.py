@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lift": lambda sf: ops.bigram_lift(sf),
         "interarrival_stats": lambda sf: ops.interarrival_stats(sf),
         "histogram_numeric": lambda sf: ops.histogram_numeric(sf),
+        "skyline": lambda sf: ops.skyline(sf),
+        "snapshot_diff": lambda sf: ops.snapshot_diff(sf),
+        "customer_ltv": lambda sf: ops.customer_ltv(sf),
         # ordered per-conversation flattening into training documents
         # (the turns oracle path: string_agg ORDER BY turn_idx)
         "conv_flatten": lambda sf: ops.conv_flatten(_turns_ds(sf)),
@@ -1218,6 +1221,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(max(ts_us - prev), 0) AS BIGINT)
                        AS max_gap_us
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        # 2-D max-max Pareto frontier on the integer grid; duplicate
+        # frontier points survive (equal rows never dominate)
+        "skyline": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     epoch_us(o_orderdate) AS ts_us
+              FROM orders
+            )
+            SELECT o_orderkey, cents, ts_us FROM o a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM o b
+              WHERE b.cents >= a.cents AND b.ts_us >= a.ts_us
+                AND (b.cents > a.cents OR b.ts_us > a.ts_us)
+            )
+            ORDER BY o_orderkey
+        """,
+        # snapshot delta: A drops %11 keys, B drops %7 keys and reprices
+        # %5 keys one dollar up; -1 marks the missing side
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), a AS (
+              SELECT * FROM base WHERE o_orderkey % 11 <> 0
+            ), b AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN cents + 100
+                          ELSE cents END AS cents
+              FROM base WHERE o_orderkey % 7 <> 0
+            )
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   coalesce(a.cents, -1) AS old_cents,
+                   coalesce(b.cents, -1) AS new_cents
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+               OR a.cents <> b.cents
+            ORDER BY o_orderkey
+        """,
+        # 3-table enrichment without a join operator; revenue in exact
+        # per-lineitem-rounded cents (the pricing_summary convention)
+        "customer_ltv": """
+            WITH orev AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice *
+                                         (1 - l_discount) * 100)
+                                   AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY l_orderkey
+            ), po AS (
+              SELECT o.o_custkey, coalesce(orev.rev, 0) AS rev,
+                     epoch_us(o.o_orderdate) AS ts
+              FROM orders o
+              LEFT JOIN orev ON o.o_orderkey = orev.l_orderkey
+            )
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(rev) AS BIGINT) AS gross_cents,
+                   CAST(max(ts) AS BIGINT) AS last_order_ts_us
+            FROM po JOIN customer c ON po.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+            ORDER BY c.c_custkey
         """,
         # fixed-width histogram on the exact integer-cents grid
         "histogram_numeric": """

@@ -143,6 +143,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bigram_lift", lambda: ops.bigram_lift(sf_dir))
     timed("interarrival_stats", lambda: ops.interarrival_stats(sf_dir))
     timed("histogram_numeric", lambda: ops.histogram_numeric(sf_dir))
+    timed("skyline", lambda: ops.skyline(sf_dir))
+    timed("snapshot_diff", lambda: ops.snapshot_diff(sf_dir))
+    timed("customer_ltv", lambda: ops.customer_ltv(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

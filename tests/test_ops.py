@@ -1500,3 +1500,121 @@ def test_conv_flatten(ray_session, tmp_path):
     assert got["n_chars"] == [len(docs["c1"]), len(docs["c2"])]
     assert got["doc_md5"] == [
         hashlib.md5(docs[c].encode()).hexdigest() for c in ("c1", "c2")]
+
+
+def test_skyline_kernel_matches_bruteforce():
+    """Vectorised frontier kernel vs O(n²) dominance on random integer
+    grids with heavy ties and exact duplicates."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        p = rng.integers(0, 8, n).astype(np.int64)
+        d = rng.integers(0, 8, n).astype(np.int64)
+        want = np.array([
+            not any((p[j] >= p[i] and d[j] >= d[i]
+                     and (p[j] > p[i] or d[j] > d[i]))
+                    for j in range(n))
+            for i in range(n)])
+        got = ops._skyline_kernel(p, d)
+        assert (got == want).all(), (trial, p.tolist(), d.tolist())
+
+
+def test_skyline_distributed(ray_session, tmp_path):
+    """Per-block combiner + final reduce == whole-table kernel, with a
+    duplicated frontier point surviving twice."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [  # (key, price, day_offset) — (300, 5) duplicated
+        (1, 300.0, 5), (2, 300.0, 5), (3, 250.0, 9), (4, 400.0, 1),
+        (5, 100.0, 2), (6, 300.0, 4), (7, 399.99, 9),
+    ]
+    d = tmp_path / "sky"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([1] * len(rows), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([base + r[2] * day for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"] * len(rows), pa.string()),
+    }), str(d / "orders.parquet"))
+    got = to_arrow(ops.skyline(str(d))).to_pydict()
+    # frontier: 4 (400, d1), 7 (399.99, d9); 1,2 (300, d5) dominated by 7
+    assert got["o_orderkey"] == [4, 7]
+
+
+def test_snapshot_diff(ray_session, tmp_path):
+    """Every delta class exercised: added (%11), removed (%7), changed
+    (%5), the %55 added-and-repriced overlap, and silent rows."""
+    import pyarrow.parquet as pq
+    keys = [1, 2, 5, 7, 11, 35, 55, 77, 10, 22]
+    d = tmp_path / "snap"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array([1] * len(keys), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(keys), pa.string()),
+        "o_totalprice": pa.array([10.0 * k for k in keys], pa.float64()),
+        "o_orderdate": pa.array([pd.Timestamp("2024-01-01")] * len(keys),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"] * len(keys), pa.string()),
+    }), str(d / "orders.parquet"))
+    got = to_arrow(ops.snapshot_diff(str(d))).to_pydict()
+    want = {  # key -> (status, old_cents, new_cents)
+        5: ("changed", 5000, 5100),
+        7: ("removed", 7000, -1),
+        10: ("changed", 10000, 10100),
+        11: ("added", -1, 11000),
+        22: ("added", -1, 22000),
+        35: ("removed", 35000, -1),     # %7 wins: absent from B
+        55: ("added", -1, 55100),       # absent from A, repriced in B
+        # key 77: %11 -> absent from A; %7 -> absent from B: silent
+    }
+    assert dict(zip(got["o_orderkey"],
+                    zip(got["status"], got["old_cents"],
+                        got["new_cents"]))) == want
+
+
+def test_customer_ltv(ray_session, tmp_path):
+    """3-table enrichment vs pandas brute force: an order with no
+    lineitems counts with zero revenue; a customer with no orders is
+    silent; last_order_ts is the max over the customer's orders."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    base = dt.datetime(2024, 6, 1)
+    day = dt.timedelta(days=1)
+    d = tmp_path / "ltv"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["ann", "bob", "cid"], pa.string()),
+        "c_mktsegment": pa.array(["AUTO", "BUILD", "AUTO"], pa.string()),
+        "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+        "o_totalprice": pa.array([0.0] * 3, pa.float64()),
+        "o_orderdate": pa.array([base, base + 3 * day, base + day],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"] * 3, pa.string()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({  # order 12 has NO lineitems
+        "l_orderkey": pa.array([10, 10, 11], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.005, 20.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.1, 0.5], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    got = to_arrow(ops.customer_ltv(str(d))).to_pydict()
+    us = 86_400_000_000
+    base_us = int(base.timestamp() * 1_000_000)
+    # cust 1: rev = 10000 + round(45.0045*100)=4500 + 1000 = 15500
+    assert got["c_custkey"] == [1, 2]
+    assert got["n_orders"] == [2, 1]
+    assert got["gross_cents"] == [10000 + 4500 + 1000, 0]
+    assert got["last_order_ts_us"] == [base_us + 3 * us, base_us + us]
+    assert got["c_name"] == ["ann", "bob"]
+    assert got["c_mktsegment"] == ["AUTO", "BUILD"]

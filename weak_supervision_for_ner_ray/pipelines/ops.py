@@ -5002,3 +5002,300 @@ def histogram_numeric(sf_dir: str, width_cents: int = 2_500_000):
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _skyline_kernel(p: np.ndarray, d: np.ndarray
+                    ) -> np.ndarray:
+    """Boolean survivor mask for the 2-D max-max Pareto frontier:
+    a row is dominated iff some other row is ≥ in both coordinates and
+    > in at least one.  Vectorised: sort by (p desc, d desc); within an
+    equal-``p`` group only the max-``d`` rows can survive, and they do
+    iff that max strictly beats the best ``d`` seen at any strictly
+    higher ``p`` (equal rows never dominate each other, so duplicates
+    of a frontier point all survive)."""
+    n = len(p)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-d, -p))
+    ps, ds = p[order], d[order]
+    starts = np.flatnonzero(np.concatenate(([True], ps[1:] != ps[:-1])))
+    seg_len = np.diff(np.append(starts, n))
+    gmax = ds[starts]                       # per-group max d (d sorted desc)
+    prev = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(gmax)[:-1]))  # best d at strictly higher p
+    grp_ok = gmax > prev
+    keep_sorted = np.repeat(grp_ok, seg_len) & \
+        (ds == np.repeat(gmax, seg_len))
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(sf_dir: str):
+    """2-D Pareto frontier (skyline) of orders — maximise total price AND
+    recency: the multi-criteria "best offers" primitive (no single row
+    both pricier and more recent exists).  Exact on the integer grid
+    (cents, epoch µs); duplicate frontier points all survive (equal rows
+    never dominate each other).
+
+    Scale shape: the skyline operator distributes as a pure combiner —
+    ``skyline(union of per-block skylines) == global skyline`` (any
+    globally dominated row is already dominated inside its own block by
+    the same dominator's block-local survivor) — so each block reduces
+    itself with one vectorised ``lexsort`` kernel, and only frontier
+    candidates (tiny for non-adversarial data) reach the final
+    single-group reduce."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderdate"])
+
+    def local(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = _skyline_kernel(cents, ts)
+        return pa.table({"o_orderkey": pa.array(okey[keep]),
+                         "cents": pa.array(cents[keep]),
+                         "ts_us": pa.array(ts[keep]),
+                         "gk": pa.array(np.zeros(int(keep.sum()),
+                                                 np.int64))})
+
+    def final(g: dict) -> dict:
+        p = np.asarray(g["cents"], np.int64)
+        d = np.asarray(g["ts_us"], np.int64)
+        okey = np.asarray(g["o_orderkey"], np.int64)
+        keep = _skyline_kernel(p, d)
+        return {"o_orderkey": okey[keep], "cents": p[keep],
+                "ts_us": d[keep]}
+
+    return (orders.map_batches(local, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("gk").map_groups(final, batch_format="numpy")
+            .sort("o_orderkey"))
+
+
+def snapshot_diff(sf_dir: str):
+    """Snapshot delta (the CDC / incremental-ETL primitive): diff two
+    deterministic versions of the orders table — snapshot A omits keys
+    ``% 11 == 0`` (rows *added* later), snapshot B omits keys ``% 7 == 0``
+    (rows *removed*) and reprices keys ``% 5 == 0`` one dollar higher
+    (rows *changed*) — emitting ``(key, status, old_cents, new_cents)``
+    with ``-1`` for the missing side (status ∈ added/removed/changed;
+    unchanged rows are silent).
+
+    Scale shape: both snapshots come off ONE column-pruned read each,
+    tagged ``side`` 0/1, and the diff is a single coarse
+    ``hash(o_orderkey)`` groupby — the full-outer-join-by-pk compare
+    without a join operator: inside a group a ``lexsort`` pairs the at
+    most two rows per key, and vectorised masks classify them.  No
+    driver-side state; output is the (small) delta only."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    n_rows = orders.count()
+    n_groups = int(max(32, n_rows // 5000))
+
+    def snap(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            okey = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = _cents(t.column("o_totalprice")).to_numpy().copy()
+            if side == 0:
+                keep = okey % 11 != 0
+            else:
+                keep = okey % 7 != 0
+                cents = np.where(okey % 5 == 0, cents + 100, cents)
+            okey, cents = okey[keep], cents[keep]
+            return pa.table({
+                "o_orderkey": pa.array(okey),
+                "cents": pa.array(cents),
+                "side": pa.array(np.full(len(okey), side, np.int64)),
+                "gk": pa.array(_coarse_key(okey, n_groups), pa.int64()),
+            })
+        return f
+
+    both = orders.map_batches(snap(0), batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(orders.map_batches(snap(1), batch_format="pyarrow",
+                                  zero_copy_batch=True))
+
+    def diff(g: dict) -> dict:
+        okey = np.asarray(g["o_orderkey"], np.int64)
+        cents = np.asarray(g["cents"], np.int64)
+        side = np.asarray(g["side"], np.int64)
+        order = np.lexsort((side, okey))
+        okey, cents, side = okey[order], cents[order], side[order]
+        n = len(okey)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], okey[1:] != okey[:-1])))
+        seg_len = np.diff(np.append(starts, n))
+        k = okey[starts]
+        old = np.where(side[starts] == 0, cents[starts], -1)
+        last = starts + seg_len - 1
+        new = np.where(side[last] == 1, cents[last], -1)
+        added = old == -1
+        removed = new == -1
+        changed = (~added) & (~removed) & (old != new)
+        emit = added | removed | changed
+        status = np.where(added, "added",
+                          np.where(removed, "removed", "changed"))
+        return {"o_orderkey": k[emit],
+                "status": status[emit],
+                "old_cents": old[emit],
+                "new_cents": new[emit]}
+
+    return (both.groupby("gk").map_groups(diff, batch_format="numpy")
+            .sort("o_orderkey"))
+
+
+def customer_ltv(sf_dir: str, rows_per_group: int = 5000):
+    """Customer lifetime value — the canonical 3-table enrichment
+    pipeline (lineitem ⨝ orders ⨝ customer) without a single join
+    operator: per customer, order count, gross revenue in exact cents
+    (Σ ``l_extendedprice·(1−l_discount)`` over all their lineitems) and
+    the latest order timestamp, carrying the customer's name and
+    segment.
+
+    Scale shape: three coarse-grouped exchanges, each over pre-combined
+    rows — (1) lineitems pre-aggregate per order INSIDE each block
+    (``np.unique`` + ``np.bincount`` — the exchange carries per-(block,
+    order) partials, never lineitems), then per-order revenue reduces
+    and pairs with tagged order rows in one ``hash(o_orderkey)``
+    groupby; (2) the resulting (custkey, revenue, ts) rows reduce per
+    customer in a ``hash(custkey)`` groupby; (3) tagged customer
+    attribute rows attach in a second ``hash(custkey)`` groupby.  The
+    tagged-union shape sidesteps the chained-``Dataset.join`` aggregator
+    deadlock (round-4 finding)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    n_orders = orders.count()
+    n_groups = int(max(32, n_orders // rows_per_group))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        okey = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        disc = pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t.column("l_discount"), pa.float64())))
+        cents = _cents(disc, factor=100.0).to_numpy()
+        uniq, inv = np.unique(okey, return_inverse=True)
+        rev = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(uniq),
+            "rev_cents": pa.array(rev),
+            "o_custkey": pa.array(np.full(len(uniq), -1, np.int64)),
+            "ts_us": pa.array(np.full(len(uniq), -1, np.int64)),
+            "gk": pa.array(_coarse_key(uniq, n_groups), pa.int64()),
+        })
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(okey),
+            "rev_cents": pa.array(np.zeros(len(okey), np.int64)),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "gk": pa.array(_coarse_key(okey, n_groups), pa.int64()),
+        })
+
+    def per_order(g: dict) -> dict:
+        okey = np.asarray(g["o_orderkey"], np.int64)
+        rev = np.asarray(g["rev_cents"], np.int64)
+        ck = np.asarray(g["o_custkey"], np.int64)
+        ts = np.asarray(g["ts_us"], np.int64)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        total = np.bincount(inv, weights=rev).astype(np.int64)
+        cust_of = np.full(len(uniq), -1, np.int64)
+        ts_of = np.full(len(uniq), -1, np.int64)
+        has = ck >= 0
+        cust_of[inv[has]] = ck[has]
+        ts_of[inv[has]] = ts[has]
+        keep = cust_of >= 0            # orders absent from orders table
+        ckk = cust_of[keep]
+        return {"c_custkey": ckk,
+                "rev_cents": total[keep],
+                "ts_us": ts_of[keep],
+                "n_orders": np.ones(len(ckk), np.int64),
+                "gk2": _coarse_key(ckk, n_groups)}
+
+    per_cust_in = li.map_batches(li_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)) \
+        .groupby("gk").map_groups(per_order, batch_format="numpy")
+
+    def per_cust(g: dict) -> dict:
+        ck = np.asarray(g["c_custkey"], np.int64)
+        rev = np.asarray(g["rev_cents"], np.int64)
+        ts = np.asarray(g["ts_us"], np.int64)
+        cnt = np.asarray(g["n_orders"], np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return {"c_custkey": uniq,
+                "n_orders": np.bincount(inv, weights=cnt)
+                    .astype(np.int64),
+                "gross_cents": np.bincount(inv, weights=rev)
+                    .astype(np.int64),
+                "last_order_ts_us": _segment_max(ts, inv, len(uniq)),
+                "c_name": np.array([""] * len(uniq), object),
+                "c_mktsegment": np.array([""] * len(uniq), object),
+                "is_attr": np.zeros(len(uniq), np.int64),
+                "gk3": _coarse_key(uniq, n_groups)}
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        z = np.zeros(len(ck), np.int64)
+        return pa.table({
+            "c_custkey": pa.array(ck),
+            "n_orders": pa.array(z),
+            "gross_cents": pa.array(z),
+            "last_order_ts_us": pa.array(z),
+            "c_name": t.column("c_name"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "is_attr": pa.array(np.ones(len(ck), np.int64)),
+            "gk3": pa.array(_coarse_key(ck, n_groups), pa.int64()),
+        })
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        attr = df[df["is_attr"] == 1].set_index("c_custkey")
+        agg = df[df["is_attr"] == 0]
+        # a customer with no orders is silent (inner semantics)
+        agg = agg[agg["c_custkey"].isin(attr.index)]
+        name = attr["c_name"].reindex(agg["c_custkey"]).to_numpy(object)
+        seg = attr["c_mktsegment"].reindex(agg["c_custkey"]) \
+            .to_numpy(object)
+        return pa.table({
+            "c_custkey": pa.array(agg["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(name.tolist(), pa.string()),
+            "c_mktsegment": pa.array(seg.tolist(), pa.string()),
+            "n_orders": pa.array(agg["n_orders"].to_numpy(np.int64)),
+            "gross_cents": pa.array(
+                agg["gross_cents"].to_numpy(np.int64)),
+            "last_order_ts_us": pa.array(
+                agg["last_order_ts_us"].to_numpy(np.int64)),
+        })
+
+    per_cust_ds = per_cust_in.groupby("gk2") \
+        .map_groups(per_cust, batch_format="numpy") \
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return (per_cust_ds.groupby("gk3")
+            .map_groups(attach, batch_format="pandas")
+            .sort("c_custkey"))
+
+
+def _segment_max(vals: np.ndarray, inv: np.ndarray, n_seg: int
+                 ) -> np.ndarray:
+    """Per-segment max via scatter (``np.maximum.at``), int64-exact."""
+    out = np.full(n_seg, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(out, inv, vals)
+    return out
