@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": lambda sf: ops.skyline(sf),
         "snapshot_diff": lambda sf: ops.snapshot_diff(sf),
         "customer_ltv": lambda sf: ops.customer_ltv(sf),
+        "funnel_stages": lambda sf: ops.funnel_stages(sf),
+        "json_props_extract": lambda sf: ops.json_props_extract(sf),
+        "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
         # (the turns oracle path: string_agg ORDER BY turn_idx)
         "conv_flatten": lambda sf: ops.conv_flatten(_turns_ds(sf)),
@@ -1221,6 +1224,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(max(ts_us - prev), 0) AS BIGINT)
                        AS max_gap_us
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        # ordered funnel progression: each stage strictly after the
+        # previous stage's first qualifying event in (ts, event_id) order
+        "funnel_stages": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(rn) AS r1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.rn) AS r2 FROM e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.rn > s1.r1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.rn) AS r3 FROM e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.rn > s2.r2
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.r3 IS NOT NULL THEN 3
+                             WHEN s2.r2 IS NOT NULL THEN 2
+                             WHEN s1.r1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS n_stages,
+                   coalesce(t1.ts_us, -1) AS t1_us,
+                   coalesce(t2.ts_us, -1) AS t2_us,
+                   coalesce(t3.ts_us, -1) AS t3_us
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+            LEFT JOIN e t1 ON t1.user_id = u.user_id AND t1.rn = s1.r1
+            LEFT JOIN e t2 ON t2.user_id = u.user_id AND t2.rn = s2.r2
+            LEFT JOIN e t3 ON t3.user_id = u.user_id AND t3.rn = s3.r3
+            ORDER BY u.user_id
+        """,
+        # shared-RE2 JSON field extraction (same pattern string on both
+        # sides; both engines are RE2, so drops match identically)
+        "json_props_extract": f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (SELECT event_type,
+                         CAST(regexp_extract(props,
+                              '{_ops._PROPS_PATTERN}', 1) AS BIGINT) AS k
+                  FROM events
+                  WHERE regexp_matches(props, '{_ops._PROPS_PATTERN}'))
+            GROUP BY event_type ORDER BY event_type
+        """,
+        # neighbor-set Jaccard over distinct bipartite edges, floor'd
+        # onto the integer-micros grid
+        "supplier_similarity": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+            deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+            pairs AS (
+              SELECT a.s AS s1, b.s AS s2, count(*) AS w
+              FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+              GROUP BY a.s, b.s HAVING count(*) >= 2
+            )
+            SELECT s1, s2, CAST(w AS BIGINT) AS w,
+                   CAST(w * 1000000 // (da.d + db.d - w) AS BIGINT)
+                       AS jaccard_micro
+            FROM pairs JOIN deg da ON pairs.s1 = da.s
+                       JOIN deg db ON pairs.s2 = db.s
+            ORDER BY s1, s2
         """,
         # 2-D max-max Pareto frontier on the integer grid; duplicate
         # frontier points survive (equal rows never dominate)

@@ -146,6 +146,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("skyline", lambda: ops.skyline(sf_dir))
     timed("snapshot_diff", lambda: ops.snapshot_diff(sf_dir))
     timed("customer_ltv", lambda: ops.customer_ltv(sf_dir))
+    timed("funnel_stages", lambda: ops.funnel_stages(sf_dir))
+    timed("json_props_extract", lambda: ops.json_props_extract(sf_dir))
+    timed("supplier_similarity", lambda: ops.supplier_similarity(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

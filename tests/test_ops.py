@@ -1618,3 +1618,111 @@ def test_customer_ltv(ray_session, tmp_path):
     assert got["last_order_ts_us"] == [base_us + 3 * us, base_us + us]
     assert got["c_name"] == ["ann", "bob"]
     assert got["c_mktsegment"] == ["AUTO", "BUILD"]
+
+
+def test_funnel_stages(ray_session, tmp_path):
+    """Sequential-order semantics: a click BEFORE the first view does
+    not count, ties resolve by event_id, dead stages emit -1."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    base = dt.datetime(2024, 2, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [  # (event_id, user, offset_s, type)
+        # user 1: full funnel, with a decoy click at t0 (before view)
+        (1, 1, 0, "click"), (2, 1, 1, "view"), (3, 1, 2, "click"),
+        (4, 1, 3, "purchase"),
+        # user 2: view only (purchase precedes click, so neither counts)
+        (5, 2, 0, "purchase"), (6, 2, 1, "view"),
+        # user 3: never views
+        (7, 3, 0, "signup"),
+        # user 4: view and click SAME ts — event_id orders view first
+        (8, 4, 5, "click"), (9, 4, 5, "purchase"),
+        (10, 4, 4, "view"),
+    ]
+    d = tmp_path / "funnel"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * s for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(d / "events.parquet"))
+    got = to_arrow(ops.funnel_stages(str(d))).to_pydict()
+    t0 = int(base.timestamp() * 1_000_000)
+    M = 1_000_000
+    want = {
+        1: (3, t0 + 1 * M, t0 + 2 * M, t0 + 3 * M),
+        2: (1, t0 + 1 * M, -1, -1),
+        3: (0, -1, -1, -1),
+        # user 4: view@4, then click@5 (id 8 < 9), purchase@5 after it
+        4: (3, t0 + 4 * M, t0 + 5 * M, t0 + 5 * M),
+    }
+    assert dict(zip(got["user_id"],
+                    zip(got["n_stages"], got["t1_us"], got["t2_us"],
+                        got["t3_us"]))) == want
+
+
+def test_json_props_extract(ray_session, tmp_path):
+    """Missing / malformed props rows drop identically; sums and maxes
+    aggregate the extracted integers exactly."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    rows = [  # (type, props)
+        ("click", '{"k": 5}'), ("click", '{"k": -3}'),
+        ("click", 'not json'), ("view", '{"k": 7}'),
+        ("view", '{"x": 9}'),  # no k -> dropped
+    ]
+    d = tmp_path / "props"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * len(rows),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "events.parquet"))
+    got = to_arrow(ops.json_props_extract(str(d))).to_pydict()
+    assert dict(zip(got["event_type"],
+                    zip(got["n"], got["sum_k"], got["max_k"]))) == {
+        "click": (2, 2, 5), "view": (1, 7, 7)}
+
+
+def test_supplier_similarity(ray_session, tmp_path):
+    """Jaccard over distinct neighbor sets vs brute force — duplicate
+    lineitems collapse, min_shared filters, floor division exact."""
+    import pyarrow.parquet as pq
+    edges = [  # (supp, part) with a duplicate edge
+        (1, 10), (1, 11), (1, 12), (1, 12),
+        (2, 10), (2, 11), (2, 13),
+        (3, 12), (3, 13),
+        (4, 99),
+    ]
+    d = tmp_path / "sim"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(len(edges)), pa.int64()),
+        "l_suppkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+        "l_extendedprice": pa.array([1.0] * len(edges), pa.float64()),
+        "l_discount": pa.array([0.0] * len(edges), pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    nb = {}
+    for s, p in set(edges):
+        nb.setdefault(s, set()).add(p)
+    want = {}
+    for a in sorted(nb):
+        for b in sorted(nb):
+            if a < b:
+                w = len(nb[a] & nb[b])
+                if w >= 2:
+                    want[(a, b)] = (
+                        w, w * 1_000_000 // len(nb[a] | nb[b]))
+    got = to_arrow(ops.supplier_similarity(str(d))).to_pydict()
+    assert dict(zip(zip(got["s1"], got["s2"]),
+                    zip(got["w"], got["jaccard_micro"]))) == want
+    assert want == {(1, 2): (2, 2_000_000 // 4)}
