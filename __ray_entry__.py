@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": lambda sf: ops.snapshot_diff(sf),
         "customer_ltv": lambda sf: ops.customer_ltv(sf),
         "funnel_stages": lambda sf: ops.funnel_stages(sf),
+        "bfs_hops": lambda sf: ops.bfs_hops(sf),
+        "part_fuzzy_match": lambda sf: ops.part_fuzzy_match(sf),
         "json_props_extract": lambda sf: ops.json_props_extract(sf),
         "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
@@ -1274,6 +1276,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE regexp_matches(props, '{_ops._PROPS_PATTERN}'))
             GROUP BY event_type ORDER BY event_type
+        """,
+        # single-source BFS hops; UNION (not ALL) dedups (node, d) pairs
+        # so the depth-capped recursion stays bounded; min(d) = hop count
+        "bfs_hops": """
+            WITH RECURSIVE d AS (
+              SELECT DISTINCT l_suppkey AS s,
+                     l_partkey + 4294967296 AS p
+              FROM lineitem
+            ), e AS (
+              SELECT s AS src, p AS dst FROM d
+              UNION ALL SELECT p, s FROM d
+            ), bfs(node, dd) AS (
+              SELECT (SELECT min(l_suppkey) FROM lineitem), 0
+              UNION
+              SELECT e.dst, bfs.dd + 1 FROM bfs
+              JOIN e ON e.src = bfs.node WHERE bfs.dd < 16
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(dd) AS BIGINT) AS hops
+            FROM bfs GROUP BY node ORDER BY node
+        """,
+        # blocked fuzzy match on distinct names; DuckDB levenshtein is
+        # the same unit-cost DP the engine implements
+        "part_fuzzy_match": """
+            WITH n AS (
+              SELECT DISTINCT p_name AS nm,
+                     split_part(p_name, ' ', 2) AS blk
+              FROM part
+            )
+            SELECT a.nm AS a, b.nm AS b,
+                   CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+            FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
+            WHERE levenshtein(a.nm, b.nm) <= 3
+            ORDER BY a, b
         """,
         # neighbor-set Jaccard over distinct bipartite edges, floor'd
         # onto the integer-micros grid

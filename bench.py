@@ -149,6 +149,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("funnel_stages", lambda: ops.funnel_stages(sf_dir))
     timed("json_props_extract", lambda: ops.json_props_extract(sf_dir))
     timed("supplier_similarity", lambda: ops.supplier_similarity(sf_dir))
+    timed("bfs_hops", lambda: ops.bfs_hops(sf_dir))
+    timed("part_fuzzy_match", lambda: ops.part_fuzzy_match(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

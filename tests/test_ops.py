@@ -1726,3 +1726,75 @@ def test_supplier_similarity(ray_session, tmp_path):
     assert dict(zip(zip(got["s1"], got["s2"]),
                     zip(got["w"], got["jaccard_micro"]))) == want
     assert want == {(1, 2): (2, 2_000_000 // 4)}
+
+
+def test_levenshtein_matches_duckdb():
+    """The engine DP == DuckDB levenshtein on random word pairs."""
+    import duckdb
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcde"), rng.integers(0, 8)))
+             for _ in range(40)]
+    con = duckdb.connect()
+    for i in range(0, 40, 2):
+        a, b = words[i], words[i + 1]
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert ops._levenshtein(a, b) == want, (a, b)
+
+
+def test_part_fuzzy_match(ray_session, tmp_path):
+    """Blocked ER matching vs brute force: duplicates collapse, blocks
+    isolate, threshold filters."""
+    import pyarrow.parquet as pq
+    names = ["hot bolt", "hot bolt", "cold bolt", "old bolt",
+             "hot ring", "big ring", "tiny widget"]
+    d = tmp_path / "fuzzy"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(len(names)), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+    }), str(d / "part.parquet"))
+    uniq = sorted(set(names))
+    want = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            if a.split(" ", 1)[1] == b.split(" ", 1)[1]:
+                dist = ops._levenshtein(a, b)
+                if dist <= 3:
+                    want[(a, b)] = dist
+    assert ("cold bolt", "old bolt") in want       # dist 1
+    got = to_arrow(ops.part_fuzzy_match(str(d))).to_pydict()
+    assert dict(zip(zip(got["a"], got["b"]), got["dist"])) == want
+
+
+def test_bfs_hops(ray_session, tmp_path):
+    """Frontier flooding vs brute-force BFS on a two-component graph:
+    the source component gets exact hop counts, the other is absent."""
+    from collections import deque
+    import pyarrow.parquet as pq
+    edges = [  # (supp, part): component A = {1,2} x {10,11}; B = {9}x{99}
+        (1, 10), (1, 11), (2, 11), (9, 99),
+    ]
+    d = tmp_path / "bfs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(len(edges)), pa.int64()),
+        "l_suppkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+        "l_extendedprice": pa.array([1.0] * len(edges), pa.float64()),
+        "l_discount": pa.array([0.0] * len(edges), pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    off = 1 << 32
+    adj = {}
+    for s, p in edges:
+        adj.setdefault(s, []).append(p + off)
+        adj.setdefault(p + off, []).append(s)
+    want, q = {1: 0}, deque([1])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    got = to_arrow(ops.bfs_hops(str(d))).to_pydict()
+    assert dict(zip(got["node"], got["hops"])) == want
+    assert 9 not in dict(zip(got["node"], got["hops"]))

@@ -5524,3 +5524,164 @@ def supplier_similarity(sf_dir: str, min_shared: int = 2,
     return (edges.groupby("gk").map_groups(wedges, batch_format="numpy")
             .groupby("gk2").map_groups(finalize, batch_format="pandas")
             .sort(["s1", "s2"]))
+
+
+def bfs_hops(sf_dir: str, max_iters: int = 16,
+             rows_per_group: int = 5000):
+    """Single-source BFS hop distance over the undirected bipartite
+    supplier—part graph (source = the smallest supplier key) — the
+    reachability / shortest-path primitive completing the graph family
+    (pagerank, components, degrees, motifs, similarity).  Unreached
+    nodes are absent from the output.
+
+    Distributed frontier flooding, the :func:`dedup_clusters` shape made
+    coarse: each iteration unions the materialised edge rows with the
+    current distance rows and runs ONE coarse ``hash(node)`` groupby —
+    inside a group a ``lexsort`` + ``np.minimum.reduceat`` consolidates
+    every node's candidate distances at once and re-emits ``d+1``
+    messages along its edges (no per-node Python).  Distances are
+    monotone non-increasing and the reached set monotone growing, so
+    ``(count, sum)`` of the consolidated rows is an exact fixpoint test;
+    like :func:`dedup_clusters`, non-convergence within ``max_iters``
+    raises instead of returning wrong hops.  Converges in
+    graph-diameter iterations (tiny for this dense bipartite graph);
+    the oracle replays it as a depth-capped recursive CTE."""
+    edges, n_groups = _bipartite_edges(sf_dir, rows_per_group)
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+    src = int(li.min("l_suppkey"))
+    big = np.iinfo(np.int64).max
+
+    state = rd.from_arrow(pa.table({
+        "key": pa.array([src], pa.int64()),
+        "dst": pa.array([-1], pa.int64()),
+        "deg": pa.array([-1], pa.int64()),
+        "r": pa.array([0], pa.int64()),
+        "tag": pa.array([1], pa.int8()),
+        "gk": pa.array(_coarse_key(np.array([src], np.int64),
+                                   n_groups), pa.int64()),
+    }))
+
+    def prop(g: dict) -> dict:
+        key = np.asarray(g["key"], np.int64)
+        dst = np.asarray(g["dst"], np.int64)
+        r = np.asarray(g["r"], np.int64)
+        tag = np.asarray(g["tag"], np.int8)
+        order = np.lexsort((key,))
+        k_s, d_s, r_s, t_s = key[order], dst[order], r[order], tag[order]
+        n = len(k_s)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k_s[1:] != k_s[:-1])))
+        seg_id = np.cumsum(np.concatenate(
+            ([False], k_s[1:] != k_s[:-1]))).astype(np.int64)
+        cand = np.where(t_s >= 1, r_s, big)
+        dmin = np.minimum.reduceat(cand, starts)
+        reached = dmin < big
+        uniq = k_s[starts]
+        edge_mask = (t_s == 0) & reached[seg_id]
+        out_key = np.concatenate([uniq[reached], d_s[edge_mask]])
+        out_r = np.concatenate([dmin[reached],
+                                dmin[seg_id][edge_mask] + 1])
+        n_self = int(reached.sum())
+        out_tag = np.concatenate(
+            [np.full(n_self, 2, np.int8),
+             np.ones(len(out_key) - n_self, np.int8)])
+        fill = np.full(len(out_key), -1, np.int64)
+        return {"key": out_key, "dst": fill, "deg": fill, "r": out_r,
+                "tag": out_tag,
+                "gk": _coarse_key(out_key, n_groups)}
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.cast(t.column("tag"), pa.int8()), 2))
+
+    prev = None
+    for _ in range(max_iters):
+        state = edges.union(state).groupby("gk").map_groups(
+            prop, batch_format="numpy").materialize()
+        sr = state.map_batches(self_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        cur = (sr.count(), sr.sum("r"))
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"bfs_hops: frontier still active after {max_iters} "
+            f"iterations; the graph has diameter > {max_iters} — rerun "
+            f"with a higher max_iters")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = self_rows(t)
+        return pa.table({"node": t.column("key"),
+                         "hops": t.column("r")})
+
+    return (state.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort("node"))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (two-row DP) — the standard definition
+    DuckDB's ``levenshtein()`` implements, so engine and oracle agree."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def part_fuzzy_match(sf_dir: str, max_dist: int = 3):
+    """Entity-resolution fuzzy matching over part names — the
+    blocking-then-verify pattern every record-linkage / KG-canonicalise
+    pipeline runs: DEDUP to distinct names first (a combiner — raw rows
+    are massively duplicated), block by a cheap key (the head noun, i.e.
+    the second name token), and verify only within-block pairs with unit
+    edit distance ≤ ``max_dist``.  Never an all-pairs pass over rows.
+
+    Scale shape: per-block ``np.unique`` name partials → one coarse
+    ``hash(block)`` groupby holds every name of a block; inside, names
+    dedup globally and pairs come from a per-block ``triu``; the edit
+    distance runs only on the (vocabulary-sized, not corpus-sized)
+    surviving candidate pairs.  The oracle is the identical blocked
+    ``levenshtein()`` self-join."""
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    n_groups = _join_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = np.unique(np.asarray(
+            t.column("p_name").to_pylist(), object))
+        blk = np.asarray([n.split(" ", 1)[1] if " " in n else n
+                          for n in names], object)
+        return pa.table({
+            "nm": pa.array(names.tolist(), pa.string()),
+            "blk": pa.array(blk.tolist(), pa.string()),
+            "gk": pa.array((pd.util.hash_array(blk)
+                            % np.uint64(n_groups)).astype(np.int64)),
+        })
+
+    def match(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates("nm")
+        a_out, b_out, d_out = [], [], []
+        for _, grp in df.groupby("blk", sort=False):
+            names = sorted(grp["nm"])
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    d = _levenshtein(names[i], names[j])
+                    if d <= max_dist:
+                        a_out.append(names[i])
+                        b_out.append(names[j])
+                        d_out.append(d)
+        return pa.table({
+            "a": pa.array(a_out, pa.string()),
+            "b": pa.array(b_out, pa.string()),
+            "dist": pa.array(d_out, pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(match, batch_format="pandas")
+            .sort(["a", "b"]))
