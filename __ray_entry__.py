@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": lambda sf: ops.bfs_hops(sf),
         "part_fuzzy_match": lambda sf: ops.part_fuzzy_match(sf),
         "json_props_extract": lambda sf: ops.json_props_extract(sf),
+        "hll_distinct": lambda sf: ops.hll_distinct(sf),
+        "countmin_sketch": lambda sf: ops.countmin_sketch(sf),
         "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
         # (the turns oracle path: string_agg ORDER BY turn_idx)
@@ -1276,6 +1278,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE regexp_matches(props, '{_ops._PROPS_PATTERN}'))
             GROUP BY event_type ORDER BY event_type
+        """,
+        # HyperLogLog: registers AND the float-free raw estimate are
+        # integer-exact (generated trailing-zero CASE chain + HUGEINT
+        # power table + arbitrary-precision numerator literal)
+        "hll_distinct": f"""
+            WITH toks AS (
+              SELECT DISTINCT
+                     unnest(list_filter(regexp_split_to_array(text,
+                                                              '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), h AS (SELECT md5_number_lower(w) AS hv FROM toks),
+            rr AS (SELECT CAST(hv >> 56 AS BIGINT) AS bucket,
+                          hv & CAST(72057594037927935 AS UBIGINT) AS rem
+                   FROM h),
+            rho AS (SELECT bucket,
+                           CASE WHEN rem = 0 THEN 57 {" ".join(
+                               f"WHEN rem % {1 << k} = {1 << (k - 1)} "
+                               f"THEN {k}" for k in range(1, 57))}
+                           END AS rho
+                    FROM rr),
+            regs AS (SELECT bucket, max(rho) AS reg FROM rho
+                     GROUP BY bucket),
+            full_regs AS (
+              SELECT t.i AS bucket, coalesce(regs.reg, 0) AS reg
+              FROM (SELECT unnest(range(256)) AS i) t
+              LEFT JOIN regs ON regs.bucket = t.i
+            )
+            SELECT CAST(256 AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_zero,
+                   CAST(sum(reg) AS BIGINT) AS reg_sum,
+                   CAST(CAST('{_ops._HLL_ALPHA_MICRO * _ops._HLL_M
+                              * _ops._HLL_M * (1 << 64)}' AS HUGEINT)
+                        // (1000000 * sum(CASE reg {" ".join(
+                            f"WHEN {k} THEN CAST('{1 << (64 - k)}' "
+                            f"AS HUGEINT)" for k in range(0, 58))} END))
+                        AS BIGINT) AS est_raw
+            FROM full_regs
+        """,
+        # Count-Min registers: 4 x 1024 integer counters over token
+        # occurrences, row hash = md5_number_lower('r:' || token) % w
+        "countmin_sketch": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(text,
+                                                              '\\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), h AS (
+              SELECT CAST(t.r AS BIGINT) AS rw,
+                     CAST(md5_number_lower(CAST(t.r AS VARCHAR) || ':'
+                                           || w) % 1024 AS BIGINT)
+                         AS bucket
+              FROM toks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) t
+            )
+            SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM h GROUP BY rw, bucket ORDER BY rw, bucket
         """,
         # single-source BFS hops; UNION (not ALL) dedups (node, d) pairs
         # so the depth-capped recursion stays bounded; min(d) = hop count

@@ -151,6 +151,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("supplier_similarity", lambda: ops.supplier_similarity(sf_dir))
     timed("bfs_hops", lambda: ops.bfs_hops(sf_dir))
     timed("part_fuzzy_match", lambda: ops.part_fuzzy_match(sf_dir))
+    timed("hll_distinct", lambda: ops.hll_distinct(sf_dir))
+    timed("countmin_sketch", lambda: ops.countmin_sketch(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

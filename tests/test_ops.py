@@ -1798,3 +1798,63 @@ def test_bfs_hops(ray_session, tmp_path):
     got = to_arrow(ops.bfs_hops(str(d))).to_pydict()
     assert dict(zip(got["node"], got["hops"])) == want
     assert 9 not in dict(zip(got["node"], got["hops"]))
+
+
+def test_hll_distinct(ray_session, tmp_path):
+    """HLL registers/estimate vs a sequential reference implementation,
+    and the estimate lands within the 3-sigma band for m=256."""
+    import hashlib as hl
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(200)]
+    d = tmp_path / "hll"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    distinct = set()
+    for t in texts:
+        distinct.update(ops._ws_tokens(t))
+    regs = [0] * ops._HLL_M
+    for w in distinct:
+        h = int.from_bytes(hl.md5(w.encode()).digest()[8:], "little")
+        b, rem = h >> 56, h & ((1 << 56) - 1)
+        rho = 57 if rem == 0 else (rem & -rem).bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(1 << (64 - m) for m in regs)
+    want_est = (ops._HLL_ALPHA_MICRO * 256 * 256 * (1 << 64)) \
+        // (1_000_000 * s)
+    got = to_arrow(ops.hll_distinct(str(d))).to_pydict()
+    assert got["reg_sum"] == [sum(regs)]
+    assert got["v_zero"] == [regs.count(0)]
+    assert got["est_raw"] == [want_est]
+    # standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(got["est_raw"][0] - len(distinct)) < 0.2 * len(distinct)
+
+
+def test_countmin_sketch(ray_session, tmp_path):
+    """Registers sum to the total token count per row, and point
+    estimates never underestimate the true frequency."""
+    from collections import Counter
+    import pyarrow.parquet as pq
+    texts = ["the cat sat on the mat", "the dog ate the bone",
+             "a cat and a dog"] * 5
+    d = tmp_path / "cm"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    true = Counter()
+    for t in texts:
+        true.update(ops._ws_tokens(t))
+    sketch = to_arrow(ops.countmin_sketch(str(d)))
+    df = sketch.to_pandas()
+    total = sum(true.values())
+    for r in range(ops._CM_DEPTH):
+        assert df[df["rw"] == r]["cnt"].sum() == total
+    for w, c in true.items():
+        assert ops.cm_point_estimate(sketch, w) >= c
+    assert ops.cm_point_estimate(sketch, "the") == true["the"]  # no collision at this scale

@@ -5685,3 +5685,148 @@ def part_fuzzy_match(sf_dir: str, max_dist: int = 3):
                            zero_copy_batch=True)
             .groupby("gk").map_groups(match, batch_format="pandas")
             .sort(["a", "b"]))
+
+
+_HLL_P = 8                              # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_REM_BITS = 64 - _HLL_P             # 56-bit remainder field
+_HLL_ALPHA_MICRO = 718273               # 0.7213/(1+1.079/256), fixed
+
+
+def hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-token count — the OTHER canonical mergeable
+    cardinality sketch beside :func:`distinct_token_kmv` (HLL is what
+    production systems actually run: 256 one-byte registers vs KMV's k
+    hashes).  Stays bit-exact end to end: token hash =
+    ``md5_number_lower``; register ``M_b`` = max over the bucket of
+    (trailing zeros of the 56-bit remainder + 1, 57 when zero); the raw
+    estimate ``alpha·m²/Σ 2^−M_b`` is evaluated in ARBITRARY-PRECISION
+    integers (numerator and the `2^(64−M)` table precomputed, floor
+    division) so even the float-free estimator hash-matches the oracle's
+    generated-CASE HUGEINT SQL.  Raw estimator only — the small-range
+    linear-counting correction needs ln(), off the integer grid; both
+    sides omit it identically.
+
+    Scale shape: per-block distinct-token register partials (a 256-slot
+    scatter-max per block) → ``groupby(bucket).Max`` over ≤ 256·blocks
+    tiny rows — the textbook mergeable-sketch exchange; the driver folds
+    256 registers."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks: set = set()
+        for text in batch["text"]:
+            if isinstance(text, str):
+                toks.update(_ws_tokens(text))
+        if not toks:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.int64())})
+        h = _stable_token_hashes(sorted(toks))
+        bucket = (h >> np.uint64(_HLL_REM_BITS)).astype(np.int64)
+        rem = h & np.uint64((1 << _HLL_REM_BITS) - 1)
+        lb = rem & (~rem + np.uint64(1))          # lowest set bit
+        rho = np.where(
+            rem == 0, np.int64(_HLL_REM_BITS + 1),
+            (np.log2(lb.astype(np.float64) + (rem == 0))  # exact: 2^k
+             .astype(np.int64) + 1))
+        regs = np.zeros(_HLL_M, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "reg": pa.array(regs[nz])})
+
+    merged = _to_arrow(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket").aggregate(Max("reg", alias_name="reg")))
+    regs = np.zeros(_HLL_M, np.int64)
+    if merged.num_rows:
+        b = merged.column("bucket").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = merged.column("reg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        np.maximum.at(regs, b, r)
+    v_zero = int((regs == 0).sum())
+    s = sum(1 << (64 - int(m)) for m in regs)
+    est = (_HLL_ALPHA_MICRO * _HLL_M * _HLL_M * (1 << 64)) \
+        // (1_000_000 * s)
+    return pa.table({
+        "m": pa.array([_HLL_M], pa.int64()),
+        "v_zero": pa.array([v_zero], pa.int64()),
+        "reg_sum": pa.array([int(regs.sum())], pa.int64()),
+        "est_raw": pa.array([est], pa.int64()),
+    })
+
+
+_CM_WIDTH = 1024
+_CM_DEPTH = 4
+
+
+def countmin_sketch(sf_dir: str):
+    """Count-Min frequency sketch over token OCCURRENCES (with repeats —
+    this is the frequency sketch, not a cardinality sketch): ``d = 4``
+    rows × ``w = 1024`` counters, row-``r`` hash =
+    ``md5_number_lower('r:' || token) % w``.  The registers are pure
+    integer counts, so the whole 4096-counter sketch hash-matches the
+    oracle; the point-query guarantee (estimate = min over rows ≥ true
+    count) is pinned by pytest against exact counts.
+
+    Scale shape: per-block scatter-add into a local (d, w) grid (one
+    ``np.unique`` per block, counts ride the weights) → a single
+    ``groupby(packed key).Sum`` over ≤ 4096·blocks rows — mergeable-
+    sketch exchange, nothing proportional to the corpus crosses the
+    wire."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks: list[str] = []
+        for text in batch["text"]:
+            if isinstance(text, str):
+                toks.extend(_ws_tokens(text))
+        if not toks:
+            return pa.table({"rb": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks, object),
+                                 return_counts=True)
+        grid = np.zeros((_CM_DEPTH, _CM_WIDTH), np.int64)
+        for r in range(_CM_DEPTH):
+            hr = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{r}:{w}".encode("utf-8")).digest()[8:],
+                    "little") for w in uniq),
+                np.uint64, len(uniq))
+            np.add.at(grid[r], (hr % np.uint64(_CM_WIDTH))
+                      .astype(np.int64), counts)
+        rb, flat = np.flatnonzero(grid), grid.ravel()
+        return pa.table({"rb": pa.array(rb.astype(np.int64)),
+                         "cnt": pa.array(flat[rb])})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rb = t.column("rb").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "rw": pa.array(rb // _CM_WIDTH),
+            "bucket": pa.array(rb % _CM_WIDTH),
+            "cnt": pc.cast(t.column("cnt"), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("rb").aggregate(Sum("cnt", alias_name="cnt"))
+            .repartition(4)
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort(["rw", "bucket"]))
+
+
+def cm_point_estimate(sketch: pa.Table, token: str) -> int:
+    """Count-Min point query: min over rows of the token's counter."""
+    rw = sketch.column("rw").to_numpy(zero_copy_only=False)
+    bucket = sketch.column("bucket").to_numpy(zero_copy_only=False)
+    cnt = sketch.column("cnt").to_numpy(zero_copy_only=False)
+    est = None
+    for r in range(_CM_DEPTH):
+        h = int.from_bytes(
+            hashlib.md5(f"{r}:{token}".encode("utf-8")).digest()[8:],
+            "little") % _CM_WIDTH
+        hit = cnt[(rw == r) & (bucket == h)]
+        v = int(hit[0]) if len(hit) else 0
+        est = v if est is None else min(est, v)
+    return int(est or 0)
