@@ -5577,10 +5577,27 @@ def bfs_hops(sf_dir: str, max_iters: int = 16,
         dmin = np.minimum.reduceat(cand, starts)
         reached = dmin < big
         uniq = k_s[starts]
-        edge_mask = (t_s == 0) & reached[seg_id]
-        out_key = np.concatenate([uniq[reached], d_s[edge_mask]])
-        out_r = np.concatenate([dmin[reached],
-                                dmin[seg_id][edge_mask] + 1])
+        # unweighted-BFS invariant: the first arrival IS the hop count,
+        # so a node floods its edges exactly ONCE (the iteration it is
+        # first reached) — settled nodes (an own tag-2 row present) emit
+        # only their self row, which bounds steady-state message volume
+        # by the frontier, not the graph
+        settled = np.maximum.reduceat(
+            (t_s == 2).astype(np.int8), starts) > 0
+        new = reached & ~settled
+        edge_mask = (t_s == 0) & new[seg_id]
+        msg_dst = d_s[edge_mask]
+        msg_r = dmin[seg_id][edge_mask] + 1
+        if len(msg_dst):
+            # messages to the same target collapse to their min INSIDE
+            # the producing group — a frontier burst shrinks ~deg-fold
+            # before it hits the wire
+            order2 = np.lexsort((msg_r, msg_dst))
+            md, mr = msg_dst[order2], msg_r[order2]
+            first = np.concatenate(([True], md[1:] != md[:-1]))
+            msg_dst, msg_r = md[first], mr[first]
+        out_key = np.concatenate([uniq[reached], msg_dst])
+        out_r = np.concatenate([dmin[reached], msg_r])
         n_self = int(reached.sum())
         out_tag = np.concatenate(
             [np.full(n_self, 2, np.int8),
@@ -5597,9 +5614,12 @@ def bfs_hops(sf_dir: str, max_iters: int = 16,
     for _ in range(max_iters):
         state = edges.union(state).groupby("gk").map_groups(
             prop, batch_format="numpy").materialize()
-        sr = state.map_batches(self_rows, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        cur = (sr.count(), sr.sum("r"))
+        # the reached-set size is monotone and stalls EXACTLY when no
+        # node was newly reached — and no new reaches means no messages
+        # were emitted either, so this single filtered count over the
+        # (frontier-sized, not graph-sized) state is a sound fixpoint
+        cur = state.map_batches(self_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).count()
         if cur == prev:
             break
         prev = cur
