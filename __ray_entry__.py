@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_extract": lambda sf: ops.json_props_extract(sf),
         "hll_distinct": lambda sf: ops.hll_distinct(sf),
         "countmin_sketch": lambda sf: ops.countmin_sketch(sf),
+        "containment_pairs": lambda sf: ops.containment_pairs(sf),
+        "quantile_global": lambda sf: ops.quantile_global(sf),
         "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
         # (the turns oracle path: string_agg ORDER BY turn_idx)
@@ -1278,6 +1280,61 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE regexp_matches(props, '{_ops._PROPS_PATTERN}'))
             GROUP BY event_type ORDER BY event_type
+        """,
+        # asymmetric shingle containment with the stop-shingle cap
+        # applied identically on both sides (HAVING df <= 50)
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) = 0 THEN []
+                          WHEN len(tk) < 3
+                               THEN [array_to_string(tk, ' ')]
+                          ELSE list_distinct(list_transform(
+                              range(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1] || ' '
+                                   || tk[i+2]))
+                     END AS grams
+              FROM toks
+            ), x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            df AS (SELECT gram FROM x GROUP BY gram
+                   HAVING count(*) <= 50),
+            y AS (SELECT doc_id, gram FROM x JOIN df USING (gram)),
+            sz AS (SELECT doc_id, count(*) AS s FROM y GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                          count(*) AS inter
+                   FROM y a JOIN y b ON a.gram = b.gram
+                                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT it.a, it.b, inter, sa.s AS ca, sb.s AS cb,
+                   inter * 1000000 // sa.s AS cont_a_micro,
+                   inter * 1000000 // sb.s AS cont_b_micro
+            FROM it JOIN sz sa ON it.a = sa.doc_id
+                    JOIN sz sb ON it.b = sb.doc_id
+            WHERE greatest(inter * 1000000 // sa.s,
+                           inter * 1000000 // sb.s) >= 500000
+            ORDER BY a, b
+        """,
+        # exact global quantiles on the integer-cents grid
+        # (quantile_disc index rule, the percentile_by_group convention)
+        "quantile_global": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS cents FROM orders)
+            SELECT CAST(500000 AS BIGINT) AS p_micro,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS cents
+            FROM c
+            UNION ALL
+            SELECT 950000, CAST(quantile_disc(cents, 0.95) AS BIGINT)
+            FROM c
+            UNION ALL
+            SELECT 990000, CAST(quantile_disc(cents, 0.99) AS BIGINT)
+            FROM c
+            ORDER BY p_micro
         """,
         # HyperLogLog: registers AND the float-free raw estimate are
         # integer-exact (generated trailing-zero CASE chain + HUGEINT

@@ -153,6 +153,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("part_fuzzy_match", lambda: ops.part_fuzzy_match(sf_dir))
     timed("hll_distinct", lambda: ops.hll_distinct(sf_dir))
     timed("countmin_sketch", lambda: ops.countmin_sketch(sf_dir))
+    timed("containment_pairs", lambda: ops.containment_pairs(sf_dir))
+    timed("quantile_global", lambda: ops.quantile_global(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

@@ -1858,3 +1858,77 @@ def test_countmin_sketch(ray_session, tmp_path):
     for w, c in true.items():
         assert ops.cm_point_estimate(sketch, w) >= c
     assert ops.cm_point_estimate(sketch, "the") == true["the"]  # no collision at this scale
+
+
+def test_containment_pairs(ray_session, tmp_path):
+    """Directional containment vs brute force: a short doc fully inside
+    a long one scores 1.0 one way and low the other; stop-shingles
+    (df > max_df) are excluded on both sides."""
+    import pyarrow.parquet as pq
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    short = "delta epsilon zeta eta theta"         # contained in base
+    boiler = "common common common"                 # shared by many docs
+    texts = [base, short + " phi chi psi",
+             "totally different words entirely here now"] + \
+        [boiler + f" unique{i} word{i} tail{i}" for i in range(8)]
+    d = tmp_path / "cont"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    max_df, thr = 4, 500_000
+    mh = ops.MinHasher(shingle=3)
+    grams = {i: set(mh.gram_strings(t)) for i, t in enumerate(texts)}
+    from collections import Counter
+    df_cnt = Counter()
+    for g in grams.values():
+        df_cnt.update(g)
+    kept = {i: {x for x in g if df_cnt[x] <= max_df}
+            for i, g in grams.items()}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(kept[a] & kept[b])
+            if not inter:
+                continue
+            ca, cb = len(kept[a]), len(kept[b])
+            cam = inter * 1_000_000 // ca
+            cbm = inter * 1_000_000 // cb
+            if max(cam, cbm) >= thr:
+                want[(a, b)] = (inter, ca, cb, cam, cbm)
+    assert want, "fixture must produce containment pairs"
+    got = to_arrow(ops.containment_pairs(str(d), max_df=max_df,
+                                         threshold_micro=thr)).to_pydict()
+    assert dict(zip(zip(got["a"], got["b"]),
+                    zip(got["inter"], got["ca"], got["cb"],
+                        got["cont_a_micro"], got["cont_b_micro"]))) == want
+
+
+def test_quantile_global(ray_session, tmp_path):
+    """Histogram-fold quantiles == duckdb quantile_disc over the same
+    cents, across several n values."""
+    import duckdb
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 100):
+        prices = np.round(rng.uniform(1, 1000, n), 2)
+        d = tmp_path / f"qg{n}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array([pd.Timestamp("2024-01-01")] * n,
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["5-LOW"] * n, pa.string()),
+        }), str(d / "orders.parquet"))
+        got = ops.quantile_global(str(d)).to_pydict()
+        con = duckdb.connect()
+        want = con.execute(
+            "SELECT quantile_disc(CAST(round(o_totalprice*100) AS "
+            "BIGINT), [0.5, 0.95, 0.99]) FROM "
+            f"read_parquet('{d}/orders.parquet')").fetchone()[0]
+        assert got["cents"] == [int(x) for x in want], n

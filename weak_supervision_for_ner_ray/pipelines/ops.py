@@ -5850,3 +5850,196 @@ def cm_point_estimate(sketch: pa.Table, token: str) -> int:
         v = int(hit[0]) if len(hit) else 0
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def containment_pairs(sf_dir: str, shingle: int = 3, max_df: int = 50,
+                      threshold_micro: int = 500_000):
+    """Asymmetric near-CONTAINMENT pairs — ``C(A,B) = |A∩B| / |A|`` over
+    distinct word-``shingle`` sets — the dedup case Jaccard misses: a
+    short document embedded in a long one has tiny Jaccard but
+    containment ≈ 1 (quote inclusion, boilerplate wrappers, doc
+    concatenation).  Emits every pair whose larger directional
+    containment reaches ``threshold_micro``, with both directions on the
+    exact integer-micros grid.  Shingles present in more than ``max_df``
+    documents are STOP-SHINGLES, excluded on both sides by spec (the
+    standard guard that keeps shingle co-occurrence from going quadratic
+    on boilerplate; the oracle applies the identical ``HAVING``).
+
+    Scale shape: four coarse exchanges, none carrying text — (1)
+    per-block distinct ``(shingle_hash, doc)`` rows group by
+    ``hash(shingle)``, where each shingle's doc list dedups, the df cap
+    applies, and the pair fan-out is the vectorised
+    :func:`_segment_pairs` triu (never adjacency lists); kept-shingle
+    size contributions ride along as ``(doc, 1)`` rows; (2) pair rows
+    reduce to intersection counts in ``hash(a,b)`` groups; (3)/(4) the
+    :func:`bigram_lift` marginal pattern attaches ``|A|`` then ``|B|``
+    by re-grouping with the partial size rows, which consolidate
+    in-group — sizes never need their own exchange."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mh = MinHasher(shingle=shingle)
+    n_groups = max(64, 4 * _join_partitions())
+
+    def shingle_rows(batch: pd.DataFrame) -> pa.Table:
+        hs, ds_ = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if not isinstance(text, str):
+                continue
+            h = np.unique(mh.shingles(text)).astype(np.int64)
+            if h.size == 0:
+                continue
+            hs.append(h)
+            ds_.append(np.full(h.size, doc_id, np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "gk": pa.array([], pa.int64())})
+        h = np.concatenate(hs)
+        d = np.concatenate(ds_)
+        return pa.table({"h": pa.array(h), "doc": pa.array(d),
+                         "gk": pa.array(_coarse_key(h, n_groups))})
+
+    def fan_out(g: dict) -> dict:
+        h = np.asarray(g["h"], np.int64)
+        d = np.asarray(g["doc"], np.int64)
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], h_s[1:] != h_s[:-1])))
+        df = np.diff(np.append(starts, len(h_s)))
+        keep = np.repeat(df <= max_df, df)
+        h_k, d_k = h_s[keep], d_s[keep]
+        a, b = _segment_pairs(d_k, h_k)
+        # kind 0 = pair count row (keyed later by the packed pair),
+        # kind 1 = per-doc kept-shingle size contribution
+        pk = (a << np.int64(32)) | b          # doc_id < 2^32 here
+        out_key = np.concatenate([pk, d_k])
+        out_a = np.concatenate([a, d_k])
+        out_b = np.concatenate([b, np.full(len(d_k), -1, np.int64)])
+        out_kind = np.concatenate([np.zeros(len(a), np.int64),
+                                   np.ones(len(d_k), np.int64)])
+        return {"k": out_key, "a": out_a, "b": out_b,
+                "kind": out_kind,
+                "cnt": np.ones(len(out_key), np.int64),
+                "gk2": _coarse_key(out_key, n_groups)}
+
+    def reduce_pairs(g: dict) -> dict:
+        # consolidate BOTH row kinds per packed key: pair rows sum to the
+        # intersection, size rows sum to the doc's kept-shingle count
+        k = np.asarray(g["k"], np.int64)
+        cnt = np.asarray(g["cnt"], np.int64)
+        kind = np.asarray(g["kind"], np.int64)
+        a = np.asarray(g["a"], np.int64)
+        b = np.asarray(g["b"], np.int64)
+        pk2 = (k << np.int64(1)) | kind       # (key, kind) composite
+        order = np.argsort(pk2, kind="mergesort")
+        p_s = pk2[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], p_s[1:] != p_s[:-1])))
+        seg_len = np.diff(np.append(starts, len(p_s)))
+        cum = np.concatenate(([0], np.cumsum(cnt[order])))
+        tot = cum[starts + seg_len] - cum[starts]
+        sel = order[starts]
+        ga = a[sel]
+        return {"a": ga, "b": b[sel], "kind": kind[sel], "inter": tot,
+                "ca": np.zeros(len(sel), np.int64),
+                "gk3": _coarse_key(ga, n_groups)}
+
+    def attach_ca(df: pd.DataFrame) -> pa.Table:
+        sizes = df[df["kind"] == 1].set_index("a")["inter"]
+        pairs = df[df["kind"] == 0].copy()
+        size_rows = sizes.reset_index()
+        out_a = pd.concat([pairs["a"], size_rows["a"]], ignore_index=True)
+        out_b = pd.concat(
+            [pairs["b"],
+             pd.Series(np.full(len(size_rows), -1, np.int64))],
+            ignore_index=True)
+        out_kind = pd.concat(
+            [pd.Series(np.zeros(len(pairs), np.int64)),
+             pd.Series(np.ones(len(size_rows), np.int64))],
+            ignore_index=True)
+        out_inter = pd.concat(
+            [pairs["inter"], size_rows["inter"]], ignore_index=True)
+        out_ca = pd.concat(
+            [pairs["a"].map(sizes).astype(np.int64),
+             pd.Series(np.zeros(len(size_rows), np.int64))],
+            ignore_index=True)
+        key_b = pd.concat(
+            [pairs["b"], size_rows["a"]], ignore_index=True) \
+            .to_numpy(np.int64)
+        return pa.table({
+            "a": pa.array(out_a.to_numpy(np.int64)),
+            "b": pa.array(out_b.to_numpy(np.int64)),
+            "kind": pa.array(out_kind.to_numpy(np.int64)),
+            "inter": pa.array(out_inter.to_numpy(np.int64)),
+            "ca": pa.array(out_ca.to_numpy(np.int64)),
+            "gk4": pa.array(_coarse_key(key_b, n_groups)),
+        })
+
+    def attach_cb(df: pd.DataFrame) -> pa.Table:
+        sizes = df[df["kind"] == 1].set_index("a")["inter"]
+        pairs = df[df["kind"] == 0]
+        if len(pairs) == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "ca": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64()),
+                "cont_a_micro": pa.array([], pa.int64()),
+                "cont_b_micro": pa.array([], pa.int64()),
+            })
+        inter = pairs["inter"].to_numpy(np.int64)
+        ca = pairs["ca"].to_numpy(np.int64)
+        cb = pairs["b"].map(sizes).to_numpy(np.int64)
+        cont_a = inter * np.int64(1_000_000) // ca
+        cont_b = inter * np.int64(1_000_000) // cb
+        m = np.maximum(cont_a, cont_b) >= threshold_micro
+        return pa.table({
+            "a": pa.array(pairs["a"].to_numpy(np.int64)[m]),
+            "b": pa.array(pairs["b"].to_numpy(np.int64)[m]),
+            "inter": pa.array(inter[m]),
+            "ca": pa.array(ca[m]), "cb": pa.array(cb[m]),
+            "cont_a_micro": pa.array(cont_a[m]),
+            "cont_b_micro": pa.array(cont_b[m]),
+        })
+
+    return (docs.map_batches(shingle_rows, batch_format="pandas")
+            .groupby("gk").map_groups(fan_out, batch_format="numpy")
+            .groupby("gk2").map_groups(reduce_pairs, batch_format="numpy")
+            .groupby("gk3").map_groups(attach_ca, batch_format="pandas")
+            .groupby("gk4").map_groups(attach_cb, batch_format="pandas")
+            .sort(["a", "b"]))
+
+
+def quantile_global(sf_dir: str, ps=(0.5, 0.95, 0.99)):
+    """EXACT global quantiles of order totals without a global sort —
+    the :func:`percentile_by_group` integer-cents histogram machinery
+    with no group key: per-block ``np.unique`` cents partials → one tiny
+    ``groupby(cents).Sum`` (the value-domain histogram is orders of
+    magnitude smaller than the row count) → the driver folds the sorted
+    histogram and applies DuckDB's ``quantile_disc`` index rule
+    ``max(0, ceil(p·n) − 1)`` per requested quantile."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        uniq, counts = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    hist = _to_arrow(orders.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                     .groupby("cents").aggregate(Sum("n", alias_name="n")))
+    df = hist.to_pandas().sort_values("cents").reset_index(drop=True)
+    n = int(df["n"].sum())
+    cum = df["n"].cumsum().to_numpy(np.int64)
+    vals = df["cents"].to_numpy(np.int64)
+    out_p, out_v = [], []
+    for p in ps:
+        idx = max(0, -(-int(p * 1_000_000) * n // 1_000_000) - 1) \
+            if n else 0
+        row = int(np.searchsorted(cum, idx + 1))
+        out_p.append(int(p * 1_000_000))
+        out_v.append(int(vals[row]) if n else -1)
+    return pa.table({"p_micro": pa.array(out_p, pa.int64()),
+                     "cents": pa.array(out_v, pa.int64())})
