@@ -6020,16 +6020,31 @@ def quantile_global(sf_dir: str, ps=(0.5, 0.95, 0.99)):
     histogram and applies DuckDB's ``quantile_disc`` index rule
     ``max(0, ceil(p·n) − 1)`` per requested quantile."""
     orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    n_groups = _join_partitions()
 
     def partial(t: pa.Table) -> pa.Table:
         cents = _cents(t.column("o_totalprice")).to_numpy()
         uniq, counts = np.unique(cents, return_counts=True)
         return pa.table({"cents": pa.array(uniq.astype(np.int64)),
-                         "n": pa.array(counts.astype(np.int64))})
+                         "n": pa.array(counts.astype(np.int64)),
+                         "gk": pa.array(_coarse_key(
+                             uniq.astype(np.int64), n_groups))})
+
+    def consolidate(g: dict) -> dict:
+        # near-continuous values make the cents domain ~row-count sized,
+        # where a full sort-aggregate costs 10 s at sf0.1 — coarse hash
+        # groups + one in-group vectorised sum cost ~2 s (the
+        # dedup_cdc_chunks lesson on a numeric domain)
+        c = np.asarray(g["cents"], np.int64)
+        n = np.asarray(g["n"], np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        return {"cents": uniq,
+                "n": np.bincount(inv, weights=n).astype(np.int64)}
 
     hist = _to_arrow(orders.map_batches(partial, batch_format="pyarrow",
                                         zero_copy_batch=True)
-                     .groupby("cents").aggregate(Sum("n", alias_name="n")))
+                     .groupby("gk").map_groups(consolidate,
+                                               batch_format="numpy"))
     df = hist.to_pandas().sort_values("cents").reset_index(drop=True)
     n = int(df["n"].sum())
     cum = df["n"].cumsum().to_numpy(np.int64)
