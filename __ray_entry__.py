@@ -18,6 +18,31 @@ from collections.abc import Callable
 from typing import Any
 
 
+# corpus-unigram-LM scoring CTE chain ending in
+# scores(doc_id, n_tokens, lm_score_micro) — shared by the
+# unigram_lm_score and ccnet_buckets oracles so the two stay identical
+_UNIGRAM_LM_CORE = """toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(tk) AS w FROM toks
+            ), cnt AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w
+            ), n AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM w
+            ), per AS (
+              SELECT w.doc_id, ((n.n * 1000000) // c.c) AS ip
+              FROM w JOIN cnt c ON w.w = c.w CROSS JOIN n
+            ), scores AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(ip) // count(*) AS BIGINT)
+                         AS lm_score_micro
+              FROM per GROUP BY doc_id
+            )"""
+
+
 def _corpus(sf_dir: str) -> str:
     from weak_supervision_for_ner_ray.data import corpus_for_sf_dir
     return corpus_for_sf_dir(sf_dir)
@@ -150,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_sketch": lambda sf: ops.countmin_sketch(sf),
         "containment_pairs": lambda sf: ops.containment_pairs(sf),
         "quantile_global": lambda sf: ops.quantile_global(sf),
+        "ccnet_buckets": lambda sf: ops.ccnet_buckets(sf),
+        "corpus_stats": lambda sf: ops.corpus_stats(sf),
         "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
         # (the turns oracle path: string_agg ORDER BY turn_idx)
@@ -1053,26 +1080,49 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": gopher_sql,
         # corpus-unigram-LM scoring: integer mean inverse probability
         # (see ops.unigram_lm_score — float-log-free so it hash-matches)
-        "unigram_lm_score": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\\s+'),
-                                 x -> x <> '') AS tk
-              FROM documents
-            ), w AS (
-              SELECT doc_id, unnest(tk) AS w FROM toks
-            ), cnt AS (
-              SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w
-            ), n AS (
-              SELECT CAST(count(*) AS BIGINT) AS n FROM w
-            ), per AS (
-              SELECT w.doc_id, ((n.n * 1000000) // c.c) AS ip
-              FROM w JOIN cnt c ON w.w = c.w CROSS JOIN n
+        "unigram_lm_score": f"""
+            WITH {_UNIGRAM_LM_CORE}
+            SELECT doc_id, n_tokens, lm_score_micro
+            FROM scores ORDER BY doc_id
+        """,
+        # CCNet-style tertile bucketing over the same LM scores; the
+        # 1/3 and 2/3 literals are Python float reprs, so quantile_disc
+        # computes the identical double product the engine's fold uses
+        "ccnet_buckets": f"""
+            WITH {_UNIGRAM_LM_CORE}, b AS (
+              SELECT quantile_disc(lm_score_micro,
+                                   0.3333333333333333) AS b1,
+                     quantile_disc(lm_score_micro,
+                                   0.6666666666666666) AS b2
+              FROM scores
+            ), tagged AS (
+              SELECT s.n_tokens, s.lm_score_micro,
+                     CASE WHEN s.lm_score_micro <= b.b1 THEN 'head'
+                          WHEN s.lm_score_micro <= b.b2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM scores s CROSS JOIN b
             )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(ip) // count(*) AS BIGINT) AS lm_score_micro
-            FROM per GROUP BY doc_id
-            ORDER BY doc_id
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(min(lm_score_micro) AS BIGINT)
+                       AS min_score_micro,
+                   CAST(max(lm_score_micro) AS BIGINT)
+                       AS max_score_micro
+            FROM tagged GROUP BY bucket ORDER BY bucket
+        """,
+        # one-row fused corpus statistics (token split = the shared
+        # ASCII-\\s convention)
+        "corpus_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_empty,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(
+                        regexp_split_to_array(text, '\\s+'),
+                        x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars,
+                   CAST(min(length(text)) AS BIGINT) AS min_chars
+            FROM documents
         """,
         # BM25 retrieval on the integer grid (idf_milli = (N*1000)//df,
         # floor-division tf saturation — see ops.bm25_topk); queries =

@@ -155,6 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("countmin_sketch", lambda: ops.countmin_sketch(sf_dir))
     timed("containment_pairs", lambda: ops.containment_pairs(sf_dir))
     timed("quantile_global", lambda: ops.quantile_global(sf_dir))
+    timed("ccnet_buckets", lambda: ops.ccnet_buckets(sf_dir))
+    timed("corpus_stats", lambda: ops.corpus_stats(sf_dir))
     timed("pii_redact",
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",

@@ -1932,3 +1932,63 @@ def test_quantile_global(ray_session, tmp_path):
             "BIGINT), [0.5, 0.95, 0.99]) FROM "
             f"read_parquet('{d}/orders.parquet')").fetchone()[0]
         assert got["cents"] == [int(x) for x in want], n
+
+
+def test_ccnet_buckets(ray_session, tmp_path):
+    """Tertile bucketing vs brute force: low-score (predictable) docs
+    land in head, boundary docs inclusive, masses add up."""
+    import duckdb
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(9)
+    common = ["the", "of", "and", "to", "in"]
+    rare = [f"rare{i}" for i in range(200)]
+    texts = []
+    for i in range(30):
+        if i < 10:
+            texts.append(" ".join(rng.choice(common, 20)))     # head
+        elif i < 20:
+            texts.append(" ".join(np.concatenate(
+                [rng.choice(common, 10), rng.choice(rare, 10)])))
+        else:
+            texts.append(" ".join(rng.choice(rare, 20)))       # tail
+    d = tmp_path / "ccnet"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    scores = to_arrow(ops.unigram_lm_score(str(d))).to_pydict()
+    s = np.array(scores["lm_score_micro"], np.int64)
+    nt = np.array(scores["n_tokens"], np.int64)
+    con = duckdb.connect()
+    b1, b2 = con.execute(
+        "SELECT quantile_disc(x, 0.3333333333333333), "
+        "quantile_disc(x, 0.6666666666666666) FROM "
+        "(SELECT unnest(?) AS x)", [s.tolist()]).fetchone()
+    bucket = np.where(s <= b1, "head", np.where(s <= b2, "middle",
+                                                "tail"))
+    got = to_arrow(ops.ccnet_buckets(str(d))).to_pydict()
+    for i, b in enumerate(got["bucket"]):
+        m = bucket == b
+        assert got["n_docs"][i] == int(m.sum()), b
+        assert got["sum_tokens"][i] == int(nt[m].sum()), b
+        assert got["min_score_micro"][i] == int(s[m].min()), b
+        assert got["max_score_micro"][i] == int(s[m].max()), b
+    assert sum(got["n_docs"]) == len(texts)
+    # the common-word docs must be the predictable head
+    assert set(np.flatnonzero(bucket == "head")) <= set(range(20))
+
+
+def test_corpus_stats(ray_session, docs_dir):
+    """Fused one-pass stats == recomputation from the raw texts."""
+    texts = to_arrow(ops.read_table(docs_dir, "documents",
+                                    columns=["text"])).to_pydict()["text"]
+    got = ops.corpus_stats(docs_dir).to_pydict()
+    chars = [len(t) for t in texts]
+    toks = [len(ops._ws_tokens(t)) for t in texts]
+    assert got["n_docs"] == [len(texts)]
+    assert got["n_empty"] == [sum(1 for c in chars if c == 0)]
+    assert got["total_chars"] == [sum(chars)]
+    assert got["total_tokens"] == [sum(toks)]
+    assert got["max_chars"] == [max(chars)]
+    assert got["min_chars"] == [min(chars)]

@@ -6058,3 +6058,133 @@ def quantile_global(sf_dir: str, ps=(0.5, 0.95, 0.99)):
         out_v.append(int(vals[row]) if n else -1)
     return pa.table({"p_micro": pa.array(out_p, pa.int64()),
                      "cents": pa.array(out_v, pa.int64())})
+
+
+def _quantile_fold(ds, col: str, ps) -> list[int]:
+    """Exact quantiles of an integer column by folding its value-domain
+    histogram (per-block ``np.unique`` partials → coarse hash groups →
+    driver fold), applying DuckDB's ``quantile_disc`` index rule
+    ``max(0, ceil(p·n) − 1)`` with the SAME double arithmetic both
+    engines use, so boundary indices match bit-for-bit."""
+    import math
+    n_groups = _join_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "n": pa.array(counts.astype(np.int64)),
+                         "gk": pa.array(_coarse_key(uniq, n_groups))})
+
+    def consolidate(g: dict) -> dict:
+        v = np.asarray(g["v"], np.int64)
+        n = np.asarray(g["n"], np.int64)
+        uniq, inv = np.unique(v, return_inverse=True)
+        return {"v": uniq, "n": np.bincount(inv, weights=n)
+                .astype(np.int64)}
+
+    hist = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .groupby("gk").map_groups(consolidate,
+                                               batch_format="numpy"))
+    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    n = int(df["n"].sum())
+    cum = df["n"].cumsum().to_numpy(np.int64)
+    vals = df["v"].to_numpy(np.int64)
+    out = []
+    for p in ps:
+        idx = max(0, math.ceil(p * n) - 1) if n else 0
+        out.append(int(vals[int(np.searchsorted(cum, idx + 1))])
+                   if n else -1)
+    return out
+
+
+def ccnet_buckets(sf_dir: str):
+    """CCNet-style quality bucketing — the canonical LM-filtered
+    pre-training curation step (Wenzek et al. 2020): score every
+    document under the corpus unigram LM (:func:`unigram_lm_score` —
+    integer mean inverse probability, LOW = predictable = "head"),
+    split the corpus at the exact score tertiles, and report per-bucket
+    document/token mass.  Buckets: ``head`` (score ≤ p33), ``middle``
+    (≤ p67), ``tail``.
+
+    Scale shape: scores come off the LM-scoring pipeline once
+    (materialised — doc-count-sized, spillable); the tertile boundaries
+    are an exact value-domain histogram fold (:func:`_quantile_fold`,
+    the `quantile_disc` index rule with bit-identical double
+    arithmetic); assignment + per-bucket stats are one embarrassingly-
+    parallel pass with a 3-row combiner exchange.  (At 100 TB the
+    boundary fold swaps for fixed log-bins or a P²-sketch — the
+    assignment pass is unchanged.)"""
+    scores = unigram_lm_score(sf_dir).materialize()
+    b1, b2 = _quantile_fold(scores, "lm_score_micro", (1 / 3, 2 / 3))
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column("lm_score_micro").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = np.where(s <= b1, "head",
+                          np.where(s <= b2, "middle", "tail"))
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        return pa.table({
+            "bucket": pa.array(uniq.tolist(), pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=len(uniq))
+                               .astype(np.int64)),
+            "sum_tokens": pa.array(np.bincount(inv, weights=nt,
+                                               minlength=len(uniq))
+                                   .astype(np.int64)),
+            "min_score_micro": pa.array(
+                -_segment_max(-s, inv, len(uniq))),
+            "max_score_micro": pa.array(_segment_max(s, inv, len(uniq))),
+        })
+
+    return (scores.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_tokens", alias_name="sum_tokens"),
+                       Min("min_score_micro",
+                           alias_name="min_score_micro"),
+                       Max("max_score_micro",
+                           alias_name="max_score_micro"))
+            .sort("bucket"))
+
+
+def corpus_stats(sf_dir: str):
+    """One-pass fused corpus statistics — the "dataset card" numbers
+    (doc count, char/token mass, length extremes, empty-doc count) in a
+    SINGLE scan with a one-row-per-block combiner, where running each
+    stat as its own query would scan the corpus five times.  The
+    pattern: every statistic here is a commutative monoid, so per-block
+    partials fold associatively — the exchange is one row per block.
+    Everything integer, so the oracle is one SQL aggregate row."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        texts = [t if isinstance(t, str) else "" for t in batch["text"]]
+        chars = np.array([len(t) for t in texts], np.int64)
+        toks = np.array([len(_ws_tokens(t)) for t in texts], np.int64)
+        return pa.table({
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_empty": pa.array([int((chars == 0).sum())], pa.int64()),
+            "total_chars": pa.array([int(chars.sum())], pa.int64()),
+            "total_tokens": pa.array([int(toks.sum())], pa.int64()),
+            "max_chars": pa.array([int(chars.max()) if len(texts)
+                                   else 0], pa.int64()),
+            "min_chars": pa.array([int(chars.min()) if len(texts)
+                                   else 0], pa.int64()),
+        })
+
+    t = _to_arrow(ds.map_batches(partial, batch_format="pandas"))
+    df = t.to_pandas()
+    return pa.table({
+        "n_docs": pa.array([int(df["n_docs"].sum())], pa.int64()),
+        "n_empty": pa.array([int(df["n_empty"].sum())], pa.int64()),
+        "total_chars": pa.array([int(df["total_chars"].sum())],
+                                pa.int64()),
+        "total_tokens": pa.array([int(df["total_tokens"].sum())],
+                                 pa.int64()),
+        "max_chars": pa.array([int(df["max_chars"].max())], pa.int64()),
+        "min_chars": pa.array([int(df["min_chars"].min())], pa.int64()),
+    })
