@@ -4044,7 +4044,16 @@ def unigram_lm_score(sf_dir: str):
     rows, a Sum-combiner builds the (token, cnt) LM table — the exchange
     is vocabulary-bounded, not occurrence-bounded — ONE ``Dataset.join``
     attaches cnt (hot tokens are a join key, never a group), and the
-    per-doc reduction is a two-Sum aggregate."""
+    per-doc reduction is a two-Sum aggregate.
+
+    The result is memoised per process keyed on the documents
+    fingerprint (the :func:`dedup_clusters` convention) because
+    :func:`ccnet_buckets` re-derives it."""
+    cache_key = ("lm", os.path.abspath(sf_dir),
+                 _table_fingerprint(sf_dir, "documents"))
+    hit = _LM_SCORE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pandas")
     cnt = tf.groupby("token").aggregate(Sum("tf", alias_name="cnt")) \
@@ -4084,8 +4093,18 @@ def unigram_lm_score(sf_dir: str):
                 df["ipsum"].to_numpy(np.int64) // nt, pa.int64()),
         })
 
-    return (agg.map_batches(final, batch_format="pyarrow")
-            .sort("doc_id"))
+    out = (agg.map_batches(final, batch_format="pyarrow")
+           .sort("doc_id").materialize())
+    # the memo holds a MATERIALIZED Dataset — blocks live in the object
+    # store (spillable), never on the driver heap, so the cache is
+    # doc-count-scale-safe unlike an Arrow collect would be
+    if len(_LM_SCORE_CACHE) > 4:
+        _LM_SCORE_CACHE.clear()
+    _LM_SCORE_CACHE[cache_key] = out
+    return out
+
+
+_LM_SCORE_CACHE: dict[tuple, object] = {}
 
 
 def degree_distribution(sf_dir: str, rows_per_group: int = 5000):
