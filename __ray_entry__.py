@@ -1112,16 +1112,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one-row fused corpus statistics (token split = the shared
         # ASCII-\\s convention)
+        # coalesce(text,'') shares the engine's NULL-is-empty-doc
+        # convention (ops.corpus_stats counts a NULL text in n_empty
+        # with 0 chars; bare length(NULL) would drop the row instead)
         "corpus_stats": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0
-                            END) AS BIGINT) AS n_empty,
-                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN length(coalesce(text, '')) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS total_chars,
                    CAST(sum(len(list_filter(
-                        regexp_split_to_array(text, '\\s+'),
+                        regexp_split_to_array(coalesce(text, ''), '\\s+'),
                         x -> x <> ''))) AS BIGINT) AS total_tokens,
-                   CAST(max(length(text)) AS BIGINT) AS max_chars,
-                   CAST(min(length(text)) AS BIGINT) AS min_chars
+                   CAST(max(length(coalesce(text, ''))) AS BIGINT)
+                       AS max_chars,
+                   CAST(min(length(coalesce(text, ''))) AS BIGINT)
+                       AS min_chars
             FROM documents
         """,
         # BM25 retrieval on the integer grid (idf_milli = (N*1000)//df,

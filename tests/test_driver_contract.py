@@ -10,11 +10,16 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF),
+    reason=f"sf0.001 fixture dir {SF} absent (set GRAFT_SF_SMALL)")
 
 
 @pytest.fixture(scope="module")

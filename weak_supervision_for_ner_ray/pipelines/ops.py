@@ -4049,8 +4049,14 @@ def unigram_lm_score(sf_dir: str):
     The result is memoised per process keyed on the documents
     fingerprint (the :func:`dedup_clusters` convention) because
     :func:`ccnet_buckets` re-derives it."""
+    # unlike the driver-heap Arrow caches, this one holds object-store
+    # block refs — they die with the Ray session, so the session/job id
+    # is part of the key (a hit after ray.shutdown()/re-init would
+    # otherwise return a Dataset of dead refs)
     cache_key = ("lm", os.path.abspath(sf_dir),
-                 _table_fingerprint(sf_dir, "documents"))
+                 _table_fingerprint(sf_dir, "documents"),
+                 ray.get_runtime_context().get_job_id()
+                 if ray.is_initialized() else None)
     hit = _LM_SCORE_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -5693,7 +5699,10 @@ def part_fuzzy_match(sf_dir: str, max_dist: int = 3):
     def partial(t: pa.Table) -> pa.Table:
         names = np.unique(np.asarray(
             t.column("p_name").to_pylist(), object))
-        blk = np.asarray([n.split(" ", 1)[1] if " " in n else n
+        # single-word names block on '' exactly like the oracle's
+        # split_part(p_name, ' ', 2) (TPC-H p_name is always multi-word,
+        # but the blocking rule must mirror the SQL on any input)
+        blk = np.asarray([n.split(" ", 1)[1] if " " in n else ""
                           for n in names], object)
         return pa.table({
             "nm": pa.array(names.tolist(), pa.string()),
@@ -5930,7 +5939,7 @@ def containment_pairs(sf_dir: str, shingle: int = 3, max_df: int = 50,
         a, b = _segment_pairs(d_k, h_k)
         # kind 0 = pair count row (keyed later by the packed pair),
         # kind 1 = per-doc kept-shingle size contribution
-        pk = (a << np.int64(32)) | b          # doc_id < 2^32 here
+        pk = (a << np.int64(32)) | b          # needs doc_id < 2^32
         out_key = np.concatenate([pk, d_k])
         out_a = np.concatenate([a, d_k])
         out_b = np.concatenate([b, np.full(len(d_k), -1, np.int64)])
@@ -5949,12 +5958,14 @@ def containment_pairs(sf_dir: str, shingle: int = 3, max_df: int = 50,
         kind = np.asarray(g["kind"], np.int64)
         a = np.asarray(g["a"], np.int64)
         b = np.asarray(g["b"], np.int64)
-        pk2 = (k << np.int64(1)) | kind       # (key, kind) composite
-        order = np.argsort(pk2, kind="mergesort")
-        p_s = pk2[order]
+        # (key, kind) composite via lexsort — packing (k<<1)|kind would
+        # overflow int64 once doc_id reaches 2^31 (k already uses the
+        # top 32 bits), so the composite stays two columns
+        order = np.lexsort((kind, k))
+        k_s, kd_s = k[order], kind[order]
         starts = np.flatnonzero(np.concatenate(
-            ([True], p_s[1:] != p_s[:-1])))
-        seg_len = np.diff(np.append(starts, len(p_s)))
+            ([True], (k_s[1:] != k_s[:-1]) | (kd_s[1:] != kd_s[:-1]))))
+        seg_len = np.diff(np.append(starts, len(k_s)))
         cum = np.concatenate(([0], np.cumsum(cnt[order])))
         tot = cum[starts + seg_len] - cum[starts]
         sel = order[starts]
