@@ -646,14 +646,18 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
     pair generation in a real dedup pipeline, where "keep one per
     cluster" needs the transitive closure, not just pairs.
 
-    Distributed min-label propagation: each iteration unions the edge
-    rows with the current label rows, groups by node (every group holds
-    the node's labels + its adjacency), pushes the node's min label to
-    its neighbours, and ``groupby(node).min`` consolidates — two
-    exchanges per iteration, converging in graph-diameter iterations
-    (duplicate clusters are shallow).  Labels are monotone decreasing
-    ints, so the fixpoint test is an exact Sum aggregate.  The SQL
-    oracle computes the same components with a recursive CTE.
+    Distributed min-label propagation on COARSE vectorised groups (the
+    :func:`bfs_hops` kernel shape — one ``hash(node)`` groupby per
+    iteration, never one Python call per node): inside a group a
+    ``lexsort`` + ``np.minimum.reduceat`` consolidates every node's
+    candidate labels at once, and only nodes whose label DECREASED this
+    iteration re-flood their edges (changed-only flooding — identical
+    labels per iteration to unconditional flooding because labels are
+    monotone and a change is re-broadcast the iteration it happens, but
+    steady-state message volume is bounded by the changing frontier,
+    not the graph).  Labels are monotone decreasing ints, so the
+    fixpoint test is an exact Sum aggregate over the self rows.  The
+    SQL oracle computes the same components with a recursive CTE.
 
     The result (a tiny table — only docs inside dup clusters) is memoised
     per process keyed on the documents fingerprint, because downstream
@@ -671,26 +675,39 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
         _CLUSTERS_CACHE[cache_key] = empty
         return rd.from_arrow(empty)      # same return type as the main path
 
-    # sentinel encoding keeps everything int64 (nulls degrade to float
-    # NaN in numpy group batches): edge rows lbl=-1; message rows nbr=-1;
-    # each node's own consolidated row nbr=-2 (doubles as the output)
+    # shared iteration row schema (the bfs_hops convention): key = the
+    # node the row is grouped by, dst = edge target (-1 otherwise),
+    # lbl, tag 0=edge 1=message 2=self/state, gk = coarse(key) so each
+    # iteration's groupby is a plain column key
+    n_groups = int(max(8, (2 * pairs.count()) // 5000))
+    big = np.iinfo(np.int64).max
+
     def edge_rows(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"].to_pylist(), np.int64)
-        b = np.asarray(t["b"].to_pylist(), np.int64)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        n = len(src)
         return pa.table({
-            "node": pa.array(np.concatenate([a, b])),
-            "nbr": pa.array(np.concatenate([b, a])),
-            "lbl": pa.array(np.full(2 * len(a), -1, np.int64)),
+            "key": pa.array(src), "dst": pa.array(dst),
+            "lbl": pa.array(np.full(n, -1, np.int64)),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            "gk": pa.array(_coarse_key(src, n_groups)),
         })
 
     def seed_rows(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"].to_pylist(), np.int64)
-        b = np.asarray(t["b"].to_pylist(), np.int64)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([a, b])
+        n = len(node)
+        # seeds are MESSAGES (lbl = own id): iteration 1 sees own=big
+        # for every node, so every node "changes" and floods once
         return pa.table({
-            "node": pa.array(node),
-            "nbr": pa.array(np.full(len(node), -1, np.int64)),
+            "key": pa.array(node),
+            "dst": pa.array(np.full(n, -1, np.int64)),
             "lbl": pa.array(node),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "gk": pa.array(_coarse_key(node, n_groups)),
         })
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow",
@@ -699,23 +716,51 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
                                zero_copy_batch=True)
 
     def prop(g: dict) -> dict:
-        # the group consolidates last round's messages itself (min), so
-        # no separate Min-aggregate pass is needed per iteration
+        key = np.asarray(g["key"], np.int64)
+        dst = np.asarray(g["dst"], np.int64)
         lbl = np.asarray(g["lbl"], np.int64)
-        nbr = np.asarray(g["nbr"], np.int64)
-        cur = lbl[lbl >= 0].min()
-        out = np.concatenate([nbr[nbr >= 0], g["node"][:1]])
-        marks = np.full(len(out), -1, np.int64)
-        marks[-1] = -2                           # self row = current label
-        return {"node": out, "nbr": marks,
-                "lbl": np.full(len(out), cur, np.int64)}
+        tag = np.asarray(g["tag"], np.int8)
+        order = np.lexsort((key,))
+        k_s, d_s, l_s, t_s = key[order], dst[order], lbl[order], tag[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], k_s[1:] != k_s[:-1])))
+        seg_id = np.cumsum(np.concatenate(
+            ([False], k_s[1:] != k_s[:-1]))).astype(np.int64)
+        uniq = k_s[starts]
+        own = np.minimum.reduceat(np.where(t_s == 2, l_s, big), starts)
+        cand = np.minimum.reduceat(np.where(t_s >= 1, l_s, big), starts)
+        new = np.minimum(own, cand)
+        # only nodes whose label DECREASED re-flood their edges (a
+        # fresh seed has own=big, so iteration 1 floods everything)
+        changed = new < own
+        edge_mask = (t_s == 0) & changed[seg_id]
+        msg_dst = d_s[edge_mask]
+        msg_lbl = new[seg_id][edge_mask]
+        if len(msg_dst):
+            # messages to the same target collapse to their min INSIDE
+            # the producing group before they hit the wire
+            order2 = np.lexsort((msg_lbl, msg_dst))
+            md, ml = msg_dst[order2], msg_lbl[order2]
+            first = np.concatenate(([True], md[1:] != md[:-1]))
+            msg_dst, msg_lbl = md[first], ml[first]
+        labelled = new < big
+        out_key = np.concatenate([uniq[labelled], msg_dst])
+        out_lbl = np.concatenate([new[labelled], msg_lbl])
+        n_self = int(labelled.sum())
+        out_tag = np.concatenate(
+            [np.full(n_self, 2, np.int8),
+             np.ones(len(out_key) - n_self, np.int8)])
+        return {"key": out_key,
+                "dst": np.full(len(out_key), -1, np.int64),
+                "lbl": out_lbl, "tag": out_tag,
+                "gk": _coarse_key(out_key, n_groups)}
 
     def self_rows(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("nbr"), -2))
+        return t.filter(pc.equal(pc.cast(t.column("tag"), pa.int8()), 2))
 
     prev_sum = None
     for it in range(max_iters):
-        labels = edges.union(labels).groupby("node").map_groups(
+        labels = edges.union(labels).groupby("gk").map_groups(
             prop, batch_format="numpy").materialize()
         # labels are monotone decreasing ints -> Sum is an exact fixpoint
         # test (one cheap pass over the materialized message table)
@@ -735,8 +780,8 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
             f"with diameter > {max_iters} — rerun with a higher max_iters")
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("nbr"), -2))
-        return pa.table({"doc_id": t.column("node"),
+        t = self_rows(t)
+        return pa.table({"doc_id": t.column("key"),
                          "cluster_id": t.column("lbl")})
 
     tbl = _to_arrow(labels.map_batches(finish, batch_format="pyarrow",
