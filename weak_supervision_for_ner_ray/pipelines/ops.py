@@ -646,18 +646,20 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
     pair generation in a real dedup pipeline, where "keep one per
     cluster" needs the transitive closure, not just pairs.
 
-    Distributed min-label propagation on COARSE vectorised groups (the
-    :func:`bfs_hops` kernel shape — one ``hash(node)`` groupby per
-    iteration, never one Python call per node): inside a group a
-    ``lexsort`` + ``np.minimum.reduceat`` consolidates every node's
-    candidate labels at once, and only nodes whose label DECREASED this
-    iteration re-flood their edges (changed-only flooding — identical
-    labels per iteration to unconditional flooding because labels are
-    monotone and a change is re-broadcast the iteration it happens, but
-    steady-state message volume is bounded by the changing frontier,
-    not the graph).  Labels are monotone decreasing ints, so the
-    fixpoint test is an exact Sum aggregate over the self rows.  The
-    SQL oracle computes the same components with a recursive CTE.
+    Pregel shape (pinned graph, message-only iteration — the
+    :class:`~..stages.graph_actors.GraphShard` machinery shared with
+    :func:`pagerank` / :func:`bfs_hops`): the pair edges load ONCE into
+    hash(src)-partitioned shard actors; round 0 floods every node's own
+    id, and afterwards only nodes whose label DECREASED re-flood their
+    LOCAL edges — messages are (node, lbl) int64 pairs, pre-combined
+    (min per destination) inside the producing shard and routed
+    point-to-point, so both compute and exchange are bounded by the
+    changing frontier.  A dataset-groupby formulation paid ~2 s of
+    fixed barrier per iteration regardless of graph size; actor rounds
+    are millisecond RPCs, and labels are monotone mins, so the result
+    is identical for any shard count.  The fixpoint is "no messages
+    pending".  The SQL oracle computes the same components with a
+    recursive CTE.
 
     The result (a tiny table — only docs inside dup clusters) is memoised
     per process keyed on the documents fingerprint, because downstream
@@ -675,118 +677,58 @@ def dedup_clusters(sf_dir: str, max_iters: int = 64):
         _CLUSTERS_CACHE[cache_key] = empty
         return rd.from_arrow(empty)      # same return type as the main path
 
-    # shared iteration row schema (the bfs_hops convention): key = the
-    # node the row is grouped by, dst = edge target (-1 otherwise),
-    # lbl, tag 0=edge 1=message 2=self/state, gk = coarse(key) so each
-    # iteration's groupby is a plain column key
-    n_groups = int(max(8, (2 * pairs.count()) // 5000))
-    big = np.iinfo(np.int64).max
-
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        n = len(src)
         return pa.table({
-            "key": pa.array(src), "dst": pa.array(dst),
-            "lbl": pa.array(np.full(n, -1, np.int64)),
-            "tag": pa.array(np.zeros(n, np.int8)),
-            "gk": pa.array(_coarse_key(src, n_groups)),
-        })
-
-    def seed_rows(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        node = np.concatenate([a, b])
-        n = len(node)
-        # seeds are MESSAGES (lbl = own id): iteration 1 sees own=big
-        # for every node, so every node "changes" and floods once
-        return pa.table({
-            "key": pa.array(node),
-            "dst": pa.array(np.full(n, -1, np.int64)),
-            "lbl": pa.array(node),
-            "tag": pa.array(np.ones(n, np.int8)),
-            "gk": pa.array(_coarse_key(node, n_groups)),
+            "key": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
         })
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    labels = pairs.map_batches(seed_rows, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    shards, n_shards = _shard_pool(
+        edges, ("cshards", os.path.abspath(sf_dir),
+                _table_fingerprint(sf_dir, "documents")))
 
-    def prop(g: dict) -> dict:
-        key = np.asarray(g["key"], np.int64)
-        dst = np.asarray(g["dst"], np.int64)
-        lbl = np.asarray(g["lbl"], np.int64)
-        tag = np.asarray(g["tag"], np.int8)
-        order = np.lexsort((key,))
-        k_s, d_s, l_s, t_s = key[order], dst[order], lbl[order], tag[order]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], k_s[1:] != k_s[:-1])))
-        seg_id = np.cumsum(np.concatenate(
-            ([False], k_s[1:] != k_s[:-1]))).astype(np.int64)
-        uniq = k_s[starts]
-        own = np.minimum.reduceat(np.where(t_s == 2, l_s, big), starts)
-        cand = np.minimum.reduceat(np.where(t_s >= 1, l_s, big), starts)
-        new = np.minimum(own, cand)
-        # only nodes whose label DECREASED re-flood their edges (a
-        # fresh seed has own=big, so iteration 1 floods everything)
-        changed = new < own
-        edge_mask = (t_s == 0) & changed[seg_id]
-        msg_dst = d_s[edge_mask]
-        msg_lbl = new[seg_id][edge_mask]
-        if len(msg_dst):
-            # messages to the same target collapse to their min INSIDE
-            # the producing group before they hit the wire
-            order2 = np.lexsort((msg_lbl, msg_dst))
-            md, ml = msg_dst[order2], msg_lbl[order2]
-            first = np.concatenate(([True], md[1:] != md[:-1]))
-            msg_dst, msg_lbl = md[first], ml[first]
-        labelled = new < big
-        out_key = np.concatenate([uniq[labelled], msg_dst])
-        out_lbl = np.concatenate([new[labelled], msg_lbl])
-        n_self = int(labelled.sum())
-        out_tag = np.concatenate(
-            [np.full(n_self, 2, np.int8),
-             np.ones(len(out_key) - n_self, np.int8)])
-        return {"key": out_key,
-                "dst": np.full(len(out_key), -1, np.int64),
-                "lbl": out_lbl, "tag": out_tag,
-                "gk": _coarse_key(out_key, n_groups)}
+    inits = [s.cc_init.options(num_returns=n_shards + 1).remote()
+             for s in shards]
+    pending: dict[int, list] = {}
+    stats = ray.get([r[n_shards] if n_shards > 1 else r[1]
+                     for r in inits])
+    for j, st in enumerate(stats):
+        for t in range(n_shards):
+            if st[1 + t] > 0:
+                pending.setdefault(t, []).append(inits[j][t])
+    rounds = 0
+    while pending:
+        if rounds >= max_iters:
+            # unconverged labels are WRONG (they disagree with the
+            # connected-components oracle), so fail loudly instead of
+            # returning them
+            raise RuntimeError(
+                f"dedup_clusters: label propagation did not converge "
+                f"within {max_iters} iterations; the duplicate graph "
+                f"has a component with diameter > {max_iters} — rerun "
+                f"with a higher max_iters")
+        rounds += 1
+        outs, stat_refs = {}, {}
+        for j, mlist in pending.items():
+            res = shards[j].cc_flood.options(
+                num_returns=n_shards + 1).remote(*mlist)
+            outs[j] = res[:n_shards]
+            stat_refs[j] = res[n_shards]
+        stats = ray.get(list(stat_refs.values()))
+        pending = {}
+        for j, st in zip(stat_refs.keys(), stats):
+            for t in range(n_shards):
+                if st[1 + t] > 0:
+                    pending.setdefault(t, []).append(outs[j][t])
+    _LAST_GRAPH_EXCHANGE["dedup_clusters"] = int(sum(
+        ray.get([s.exchange_rows.remote() for s in shards])))
 
-    def self_rows(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(pc.cast(t.column("tag"), pa.int8()), 2))
-
-    prev_sum = None
-    for it in range(max_iters):
-        labels = edges.union(labels).groupby("gk").map_groups(
-            prop, batch_format="numpy").materialize()
-        # labels are monotone decreasing ints -> Sum is an exact fixpoint
-        # test (one cheap pass over the materialized message table)
-        s = labels.map_batches(self_rows, batch_format="pyarrow",
-                               zero_copy_batch=True).sum("lbl")
-        if s == prev_sum:
-            break
-        prev_sum = s
-    else:
-        # unconverged labels are WRONG (they disagree with the
-        # connected-components oracle), so fail loudly instead of
-        # returning them — callers can raise max_iters for graphs with
-        # genuinely deep duplicate chains
-        raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge within "
-            f"{max_iters} iterations; the duplicate graph has a component "
-            f"with diameter > {max_iters} — rerun with a higher max_iters")
-
-    def finish(t: pa.Table) -> pa.Table:
-        t = self_rows(t)
-        return pa.table({"doc_id": t.column("key"),
-                         "cluster_id": t.column("lbl")})
-
-    tbl = _to_arrow(labels.map_batches(finish, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-                    .sort("doc_id"))
+    tbl = _to_arrow(rd.from_arrow_refs(
+        [s.cc_collect.remote() for s in shards]).sort("doc_id"))
     if len(_CLUSTERS_CACHE) > 8:
         _CLUSTERS_CACHE.clear()
     _CLUSTERS_CACHE[cache_key] = tbl
@@ -3815,6 +3757,58 @@ def _bipartite_edges(sf_dir: str, rows_per_group: int):
     return edges, n_groups
 
 
+# pinned GraphShard pools are cached per (input, Ray session): building
+# the CSR partitions is the expensive part and pagerank/bfs/motif ops
+# all iterate over the SAME bipartite graph.  Keyed on the job id like
+# _LM_SCORE_CACHE because the pool dies with the Ray session.
+_GRAPH_SHARDS_CACHE: dict[tuple, tuple] = {}
+# per-op message-row counters (exchange accounting for BASELINE.md)
+_LAST_GRAPH_EXCHANGE: dict[str, int] = {}
+
+
+def _shard_pool(edges, cache_key: tuple):
+    """Persistent :class:`GraphShard` pool over a materialised
+    (key, dst) edge dataset — edges partitioned by hash(src), loaded
+    once, iterated many times (see stages/graph_actors.py for the
+    Pregel contract and the multi-node partitioned-parquet load
+    path).  Pools are cached per (input fingerprint, Ray session)."""
+    from ..stages.graph_actors import GraphShard
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    key = cache_key + (job,)
+    hit = _GRAPH_SHARDS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    refs = edges.to_arrow_refs()
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    n_shards = int(max(2, min(16, cpus // 2)))
+    shards = [GraphShard.remote(refs, i, n_shards)
+              for i in range(n_shards)]
+    ray.get([s.ready.remote() for s in shards])
+    if len(_GRAPH_SHARDS_CACHE) > 3:
+        for old, _n in _GRAPH_SHARDS_CACHE.values():
+            for a in old:
+                ray.kill(a)
+        _GRAPH_SHARDS_CACHE.clear()
+    _GRAPH_SHARDS_CACHE[key] = (shards, n_shards)
+    return shards, n_shards
+
+
+def _graph_shards(sf_dir: str, rows_per_group: int):
+    """Shard pool over the bipartite supplier—part graph (pagerank /
+    bfs_hops share it — the pool is built once per input)."""
+    key = ("gshards", os.path.abspath(sf_dir), rows_per_group,
+           _table_fingerprint(sf_dir, "lineitem"))
+    hit = _GRAPH_SHARDS_CACHE.get(
+        key + ((ray.get_runtime_context().get_job_id()
+                if ray.is_initialized() else None),))
+    if hit is not None:
+        return hit
+    edges, _ = _bipartite_edges(sf_dir, rows_per_group)
+    return _shard_pool(edges, key)
+
+
 def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
     """PageRank over the undirected bipartite supplier—part graph derived
     from ``lineitem`` (an edge per DISTINCT (l_suppkey, l_partkey) pair) —
@@ -3828,107 +3822,36 @@ def pagerank(sf_dir: str, iters: int = 3, rows_per_group: int = 5000):
     is undirected so there are no dangling nodes and every node receives
     ≥ 1 contribution.
 
-    Distributed shape (two bounded exchanges per iteration, the
-    dedup_clusters pattern with COARSE vectorised groups instead of
-    one-Python-call-per-node ``map_groups``):
-
-    1. per-block DISTINCT pair keys (combiner) → one coarse groupby
-       dedups globally and expands to both directions — the edge table is
-       materialised ONCE and re-unioned each iteration;
-    2. scatter pass: edges ∪ rank rows grouped by coarse(src); inside a
-       group a ``searchsorted`` join attaches (rank, deg) to each out-edge
-       and emits (dst, contrib) rows plus a per-node deg carrier;
-    3. gather pass: groupby coarse(dst) segment-sums contributions into
-       the new rank rows.
-
-    The exchange carries int64 quadruples only — never adjacency lists —
-    so a hot node (supplier in every order) costs rows proportional to
-    its degree spread across blocks, not a single giant group."""
-    edges, n_groups = _bipartite_edges(sf_dir, rows_per_group)
-
-    # degree = rows per src over the globally-distinct undirected edges;
-    # per-block partial counts make the aggregate exchange carry
-    # (node, partial) rows, then seed rank rows r0 = 1e6
-    def deg_partial(t: pa.Table) -> pa.Table:
-        src = t.column("key").to_numpy(zero_copy_only=False)
-        uk, cnt = np.unique(src, return_counts=True)
-        return pa.table({"node": pa.array(uk, pa.int64()),
-                         "dg": pa.array(cnt.astype(np.int64))})
-
-    def seed(t) -> pa.Table:
-        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
-        if len(df) == 0 or "node" not in df.columns:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64()),
-                             "deg": pa.array([], pa.int64()),
-                             "r": pa.array([], pa.int64()),
-                             "tag": pa.array([], pa.int8()),
-                             "gk": pa.array([], pa.int64())})
-        node = df["node"].to_numpy(np.int64)
-        dg = df["dg"].to_numpy(np.int64)
-        n = len(node)
-        return pa.table({
-            "key": pa.array(node, pa.int64()),
-            "dst": pa.array(np.full(n, -1, np.int64)),
-            "deg": pa.array(dg, pa.int64()),
-            "r": pa.array(np.full(n, 1_000_000, np.int64)),
-            "tag": pa.array(np.ones(n, np.int8)),
-            "gk": pa.array(_coarse_key(node, n_groups), pa.int64()),
-        })
-
-    ranks = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-             .groupby("node").aggregate(Sum("dg", alias_name="dg"))
-             .map_batches(seed, batch_format="pyarrow")
-             .materialize())
-
-    def scatter(g: dict) -> dict:
-        tag = np.asarray(g["tag"], np.int8)
-        key = np.asarray(g["key"], np.int64)
-        dst = np.asarray(g["dst"], np.int64)
-        deg = np.asarray(g["deg"], np.int64)
-        r = np.asarray(g["r"], np.int64)
-        is_rank = tag == np.int8(1)
-        rk, rdeg, rr = key[is_rank], deg[is_rank], r[is_rank]
-        order = np.argsort(rk)
-        rk, rdeg, rr = rk[order], rdeg[order], rr[order]
-        ek, ed = key[~is_rank], dst[~is_rank]
-        idx = np.searchsorted(rk, ek)
-        contrib = (rr[idx] * np.int64(850_000)) \
-            // (rdeg[idx] * np.int64(1_000_000))
-        out_key = np.concatenate([ed, rk])
-        n_e, n_r = len(ed), len(rk)
-        return {"key": out_key,
-                "dst": np.full(n_e + n_r, -1, np.int64),
-                "deg": np.concatenate([np.full(n_e, -1, np.int64), rdeg]),
-                "r": np.concatenate([contrib, np.zeros(n_r, np.int64)]),
-                "tag": np.concatenate([np.full(n_e, 2, np.int8),
-                                       np.ones(n_r, np.int8)]),
-                "gk": _coarse_key(out_key, n_groups)}
-
-    def gather(g: dict) -> dict:
-        tag = np.asarray(g["tag"], np.int8)
-        key = np.asarray(g["key"], np.int64)
-        deg = np.asarray(g["deg"], np.int64)
-        r = np.asarray(g["r"], np.int64)
-        nodes, inv = np.unique(key, return_inverse=True)
-        sums = np.zeros(len(nodes), np.int64)
-        np.add.at(sums, inv[tag == np.int8(2)], r[tag == np.int8(2)])
-        degs = np.zeros(len(nodes), np.int64)
-        degs[inv[tag == np.int8(1)]] = deg[tag == np.int8(1)]
-        n = len(nodes)
-        return {"key": nodes,
-                "dst": np.full(n, -1, np.int64),
-                "deg": degs,
-                "r": np.int64(150_000) + sums,
-                "tag": np.ones(n, np.int8),
-                "gk": _coarse_key(nodes, n_groups)}
-
+    Pregel shape (pinned graph, message-only iteration): the distinct
+    undirected edge table is built ONCE (per-block distinct-pair
+    combiner → one coarse groupby) and loaded into persistent
+    :class:`~..stages.graph_actors.GraphShard` actors partitioned by
+    ``hash(src)`` — each shard owns the rank + degree of its src nodes.
+    An iteration is one ``pr_scatter`` per shard (per-edge int64
+    contributions pre-SUMMED per destination node and per target shard)
+    routed point-to-point via ``num_returns`` refs into one
+    ``pr_gather`` per shard.  Edges never move after load; the
+    per-iteration exchange is bounded by unique destination nodes per
+    shard pair — (node, sum) int64 pairs, never adjacency.  int64
+    addition is associative+commutative, so ranks are bit-identical for
+    any shard count (the dataset-groupby formulation this replaced
+    re-shuffled the full edge table every iteration)."""
+    shards, n_shards = _graph_shards(sf_dir, rows_per_group)
+    ray.get([s.pr_init.remote() for s in shards])
     for _ in range(iters):
-        ranks = (edges.union(ranks)
-                 .groupby("gk").map_groups(scatter, batch_format="numpy")
-                 .groupby("gk").map_groups(gather, batch_format="numpy")
-                 .materialize())
+        outs = [s.pr_scatter.options(num_returns=n_shards).remote()
+                for s in shards]
+        if n_shards == 1:
+            routed = [[outs[0]]]
+        else:
+            routed = [[outs[i][j] for i in range(n_shards)]
+                      for j in range(n_shards)]
+        ray.get([shards[j].pr_gather.remote(*routed[j])
+                 for j in range(n_shards)])
+    _LAST_GRAPH_EXCHANGE["pagerank"] = int(sum(
+        ray.get([s.exchange_rows.remote() for s in shards])))
+    ranks = rd.from_arrow_refs(
+        [s.pr_collect.remote() for s in shards])
 
     def finish(t: pa.Table) -> pa.Table:
         node = t.column("key").to_numpy(zero_copy_only=False)
@@ -5604,109 +5527,56 @@ def bfs_hops(sf_dir: str, max_iters: int = 16,
     (pagerank, components, degrees, motifs, similarity).  Unreached
     nodes are absent from the output.
 
-    Distributed frontier flooding, the :func:`dedup_clusters` shape made
-    coarse: each iteration unions the materialised edge rows with the
-    current distance rows and runs ONE coarse ``hash(node)`` groupby —
-    inside a group a ``lexsort`` + ``np.minimum.reduceat`` consolidates
-    every node's candidate distances at once and re-emits ``d+1``
-    messages along its edges (no per-node Python).  Distances are
-    monotone non-increasing and the reached set monotone growing, so
-    ``(count, sum)`` of the consolidated rows is an exact fixpoint test;
-    like :func:`dedup_clusters`, non-convergence within ``max_iters``
-    raises instead of returning wrong hops.  Converges in
-    graph-diameter iterations (tiny for this dense bipartite graph);
-    the oracle replays it as a depth-capped recursive CTE."""
-    edges, n_groups = _bipartite_edges(sf_dir, rows_per_group)
+    Pregel shape (pinned graph, message-only iteration — shared with
+    :func:`pagerank` via :func:`_graph_shards`): the graph lives in
+    persistent shard actors; a round delivers the pending (node, d)
+    frontier messages to their owning shards, each shard settles
+    first arrivals and floods ``d+1`` along its LOCAL edges,
+    pre-deduped per destination and partitioned per target shard.
+    Only shards with pending messages are called at all, so both the
+    compute AND the exchange are bounded by the moving frontier, never
+    the graph.  Synchronous rounds keep first-arrival distances
+    identical for any shard count.  The fixpoint is "no messages
+    pending"; like :func:`dedup_clusters`, exceeding ``max_iters``
+    raises instead of returning wrong hops.  The oracle replays it as
+    a depth-capped recursive CTE."""
+    from ..stages.graph_actors import shard_key
+    shards, n_shards = _graph_shards(sf_dir, rows_per_group)
     li = read_table(sf_dir, "lineitem", columns=["l_suppkey"])
     src = int(li.min("l_suppkey"))
-    big = np.iinfo(np.int64).max
 
-    state = rd.from_arrow(pa.table({
-        "key": pa.array([src], pa.int64()),
-        "dst": pa.array([-1], pa.int64()),
-        "deg": pa.array([-1], pa.int64()),
-        "r": pa.array([0], pa.int64()),
-        "tag": pa.array([1], pa.int8()),
-        "gk": pa.array(_coarse_key(np.array([src], np.int64),
-                                   n_groups), pa.int64()),
-    }))
+    ray.get([s.bfs_init.remote() for s in shards])
+    owner = int(shard_key(np.array([src], np.int64), n_shards)[0])
+    pending = {owner: [(np.array([src], np.int64),
+                        np.array([0], np.int64))]}
+    rounds = 0
+    while pending:
+        if rounds >= max_iters:
+            raise RuntimeError(
+                f"bfs_hops: frontier still active after {max_iters} "
+                f"iterations; the graph has diameter > {max_iters} — "
+                f"rerun with a higher max_iters")
+        rounds += 1
+        outs, stat_refs = {}, {}
+        for j, mlist in pending.items():
+            res = shards[j].bfs_flood.options(
+                num_returns=n_shards + 1).remote(*mlist)
+            outs[j] = res[:n_shards]
+            stat_refs[j] = res[n_shards]
+        # only the tiny stats vectors sync through the driver; message
+        # payloads flow shard-to-shard as refs, and empty ones are
+        # never delivered
+        stats = ray.get(list(stat_refs.values()))
+        pending = {}
+        for j, st in zip(stat_refs.keys(), stats):
+            for t in range(n_shards):
+                if st[1 + t] > 0:
+                    pending.setdefault(t, []).append(outs[j][t])
+    _LAST_GRAPH_EXCHANGE["bfs_hops"] = int(sum(
+        ray.get([s.exchange_rows.remote() for s in shards])))
 
-    def prop(g: dict) -> dict:
-        key = np.asarray(g["key"], np.int64)
-        dst = np.asarray(g["dst"], np.int64)
-        r = np.asarray(g["r"], np.int64)
-        tag = np.asarray(g["tag"], np.int8)
-        order = np.lexsort((key,))
-        k_s, d_s, r_s, t_s = key[order], dst[order], r[order], tag[order]
-        n = len(k_s)
-        starts = np.flatnonzero(np.concatenate(
-            ([True], k_s[1:] != k_s[:-1])))
-        seg_id = np.cumsum(np.concatenate(
-            ([False], k_s[1:] != k_s[:-1]))).astype(np.int64)
-        cand = np.where(t_s >= 1, r_s, big)
-        dmin = np.minimum.reduceat(cand, starts)
-        reached = dmin < big
-        uniq = k_s[starts]
-        # unweighted-BFS invariant: the first arrival IS the hop count,
-        # so a node floods its edges exactly ONCE (the iteration it is
-        # first reached) — settled nodes (an own tag-2 row present) emit
-        # only their self row, which bounds steady-state message volume
-        # by the frontier, not the graph
-        settled = np.maximum.reduceat(
-            (t_s == 2).astype(np.int8), starts) > 0
-        new = reached & ~settled
-        edge_mask = (t_s == 0) & new[seg_id]
-        msg_dst = d_s[edge_mask]
-        msg_r = dmin[seg_id][edge_mask] + 1
-        if len(msg_dst):
-            # messages to the same target collapse to their min INSIDE
-            # the producing group — a frontier burst shrinks ~deg-fold
-            # before it hits the wire
-            order2 = np.lexsort((msg_r, msg_dst))
-            md, mr = msg_dst[order2], msg_r[order2]
-            first = np.concatenate(([True], md[1:] != md[:-1]))
-            msg_dst, msg_r = md[first], mr[first]
-        out_key = np.concatenate([uniq[reached], msg_dst])
-        out_r = np.concatenate([dmin[reached], msg_r])
-        n_self = int(reached.sum())
-        out_tag = np.concatenate(
-            [np.full(n_self, 2, np.int8),
-             np.ones(len(out_key) - n_self, np.int8)])
-        fill = np.full(len(out_key), -1, np.int64)
-        return {"key": out_key, "dst": fill, "deg": fill, "r": out_r,
-                "tag": out_tag,
-                "gk": _coarse_key(out_key, n_groups)}
-
-    def self_rows(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(pc.cast(t.column("tag"), pa.int8()), 2))
-
-    prev = None
-    for _ in range(max_iters):
-        state = edges.union(state).groupby("gk").map_groups(
-            prop, batch_format="numpy").materialize()
-        # the reached-set size is monotone and stalls EXACTLY when no
-        # node was newly reached — and no new reaches means no messages
-        # were emitted either, so this single filtered count over the
-        # (frontier-sized, not graph-sized) state is a sound fixpoint
-        cur = state.map_batches(self_rows, batch_format="pyarrow",
-                                zero_copy_batch=True).count()
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"bfs_hops: frontier still active after {max_iters} "
-            f"iterations; the graph has diameter > {max_iters} — rerun "
-            f"with a higher max_iters")
-
-    def finish(t: pa.Table) -> pa.Table:
-        t = self_rows(t)
-        return pa.table({"node": t.column("key"),
-                         "hops": t.column("r")})
-
-    return (state.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True)
-            .sort("node"))
+    return rd.from_arrow_refs(
+        [s.bfs_collect.remote() for s in shards]).sort("node")
 
 
 def _levenshtein(a: str, b: str) -> int:
