@@ -4797,9 +4797,11 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
     (vocabulary-sized, object-store-resident) and re-grouped twice by
     ``hash(a)`` then ``hash(b)``, each group attaching its marginal with
     one in-group vectorised ``transform('sum')`` — marginals need no
-    driver round-trip and no join.  Only the ``cnt ≥ min_cnt`` survivors
-    (the heavy tail, vocabulary-scale not corpus-scale) reach the driver
-    for the exact big-int ranking."""
+    driver round-trip and no join.  Each final group emits only its
+    LOCAL top-k by exact integer lift (int64-vectorised when the
+    products fit, per-row bigint inside the group otherwise), so the
+    driver merge sees O(groups × k) rows — never the ``cnt ≥ min_cnt``
+    survivor set, which is corpus-vocabulary-scale on a web corpus."""
     ds = read_table(sf_dir, "documents", columns=["text"])
     n_groups = 4 * _join_partitions()
 
@@ -4859,15 +4861,46 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
         })
 
     def attach_cb(df: pd.DataFrame) -> pa.Table:
+        # the LOCAL top-k by exact lift leaves each group (top-k of the
+        # union == top-k over per-group top-ks, since every non-selected
+        # row is dominated by k rows in its own group) — the driver
+        # merges O(groups × k) rows, never the cnt ≥ min_cnt survivors
         cb = df.groupby("b", sort=False)["cnt"].transform("sum")
         out = df[df["cnt"] >= min_cnt]
-        keep = out.index
+        cnt = out["cnt"].to_numpy(np.int64)
+        ca = out["ca"].to_numpy(np.int64)
+        cbv = cb.loc[out.index].to_numpy(np.int64)
+        if len(cnt) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "lift_ppm": pa.array([], pa.int64())})
+        # exact integer lift, vectorised in int64 whenever both the
+        # numerator and the denominator fit (always at bench scales);
+        # the per-row Python-bigint branch only triggers at corpus
+        # sizes where the products exceed 2^63 — and then it runs
+        # INSIDE the distributed group, not on the driver
+        if (int(cnt.max()) * n_total * 1_000_000 < 2 ** 63
+                and int(ca.max()) * int(cbv.max()) < 2 ** 63):
+            lift = (cnt * np.int64(n_total) * np.int64(1_000_000)) \
+                // (ca * cbv)
+        else:
+            lift = np.fromiter(
+                ((int(c) * n_total * 1_000_000) // (int(x) * int(y))
+                 for c, x, y in zip(cnt, ca, cbv)),
+                np.int64, len(cnt))
+        loc = pd.DataFrame({
+            "a": out["a"].to_numpy(object),
+            "b": out["b"].to_numpy(object),
+            "cnt": cnt, "lift_ppm": lift})
+        loc = (loc.sort_values(["lift_ppm", "a", "b"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k))
         return pa.table({
-            "a": pa.array(out["a"].to_numpy(object).tolist(), pa.string()),
-            "b": pa.array(out["b"].to_numpy(object).tolist(), pa.string()),
-            "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
-            "ca": pa.array(out["ca"].to_numpy(np.int64)),
-            "cb": pa.array(cb.loc[keep].to_numpy(np.int64)),
+            "a": pa.array(loc["a"].tolist(), pa.string()),
+            "b": pa.array(loc["b"].tolist(), pa.string()),
+            "cnt": pa.array(loc["cnt"].to_numpy(np.int64)),
+            "lift_ppm": pa.array(loc["lift_ppm"].to_numpy(np.int64)),
         })
 
     surv = _to_arrow(bi.groupby("gka")
@@ -4881,9 +4914,6 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
                          "b": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64()),
                          "lift_ppm": pa.array([], pa.int64())})
-    surv["lift_ppm"] = [
-        (int(c) * n_total * 1_000_000) // (int(ca) * int(cb))
-        for c, ca, cb in zip(surv["cnt"], surv["ca"], surv["cb"])]
     surv = (surv.sort_values(["lift_ppm", "a", "b"],
                              ascending=[False, True, True],
                              kind="mergesort")
