@@ -3209,6 +3209,56 @@ def dedup_cdc_chunks(sf_dir: str, k: int = _ROLL_K,
             .select_columns(["a", "b", "n_shared"]))
 
 
+
+def _ngram_count_rows(t: pa.Table, n: int, n_groups: int) -> pa.Table:
+    """Arrow-native per-block (ngram, partial_count, gk) rows — the
+    shared hot scan of :func:`ngram_topk` / :func:`bigram_lift`: RE2
+    whitespace split (same class as :data:`_ASCII_WS_RE` and the DuckDB
+    oracles) → ``list_flatten`` with ``np.repeat`` parents → n-1
+    element-wise joins of shifted slices masked to same-document runs →
+    ``dictionary_encode`` + ``bincount`` for the unique counts.  No
+    per-row Python, no pandas object conversion of the text column."""
+    empty = pa.table({"ngram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "gk": pa.array([], pa.int64())})
+    txt = pc.fill_null(t.column("text"), "")
+    lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
+    n_per = pc.list_value_length(lst) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    ids = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    ids_k = ids[keep.to_numpy(zero_copy_only=False)]
+    flat_k = flat.filter(keep)
+    if isinstance(flat_k, pa.ChunkedArray):
+        flat_k = flat_k.combine_chunks()
+    if len(ids_k) < n:
+        return empty
+    m = len(flat_k) - n + 1
+    slices = [flat_k.slice(i, m) for i in range(n)]
+    grams = slices[0] if n == 1 else pc.binary_join_element_wise(
+        *slices, " ")
+    same = ids_k[:m] == ids_k[n - 1:]
+    grams = grams.filter(pa.array(same))
+    if len(grams) == 0:
+        return empty
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    counts = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    uniq = vocab.to_numpy(zero_copy_only=False)
+    order = np.argsort(uniq)
+    uniq, counts = uniq[order], counts[order]
+    gk = (pd.util.hash_array(uniq) % np.uint64(n_groups)) \
+        .astype(np.int64)
+    return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
+                     "cnt": pa.array(counts),
+                     "gk": pa.array(gk)})
+
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     """Corpus-wide top-``k`` word ``n``-grams by frequency — the
     heavy-hitters primitive of corpus analysis (boilerplate discovery,
@@ -3227,27 +3277,8 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     # string domain; pandas hash_array is process-stable (fixed hash_key)
     n_groups = 4 * _join_partitions()
 
-    def partial(batch: pd.DataFrame) -> pa.Table:
-        grams: list[str] = []
-        for text in batch["text"]:
-            if not isinstance(text, str):
-                continue
-            toks = _ws_tokens(text)
-            if len(toks) < n:
-                continue
-            grams.extend(" ".join(toks[i:i + n])
-                         for i in range(len(toks) - n + 1))
-        if not grams:
-            return pa.table({"ngram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64()),
-                             "gk": pa.array([], pa.int64())})
-        uniq, counts = np.unique(np.asarray(grams, object),
-                                 return_counts=True)
-        gk = (pd.util.hash_array(uniq) % np.uint64(n_groups)) \
-            .astype(np.int64)
-        return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
-                         "cnt": pa.array(counts.astype(np.int64)),
-                         "gk": pa.array(gk)})
+    def partial(t: pa.Table) -> pa.Table:
+        return _ngram_count_rows(t, n, n_groups)
 
     def head(df: pd.DataFrame) -> pa.Table:
         # every distinct ngram hashes into exactly one group, so the
@@ -3258,7 +3289,8 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
                            kind="mergesort").head(k))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    top = _to_arrow(ds.map_batches(partial, batch_format="pandas")
+    top = _to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
                     .groupby("gk").map_groups(head,
                                               batch_format="pandas"))
     df = (top.to_pandas()
@@ -3460,28 +3492,49 @@ def dataset_mix(sf_dir: str, budget: int = 120,
             .sort(["source", "rnk"]))
 
 
-def _tf_rows(batch: pd.DataFrame) -> pa.Table:
+def _tf_rows(t: pa.Table) -> pa.Table:
     """Exact (doc_id, token, tf) rows per block — a document lives in one
     row, so its term frequencies are complete within its block (the
-    combiner property the tf/df and LM-scoring ops rely on)."""
-    ids, toks = [], []
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        if not isinstance(text, str):
-            continue
-        ws = _ws_tokens(text)
-        ids.extend([doc_id] * len(ws))
-        toks.extend(ws)
-    if not ids:
+    combiner property the tf/df and LM-scoring ops rely on).
+
+    Arrow-native hot path (zero pandas object conversion, no per-row
+    Python): RE2 split (same ``[\\t\\n\\f\\r ]+`` class as
+    :data:`_ASCII_WS_RE` and the DuckDB oracles) → ``list_flatten`` with
+    a ``np.repeat`` parent join → ``dictionary_encode`` so the counting
+    runs over int32 codes — one lexsort + run-length per block.  Output
+    row order differs from the old pandas groupby (first-seen) order,
+    which is safe: every consumer re-aggregates or re-sorts on
+    deterministic keys."""
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    txt = pc.fill_null(t.column("text"), "")
+    lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
+    n_per = pc.list_value_length(lst).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lst)
+    ids = np.repeat(doc, n_per)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    ids_k = ids[keep.to_numpy(zero_copy_only=False)]
+    if len(ids_k) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "token": pa.array([], pa.string()),
                          "tf": pa.array([], pa.int64())})
-    df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
-                       "token": toks})
-    g = df.groupby(["doc_id", "token"], as_index=False,
-                   sort=False).size()
-    return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                     "token": pa.array(g["token"], pa.string()),
-                     "tf": pa.array(g["size"].astype("int64"))})
+    enc = pc.dictionary_encode(flat.filter(keep))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    order = np.lexsort((codes, ids_k))
+    i_s, c_s = ids_k[order], codes[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], (i_s[1:] != i_s[:-1]) | (c_s[1:] != c_s[:-1]))))
+    tf = np.diff(np.append(starts, len(i_s))).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(i_s[starts], pa.int64()),
+        "token": vocab.take(pa.array(c_s[starts], pa.int32())),
+        "tf": pa.array(tf)})
 
 
 def tfidf_topk(sf_dir: str, k: int = 3):
@@ -3497,7 +3550,8 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     join key, not a ``map_groups`` group, so token skew never builds a
     giant group."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    tf = ds.map_batches(_tf_rows, batch_format="pandas")
+    tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)
     # (doc_id, token) rows are distinct, so Count == document frequency
     # Count-aggregate partitions with no rows emit SCHEMA-LESS empty
     # blocks, and a schema-less block on the join's build side makes the
@@ -4029,7 +4083,8 @@ def unigram_lm_score(sf_dir: str):
     if hit is not None:
         return hit
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    tf = ds.map_batches(_tf_rows, batch_format="pandas")
+    tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)
     cnt = tf.groupby("token").aggregate(Sum("tf", alias_name="cnt")) \
         .repartition(_join_partitions()).materialize()
     n_total = int(cnt.sum("cnt"))
@@ -4805,25 +4860,8 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
     ds = read_table(sf_dir, "documents", columns=["text"])
     n_groups = 4 * _join_partitions()
 
-    def partial(batch: pd.DataFrame) -> pa.Table:
-        grams: list[str] = []
-        for text in batch["text"]:
-            if not isinstance(text, str):
-                continue
-            toks = _ws_tokens(text)
-            grams.extend(toks[i] + " " + toks[i + 1]
-                         for i in range(len(toks) - 1))
-        if not grams:
-            return pa.table({"ngram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64()),
-                             "gk": pa.array([], pa.int64())})
-        uniq, counts = np.unique(np.asarray(grams, object),
-                                 return_counts=True)
-        gk = (pd.util.hash_array(uniq) % np.uint64(n_groups)) \
-            .astype(np.int64)
-        return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
-                         "cnt": pa.array(counts.astype(np.int64)),
-                         "gk": pa.array(gk)})
+    def partial(t: pa.Table) -> pa.Table:
+        return _ngram_count_rows(t, 2, n_groups)
 
     def exact(df: pd.DataFrame) -> pa.Table:
         g = (df.groupby("ngram", sort=False, as_index=False)["cnt"].sum())
@@ -4837,7 +4875,8 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
                              % np.uint64(n_groups)).astype(np.int64)),
         })
 
-    bi = (ds.map_batches(partial, batch_format="pandas")
+    bi = (ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
           .groupby("gk").map_groups(exact, batch_format="pandas")
           .materialize())               # vocabulary-sized, spillable
     n_total = int(bi.sum("cnt") or 0)
