@@ -1500,6 +1500,23 @@ def test_conv_flatten(ray_session, tmp_path):
     assert got["n_chars"] == [len(docs["c1"]), len(docs["c2"])]
     assert got["doc_md5"] == [
         hashlib.md5(docs[c].encode()).hexdigest() for c in ("c1", "c2")]
+    # regression for the schema-less empty-block class: Ray emits
+    # SCHEMA-LESS blocks for empty sort/groupby partitions and they
+    # BYPASS map_batches UDFs (probed: an empty-retyping identity map
+    # never sees them).  The repartition guard coalesces the groupby
+    # empties so every block that CARRIES ROWS has the full schema and
+    # no rows are lost; zero-row schema-less residue from the final
+    # sort's empty ranges is benign (every consumer filters on
+    # num_rows) and unavoidable on a 2-conversation fixture.
+    out = ops.conv_flatten(ds).materialize()
+    n_rows = 0
+    for ref in out.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_rows:
+            assert blk.schema.names == ["conv_id", "n_turns", "n_chars",
+                                        "doc_md5"], blk.schema
+            n_rows += blk.num_rows
+    assert n_rows == 2
 
 
 def test_skyline_kernel_matches_bruteforce():

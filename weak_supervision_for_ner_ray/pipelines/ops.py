@@ -4781,9 +4781,15 @@ def conv_flatten(turns_ds, rows_per_group: int = 4000):
                  for d in docs], pa.string()),
         })
 
+    # empty groupby partitions emit SCHEMA-LESS blocks (the round-4
+    # Dataset.join crash class); the repartition coalesces them away
+    # before the sort, which otherwise logs a schema-mismatch warning —
+    # conv-level rows are corpus/10 scale, so the extra exchange is
+    # noise next to the groupby
     return (turns_ds.map_batches(pre, batch_format="pyarrow",
                                  zero_copy_batch=True)
             .groupby("gk").map_groups(flatten, batch_format="pandas")
+            .repartition(_join_partitions())
             .sort("conv_id"))
 
 
