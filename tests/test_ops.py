@@ -628,6 +628,319 @@ def test_png_decode_all_filters():
     assert np.allclose(got, want)
 
 
+# -- baseline JPEG: test-side encoder + pixel-exact decode ------------------
+
+def _jpeg_zigzag():
+    return np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ], np.int64)
+
+
+def _jpeg_basis():
+    # the test derives its own orthonormal DCT basis (independent of the
+    # decoder's constant) so the IDCT path is cross-checked, not shared
+    a = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            a[k, n] = np.sqrt(2.0 / 8.0) * (
+                (1 / np.sqrt(2.0)) if k == 0 else 1.0) \
+                * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    return a
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)       # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)                      # pad with 1-bits
+
+
+def _jpeg_symbols(qz_blocks, reset_every=0):
+    """(dc_syms, ac_syms, encode_ops) for a component's zigzag blocks;
+    ``reset_every`` resets the DC predictor every that many blocks (the
+    restart-interval rule, in per-component block units)."""
+    dc_syms, ac_syms, ops_list = set(), set(), []
+    prev = 0
+    for bi, zz in enumerate(qz_blocks):
+        if reset_every and bi % reset_every == 0:
+            prev = 0
+        diff = int(zz[0]) - prev
+        prev = int(zz[0])
+        s = int(diff).bit_length() if diff else 0
+        dc_syms.add(s)
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        ops_list.append(("dc", s, v))
+        run = 0
+        last_nz = max(np.flatnonzero(zz[1:])) + 1 if (zz[1:] != 0).any() \
+            else 0
+        for k in range(1, last_nz + 1):
+            c = int(zz[k])
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                ops_list.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            sz = abs(c).bit_length()
+            sym = (run << 4) | sz
+            ac_syms.add(sym)
+            vv = c if c >= 0 else c + (1 << sz) - 1
+            ops_list.append(("ac", sym, sz, vv))
+            run = 0
+        if last_nz < 63:
+            ac_syms.add(0x00)
+            ops_list.append(("ac", 0x00, 0, 0))
+        ops_list.append(("endblk",))
+    return dc_syms, ac_syms, ops_list
+
+
+def _fixed8_table(syms):
+    """All-codes-8-bit canonical table: (bits, vals, {sym: code})."""
+    vals = sorted(syms)
+    assert len(vals) <= 200
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bytes(bits), bytes(vals), {s: i for i, s in enumerate(vals)}
+
+
+def _make_jpeg(img, subsample=False, restart=0, gray=False):
+    """Minimal baseline JFIF encoder: forward orthonormal DCT, fixed
+    zigzag-domain quant tables, per-image fixed-8-bit Huffman tables,
+    optional 4:2:0 subsampling and restart intervals.  Returns
+    (payload, expected_rgb) with the expected image computed from the
+    QUANTIZED coefficients via the test's own IDCT/upsample/colorconv —
+    independent of the decoder's bitstream walk."""
+    import struct
+    A = _jpeg_basis()
+    ZZ = _jpeg_zigzag()
+    H, W = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        sampling = [(1, 1)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            he, we = H + (H & 1), W + (W & 1)
+            cbp = np.pad(cb, ((0, he - H), (0, we - W)), mode="edge")
+            crp = np.pad(cr, ((0, he - H), (0, we - W)), mode="edge")
+            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb, cr]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            sampling = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    qlum = (np.arange(64, dtype=np.int64) % 7) + 2
+    qchr = (np.arange(64, dtype=np.int64) % 5) + 3
+    qts = [qlum] + ([qchr] if len(planes) > 1 else [])
+
+    # quantize every block per component, MCU-interleaved order
+    comp_blocks = []                     # per component: list of zigzag qz
+    for ci, (pl, (sh, sv)) in enumerate(zip(planes, sampling)):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pl = np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                    mode="edge")
+        q = qts[min(ci, 1)]
+        blocks = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(sv):
+                    for h in range(sh):
+                        y0, x0 = (my * sv + v) * 8, (mx * sh + h) * 8
+                        blk = pl[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = A @ blk @ A.T
+                        blocks.append(np.round(
+                            coef.reshape(-1)[ZZ] / q).astype(np.int64))
+        comp_blocks.append(blocks)
+
+    # independent expected image from the quantized coefficients
+    recon = []
+    for ci, (blocks, (sh, sv)) in enumerate(zip(comp_blocks, sampling)):
+        q = qts[min(ci, 1)]
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pl = np.zeros((ph, pw))
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(sv):
+                    for h in range(sh):
+                        deq = np.zeros(64)
+                        deq[ZZ] = (blocks[bi] * q).astype(np.float64)
+                        pix = A.T @ deq.reshape(8, 8) @ A
+                        y0 = (my * sv + v) * 8
+                        x0 = (mx * sh + h) * 8
+                        pl[y0:y0 + 8, x0:x0 + 8] = pix
+                        bi += 1
+        pl = np.repeat(np.repeat(pl, vmax // sv, axis=0),
+                       hmax // sh, axis=1)
+        recon.append(pl[:H, :W] + 128.0)
+    if gray:
+        expected = np.repeat(np.clip(np.round(recon[0]), 0, 255)
+                             .astype(np.uint8)[:, :, None], 3, axis=2)
+    else:
+        yv, cbv, crv = recon[0], recon[1] - 128.0, recon[2] - 128.0
+        rgb = np.stack([yv + 1.402 * crv,
+                        yv - 0.344136 * cbv - 0.714136 * crv,
+                        yv + 1.772 * cbv], axis=2)
+        expected = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    # Huffman tables (class 0 = DC, 1 = AC; id 0 = luma, 1 = chroma)
+    bpm = [sh * sv for sh, sv in sampling]
+    lum_ops = _jpeg_symbols(comp_blocks[0],
+                            restart * bpm[0] if restart else 0)
+    chr_ops = [_jpeg_symbols(cb, restart * bpm[1 + i] if restart else 0)
+               for i, cb in enumerate(comp_blocks[1:])]
+    dc0, ac0 = _fixed8_table(lum_ops[0]), _fixed8_table(lum_ops[1])
+    tabs = [(0, 0, dc0), (1, 0, ac0)]
+    if chr_ops:
+        dsy = set().union(*[c[0] for c in chr_ops])
+        asy = set().union(*[c[1] for c in chr_ops])
+        dc1, ac1 = _fixed8_table(dsy), _fixed8_table(asy)
+        tabs += [(0, 1, dc1), (1, 1, ac1)]
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) \
+            + data
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qts):
+        out += seg(0xDB, bytes([tid]) + bytes(int(x) for x in q))
+    nf = len(planes)
+    sof = struct.pack(">BHHB", 8, H, W, nf)
+    for ci in range(nf):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
+    out += seg(0xC0, sof)
+    for cls, tid, (bits, vals, _) in tabs:
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bits + vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nf])
+    for ci in range(nf):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    # interleave the per-component op streams MCU by MCU
+    streams = [lum_ops[2]] + [c[2] for c in chr_ops]
+    ptrs = [0] * nf
+    enc = {0: (dc0[2], ac0[2])}
+    if chr_ops:
+        enc[1] = (dc1[2], ac1[2])
+    wr = _JpegWriter()
+    blocks_per_mcu = bpm
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            wr.flush()
+            out += wr.out
+            wr = _JpegWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            # DC-predictor resets are already baked into the op streams
+            # (_jpeg_symbols reset_every)
+        for ci in range(nf):
+            dcmap, acmap = enc[min(ci, 1)]
+            done = 0
+            while done < blocks_per_mcu[ci]:
+                op = streams[ci][ptrs[ci]]
+                ptrs[ci] += 1
+                if op[0] == "dc":
+                    _, s, v = op
+                    wr.put(dcmap[s], 8)
+                    if s:
+                        wr.put(v & ((1 << s) - 1), s)
+                elif op[0] == "ac":
+                    _, sym, sz, vv = op
+                    wr.put(acmap[sym], 8)
+                    if sz:
+                        wr.put(vv & ((1 << sz) - 1), sz)
+                else:
+                    done += 1
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def test_jpeg_decode_444():
+    """Baseline 4:4:4 JPEG decodes pixel-exact against the expected
+    image derived independently from the quantized coefficients."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), np.uint8)
+    payload, expected = _make_jpeg(img)
+    got = ops._decode_jpeg(payload)
+    assert np.array_equal(got, expected)
+    # lossy but sane: reconstruction stays close to the source
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 24
+
+
+def test_jpeg_decode_420_restart():
+    """4:2:0 chroma subsampling + restart intervals (DC predictor
+    resets, RST markers, bit-buffer flushes) decode pixel-exact."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (33, 22, 3), np.uint8)
+    payload, expected = _make_jpeg(img, subsample=True, restart=2)
+    assert np.array_equal(ops._decode_jpeg(payload), expected)
+    payload2, expected2 = _make_jpeg(img, subsample=True)
+    assert np.array_equal(ops._decode_jpeg(payload2), expected2)
+
+
+def test_jpeg_decode_grayscale_and_rejects():
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (12, 19), np.uint8)
+    payload, expected = _make_jpeg(gray, gray=True)
+    assert np.array_equal(ops._decode_jpeg(payload), expected)
+    # progressive (SOF2) is rejected, not mis-decoded
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        ops._decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        ops._decode_jpeg(b"not a jpeg at all")
+
+
+def test_image_resize_stage_decodes_jpeg():
+    """The actor-pool stage consumes a real JPEG payload end to end:
+    decode -> grayscale -> area resize -> fixed-length grid."""
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    payload, expected = _make_jpeg(img)
+    stage = ops.ImageResizeStage(h=8, w=8, use_real_decoder=True)
+    grid = stage.decode_image(payload)
+    assert grid.shape == (64,)
+    ref = ops._area_resize(expected.astype(np.float64).mean(axis=2),
+                           8, 8) / 255.0
+    assert np.allclose(grid, ref.reshape(-1))
+
+
 def test_wav_decode_real(ray_session, docs_dir):
     """The pure-numpy WAV decoder is sample-exact against the stdlib
     ``wave`` encoder for 16-bit mono/stereo and 8-bit payloads, and the
