@@ -169,6 +169,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "kg_runs": kg_runs,
+        # Pregel exchange accounting: total (node, value) int64 message
+        # pairs the pinned-graph iterations moved (edges load once and
+        # never re-shuffle — see stages/graph_actors.py)
+        "graph_exchange_rows": dict(ops._LAST_GRAPH_EXCHANGE),
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "turns": n_turns,

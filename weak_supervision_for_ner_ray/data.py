@@ -397,10 +397,11 @@ def write_corpus(out_dir: str, n_convs: int, seed: int = 13,
 
 
 # scale presets: sf -> number of conversations (~22 turns/conv on average)
-# sf0.3 has no testdata dir — it exists for the scaling-trend bench
-# (point GRAFT_SF_DIR at any directory named sf0.3; only the transcript
-# corpus, synthesised under /tmp, is read at that scale)
-SF_CONVS = {"sf0.001": 90, "sf0.01": 900, "sf0.1": 9000, "sf0.3": 27000}
+# sf0.3 / sf1 have no testdata dir — they exist for the scaling-trend
+# bench (point GRAFT_SF_DIR at any directory named sf0.3 / sf1; only the
+# transcript corpus, synthesised under /tmp, is read at those scales)
+SF_CONVS = {"sf0.001": 90, "sf0.01": 900, "sf0.1": 9000, "sf0.3": 27000,
+            "sf1": 90000}
 
 
 def _point_current(cache_root: str, target: str) -> None:
