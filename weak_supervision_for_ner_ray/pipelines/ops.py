@@ -951,6 +951,28 @@ def _join_partitions() -> int:
     return max(2, cpus)
 
 
+def _coalesce_schema_less(ds, n_parts: int | None = None):
+    """Rewrite away SCHEMA-LESS empty blocks from a grouped output.
+
+    Grouped aggregates / ``map_groups`` partitions that received no rows
+    emit EMPTY blocks carrying no schema.  Probed behaviour (rounds 4-5):
+    such blocks BYPASS ``map_batches`` UDFs entirely (an identity retype
+    never sees them), crash ``Dataset.join`` when they sit on the build
+    side ("no match for FieldRef <key>"), and log a schema-mismatch
+    warning when unioned or sorted against real blocks.  A repartition is
+    the one operator that reliably coalesces them away — apply this to
+    any grouped output that feeds a join, union, or sort.
+
+    ``shuffle=True`` is load-bearing: the split-based repartition packs
+    rows into ``n_parts`` splits and leaves SCHEMA-LESS trailing blocks
+    whenever the table holds fewer rows than partitions (probed round 5),
+    while the shuffle path emits empty blocks WITH schema for every
+    partition unconditionally.  The guarded tables are aggregate-scale
+    (vocabulary / summary rows), so the extra exchange is noise next to
+    the groupby that produced them."""
+    return ds.repartition(n_parts or _join_partitions(), shuffle=True)
+
+
 def _smallest_by_stats(sf_dir: str, n: int) -> pa.Table | None:
     """Driver-side fast path for query selection: parquet row-group
     ``vec_id`` min/max statistics identify the only row groups that can
@@ -2431,16 +2453,15 @@ def _lsh_candidate_pairs(coded_ids, n_groups: int | None = None):
         a, bb = _segment_pairs(v, seg)
         return {"a": a, "b": bb}
 
-    # trailing repartition: the grouped aggregate emits schema-less EMPTY
-    # blocks that poison every downstream union/concat (same pitfall as
-    # the ngram_jaccard join feed) — a split-repartition coalesces them
-    return (coded_ids.map_batches(tag, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-            .groupby("gk")
-            .map_groups(bucket_cands, batch_format="numpy")
-            .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-            .select_columns(["a", "b"])
-            .repartition(_join_partitions()))
+    # the grouped aggregate can emit schema-less empty blocks that poison
+    # every downstream union/concat — see _coalesce_schema_less
+    return _coalesce_schema_less(
+        coded_ids.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("gk")
+        .map_groups(bucket_cands, batch_format="numpy")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"]))
 
 
 _COARSE_MULT = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)  # fib hash
@@ -3095,13 +3116,16 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
             "right_id": c_id[m].to_numpy(np.int64),
             "right_ts_us": c_ts[m].to_numpy(np.int64)})
 
-    carries = (tagged()
-               .groupby("gk").map_groups(summarize, batch_format="pandas")
-               .groupby("sk").map_groups(stitch, batch_format="pandas")
-               # count-style empty pandas groups can emit schema-less
-               # blocks; consolidate before the union, and normalise to
-               # Arrow blocks so the union sides share one block type
-               .repartition(8)
+    # consolidate schema-less empties before the union
+    # (_coalesce_schema_less), then normalise to Arrow blocks so the
+    # union sides share one block type
+    carries = (_coalesce_schema_less(
+                   tagged()
+                   .groupby("gk").map_groups(summarize,
+                                             batch_format="pandas")
+                   .groupby("sk").map_groups(stitch,
+                                             batch_format="pandas"),
+                   n_parts=8)
                .map_batches(lambda t: t, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -3772,16 +3796,11 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
-    # (doc_id, token) rows are distinct, so Count == document frequency
-    # Count-aggregate partitions with no rows emit SCHEMA-LESS empty
-    # blocks, and a schema-less block on the join's build side makes the
-    # hash-join aggregator fail to resolve the key column ("no match for
-    # FieldRef token") — a map_batches identity does NOT clear it (the
-    # empty bundle's schema survives), but a repartition coalesces the
-    # empties away.  The (token, df) table is tiny next to the corpus, so
-    # the extra exchange is noise.
-    df_tbl = tf.groupby("token").aggregate(Count(alias_name="df")) \
-        .repartition(_join_partitions())
+    # (doc_id, token) rows are distinct, so Count == document frequency;
+    # the aggregate feeds a join build side, so guard it
+    # (_coalesce_schema_less — the round-4 "no match for FieldRef" crash)
+    df_tbl = _coalesce_schema_less(
+        tf.groupby("token").aggregate(Count(alias_name="df")))
     joined = tf.join(df_tbl, join_type="inner",
                      num_partitions=_join_partitions(),
                      on=("token",))
@@ -4305,8 +4324,9 @@ def unigram_lm_score(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
-    cnt = tf.groupby("token").aggregate(Sum("tf", alias_name="cnt")) \
-        .repartition(_join_partitions()).materialize()
+    cnt = _coalesce_schema_less(
+        tf.groupby("token").aggregate(Sum("tf", alias_name="cnt"))
+    ).materialize()
     n_total = int(cnt.sum("cnt"))
     joined = tf.join(cnt, join_type="inner",
                      num_partitions=_join_partitions(),
@@ -4711,10 +4731,9 @@ def dedup_keep_best(sf_dir: str):
     if cl.count() == 0:
         return rd.from_arrow(empty)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    # sorted output can carry SCHEMA-LESS empty blocks, which crash the
-    # hash join's FieldRef resolution — .repartition() rewrites them
-    # (identity map_batches does NOT; see tfidf_topk)
-    joined = (cl.repartition(_join_partitions())
+    # sorted output can carry schema-less empty blocks, which crash the
+    # hash join's FieldRef resolution — guard (_coalesce_schema_less)
+    joined = (_coalesce_schema_less(cl)
               .join(docs, join_type="inner",
                     num_partitions=_join_partitions(), on=("doc_id",)))
 
@@ -5002,15 +5021,13 @@ def conv_flatten(turns_ds, rows_per_group: int = 4000):
         })
 
     # empty groupby partitions emit SCHEMA-LESS blocks (the round-4
-    # Dataset.join crash class); the repartition coalesces them away
-    # before the sort, which otherwise logs a schema-mismatch warning —
-    # conv-level rows are corpus/10 scale, so the extra exchange is
-    # noise next to the groupby
-    return (turns_ds.map_batches(pre, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-            .groupby("gk").map_groups(flatten, batch_format="pandas")
-            .repartition(_join_partitions())
-            .sort("conv_id"))
+    # Dataset.join crash class); guard before the sort, which otherwise
+    # logs a schema-mismatch warning (_coalesce_schema_less)
+    return _coalesce_schema_less(
+        turns_ds.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("gk").map_groups(flatten, batch_format="pandas")
+    ).sort("conv_id")
 
 
 def chunk_text(sf_dir: str, size: int = 512, stride: int = 384):
@@ -6067,9 +6084,10 @@ def countmin_sketch(sf_dir: str):
             "cnt": pc.cast(t.column("cnt"), pa.int64()),
         })
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("rb").aggregate(Sum("cnt", alias_name="cnt"))
-            .repartition(4)
+    return (_coalesce_schema_less(
+                ds.map_batches(partial, batch_format="pandas")
+                .groupby("rb").aggregate(Sum("cnt", alias_name="cnt")),
+                n_parts=4)
             .map_batches(finalize, batch_format="pyarrow")
             .sort(["rw", "bucket"]))
 
