@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": lambda sf: ops.multimodal_frame_sample(sf),
         "multimodal_audio_features":
             lambda sf: ops.multimodal_audio_features(sf),
+        "multimodal_video_frames":
+            lambda sf: ops.multimodal_video_frames(sf),
         # --- the KG-construction engine over transcripts (rows-only:
         #     transcripts are synthesised outside the DuckDB views) ---
         "turns_restore_order": turns_restore_order,

@@ -161,6 +161,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: ops.pii_redact(rd.read_parquet(turns_path)))
     timed("conv_flatten",
           lambda: ops.conv_flatten(rd.read_parquet(turns_path)))
+    timed("multimodal_video_frames",
+          lambda: ops.multimodal_video_frames(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

@@ -2322,3 +2322,111 @@ def test_corpus_stats(ray_session, docs_dir):
     assert got["total_tokens"] == [sum(toks)]
     assert got["max_chars"] == [max(chars)]
     assert got["min_chars"] == [min(chars)]
+
+
+# ---------------------------------------------------------------------------
+# y4m video decode (real)
+# ---------------------------------------------------------------------------
+
+def _make_y4m(w, h, frames, cs=b"444", frame_params=False):
+    """Independent test-side YUV4MPEG2 writer (not the library's synth).
+
+    ``frames`` is a list of (y, cb, cr) uint8 planes (cb/cr None for
+    mono); ``frame_params`` exercises per-frame FRAME parameter lines."""
+    out = [b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C%s\n" % (w, h, cs)]
+    for y, cb, cr in frames:
+        marker = b"FRAME Ttest\n" if frame_params else b"FRAME\n"
+        data = y.tobytes()
+        if cb is not None:
+            data += cb.tobytes() + cr.tobytes()
+        out.append(marker + data)
+    return b"".join(out)
+
+
+def _ref_yuv_rgb(yv, cbv, crv):
+    """Per-pixel scalar reference for limited-range BT.601 -> RGB."""
+    import math
+    kr, kb = 0.299, 0.114
+    kg = 1.0 - kr - kb
+    y = (yv - 16.0) * (255.0 / 219.0)
+    pb = (cbv - 128.0) * (255.0 / 224.0)
+    pr = (crv - 128.0) * (255.0 / 224.0)
+    r = y + 2.0 * (1.0 - kr) * pr
+    b = y + 2.0 * (1.0 - kb) * pb
+    g = (y - kr * r - kb * b) / kg
+
+    def q(v):
+        return int(math.floor(min(max(v, 0.0), 255.0) + 0.5))
+    return q(r), q(g), q(b)
+
+
+def test_y4m_decode_pixel_exact():
+    rng = np.random.default_rng(7)
+    w, h = 8, 6
+    for cs, sx, sy in [(b"444", 1, 1), (b"422", 2, 1),
+                       (b"420jpeg", 2, 2), (b"420mpeg2", 2, 2)]:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = rng.integers(0, 256, (h // sy, w // sx), dtype=np.uint8)
+        cr = rng.integers(0, 256, (h // sy, w // sx), dtype=np.uint8)
+        payload = _make_y4m(w, h, [(y, cb, cr)], cs=cs, frame_params=True)
+        (got,) = ops._decode_y4m(payload)
+        assert got.shape == (h, w, 3)
+        for i in range(h):
+            for j in range(w):
+                exp = _ref_yuv_rgb(float(y[i, j]),
+                                   float(cb[i // sy, j // sx]),
+                                   float(cr[i // sy, j // sx]))
+                assert tuple(got[i, j]) == exp, (cs, i, j)
+    # mono: chroma neutral at 128
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    (got,) = ops._decode_y4m(_make_y4m(w, h, [(y, None, None)], cs=b"mono"))
+    for i in range(h):
+        for j in range(w):
+            assert tuple(got[i, j]) == _ref_yuv_rgb(float(y[i, j]),
+                                                    128.0, 128.0)
+    # rejects
+    with pytest.raises(ValueError):
+        ops._decode_y4m(b"YUV4MPEG2 W8 H6 C411\n")
+    with pytest.raises(ValueError):
+        ops._decode_y4m(b"MPEG W8 H6\n")
+
+
+def test_y4m_frame_sampling_and_ppm_roundtrip():
+    rng = np.random.default_rng(11)
+    w, h = 4, 4
+    frames = []
+    for _ in range(10):
+        frames.append((rng.integers(0, 256, (h, w), dtype=np.uint8),
+                       rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                       rng.integers(0, 256, (h // 2, w // 2), np.uint8)))
+    payload = _make_y4m(w, h, frames, cs=b"420jpeg")
+    full = ops._decode_y4m(payload)
+    assert len(full) == 10
+    sel = ops._decode_y4m(payload, n_samples=4)
+    # evenly spaced indices i*total//n
+    assert [np.array_equal(s, full[i])
+            for s, i in zip(sel, [0, 2, 5, 7])] == [True] * 4
+    # the stage emits PPM frames that round-trip through the PPM decoder
+    stage = ops.FrameSampleStage(n_frames=4, use_real_decoder=True)
+    ppms = stage.decode_video(payload)
+    assert len(ppms) == 4
+    for pb, i in zip(ppms, [0, 2, 5, 7]):
+        assert np.array_equal(ops._decode_ppm(pb), full[i])
+    # synth stream decodes too and is deterministic
+    s1 = ops._synth_y4m(b"hello world", n_frames=5)
+    assert s1 == ops._synth_y4m(b"hello world", n_frames=5)
+    assert len(ops._decode_y4m(s1)) == 5
+
+
+def test_multimodal_video_frames_pipeline(ray_session, docs_dir):
+    out = to_arrow(ops.multimodal_video_frames(docs_dir, n_frames=3))
+    df = out.to_pandas().sort_values(["item_id", "frame_idx"])
+    # every doc yields exactly n_frames rows with per-frame 4x4 grids
+    assert list(df["item_id"]) == sorted([i for i in range(6)] * 3)
+    assert list(df["frame_idx"]) == [0, 1, 2] * 6
+    for g in df["grid"]:
+        assert len(g) == 16
+        assert all(0.0 <= v <= 1.0 for v in g)
+    # frames differ across frame_idx (the synth drifts per frame)
+    g0 = df[df["item_id"] == 0].reset_index(drop=True)
+    assert not np.allclose(list(g0["grid"][0]), list(g0["grid"][1]))

@@ -1588,12 +1588,16 @@ class MultimodalFeatureStage:
 class FrameSampleStage:
     """Actor-pool stage: opaque video payload -> one row per sampled frame.
 
-    Real frame extraction needs ffmpeg (not in this container), so
-    ``decode_video`` is a clearly-marked stub; the deterministic fallback
-    treats the payload as a byte stream and samples ``n_frames`` evenly
-    spaced fixed-size windows — keeping the flat-map output layout
-    (item_id, frame_idx, frame_payload), batch sizing and actor plumbing
-    real and testable."""
+    Uncompressed YUV4MPEG2 (y4m) payloads are REALLY decoded with pure
+    numpy (``_decode_y4m``: C420/C422/C444/Cmono, limited-range BT.601,
+    pixel-exact tests) — ``n_frames`` evenly spaced frames are converted
+    to RGB and re-encoded as P6 PPM so downstream image stages
+    (:class:`ImageResizeStage`) can consume them.  Compressed codecs
+    (h264/vp9/...) need ffmpeg, absent from this container, and raise
+    ``NotImplementedError``.  The deterministic fallback treats an
+    arbitrary payload as a byte stream and samples evenly spaced
+    fixed-size windows — keeping the flat-map output layout (item_id,
+    frame_idx, frame_payload), batch sizing and actor plumbing real."""
 
     def __init__(self, n_frames: int = 4, frame_bytes: int = 64,
                  use_real_decoder: bool = False):
@@ -1602,9 +1606,13 @@ class FrameSampleStage:
         self.use_real_decoder = use_real_decoder
 
     def decode_video(self, payload: bytes):
+        if payload.startswith(b"YUV4MPEG2"):
+            return [_encode_ppm(f)
+                    for f in _decode_y4m(payload, n_samples=self.n_frames)]
         raise NotImplementedError(
-            "video frame extraction requires ffmpeg, which is not "
-            "available in this environment; plug a real decoder here")
+            "compressed video needs ffmpeg, which is not available in "
+            "this environment (uncompressed y4m is decoded for real); "
+            "plug a codec here")
 
     def sample(self, payload: bytes) -> list[bytes]:
         if self.use_real_decoder:
@@ -2115,6 +2123,120 @@ def _area_resize(gray: np.ndarray, h: int, w: int) -> np.ndarray:
     return pooled / rc[:, None] / cc[None, :]
 
 
+def _encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM P6 bytes (inverse of _decode_ppm)."""
+    h, w = img.shape[:2]
+    return (b"P6\n%d %d\n255\n" % (w, h)
+            + np.ascontiguousarray(img, np.uint8).tobytes())
+
+
+# YUV4MPEG2 colorspace tag -> (chroma x-subsample, y-subsample); the three
+# C420 variants differ only in chroma SITING, which nearest-neighbour
+# reconstruction does not distinguish.  None = luma-only stream.
+_Y4M_SUBSAMPLE = {b"420jpeg": (2, 2), b"420mpeg2": (2, 2),
+                  b"420paldv": (2, 2), b"420": (2, 2),
+                  b"422": (2, 1), b"444": (1, 1), b"mono": None}
+
+
+def _decode_y4m(payload: bytes, n_samples: int | None = None
+                ) -> list[np.ndarray]:
+    """YUV4MPEG2 (y4m) -> list of (h, w, 3) uint8 RGB frames — pure
+    numpy, real decode.
+
+    Handles C420jpeg/C420mpeg2/C420paldv/C422/C444/Cmono planar streams
+    and per-frame FRAME parameter lines.  Chroma is reconstructed by
+    nearest-neighbour (sample replication); YCbCr -> RGB uses the
+    limited-range ("studio swing": Y 16-235, C 16-240) BT.601 matrix the
+    y4m convention implies, with coefficients derived exactly from
+    Kr=0.299 / Kb=0.114 and round-half-up after clipping.
+
+    When ``n_samples`` is given, only ``n_samples`` evenly spaced frames
+    (indices ``i*total//n``) are converted — the header walk still has to
+    touch every FRAME marker (they carry variable-length parameter
+    lines), but that is O(frames) slicing, not pixel work."""
+    nl = payload.index(b"\n")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs = b"420jpeg"                     # the spec's default colorspace
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"C":
+            cs = f[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if cs not in _Y4M_SUBSAMPLE:
+        raise ValueError(f"unsupported y4m colorspace C{cs.decode()}")
+    sub = _Y4M_SUBSAMPLE[cs]
+    if sub is None:
+        frame_bytes = w * h
+    else:
+        sx, sy = sub
+        if w % sx or h % sy:
+            raise ValueError("frame dims not divisible by subsampling")
+        cw, chh = w // sx, h // sy
+        frame_bytes = w * h + 2 * cw * chh
+    # walk FRAME markers (each may carry params up to its newline)
+    offsets, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: expected FRAME marker")
+        data0 = payload.index(b"\n", pos) + 1
+        offsets.append(data0)
+        pos = data0 + frame_bytes
+    if n_samples is not None and offsets:
+        total = len(offsets)
+        sel = sorted({i * total // n_samples
+                      for i in range(min(n_samples, total))})
+        offsets = [offsets[i] for i in sel]
+    frames = []
+    for off in offsets:
+        buf = np.frombuffer(payload, np.uint8, count=frame_bytes,
+                            offset=off)
+        yp = buf[:w * h].reshape(h, w).astype(np.float64)
+        if sub is None:
+            cb = cr = np.full((h, w), 128.0)
+        else:
+            cb = buf[w * h:w * h + cw * chh].reshape(chh, cw)
+            cr = buf[w * h + cw * chh:].reshape(chh, cw)
+            cb = np.repeat(np.repeat(cb, sy, 0), sx, 1).astype(np.float64)
+            cr = np.repeat(np.repeat(cr, sy, 0), sx, 1).astype(np.float64)
+        kr, kb = 0.299, 0.114
+        kg = 1.0 - kr - kb
+        y = (yp - 16.0) * (255.0 / 219.0)
+        pb = (cb - 128.0) * (255.0 / 224.0)
+        pr = (cr - 128.0) * (255.0 / 224.0)
+        r = y + 2.0 * (1.0 - kr) * pr
+        b = y + 2.0 * (1.0 - kb) * pb
+        g = (y - kr * r - kb * b) / kg
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0.0, 255.0)
+        frames.append(np.floor(rgb + 0.5).astype(np.uint8))
+    return frames
+
+
+def _synth_y4m(seed_bytes: bytes, w: int = 16, h: int = 12,
+               n_frames: int = 6) -> bytes:
+    """Deterministic C420 YUV4MPEG2 stream derived from the payload bytes
+    (luma tiles the bytes, chroma drifts per frame) — gives the video
+    stage REAL y4m input without shipping media files."""
+    b = np.frombuffer(seed_bytes[:256] or b"\0", np.uint8)
+    base = np.resize(b, (h, w))
+    cbase = np.resize(b[::-1], (h // 2, w // 2))
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)]
+    for k in range(n_frames):
+        yp = (base.astype(np.uint16) + 17 * k) % 256
+        cbp = (cbase.astype(np.uint16) + 5 * k) % 256
+        crp = (cbase.astype(np.uint16)[::-1] + 11 * k) % 256
+        parts.append(b"FRAME\n" + yp.astype(np.uint8).tobytes()
+                     + cbp.astype(np.uint8).tobytes()
+                     + crp.astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
 class ImageResizeStage:
     """Actor-pool stage: opaque image payload -> fixed (h*w) feature grid.
 
@@ -2186,6 +2308,73 @@ def multimodal_frame_sample(sf_dir: str, n_frames: int = 4):
                          fn_constructor_kwargs=dict(n_frames=n_frames),
                          batch_format="pyarrow", batch_size=64,
                          zero_copy_batch=True, concurrency=_concurrency()))
+
+
+# frame_idx is packed into the low bits of item_id between the frame
+# sampler and the per-frame image stage; 256 frames per item is plenty
+# for a sampler capped at n_frames.
+_VIDEO_FRAME_PACK = 256
+
+
+def multimodal_video_frames(sf_dir: str, n_frames: int = 4,
+                            h: int = 4, w: int = 4):
+    """Full video featurization pipeline, every decode REAL: documents.text
+    deterministically synthesised into uncompressed YUV4MPEG2 payloads
+    (stands in for a video column), frame-sampled by the y4m decoder
+    (``n_frames`` evenly spaced frames -> P6 PPM), then each frame decoded
+    and area-resized to an (h*w) grayscale grid by the image stage — the
+    production video -> frames -> per-frame-embedding shape.
+
+    No SQL oracle (binary media synthesis + pixel math); the decoders are
+    pixel-exact pytest-verified and the pipeline row count is
+    n_docs * n_frames."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_y4m(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": batch.column("doc_id"),
+            "payload": pa.array(
+                [_synth_y4m(t.encode(), n_frames=6) for t in
+                 batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    def pack(batch: pa.Table) -> pa.Table:
+        item = pc.add(pc.multiply(batch.column("item_id"),
+                                  pa.scalar(_VIDEO_FRAME_PACK, pa.int64())),
+                      pc.cast(batch.column("frame_idx"), pa.int64()))
+        return pa.table({"item_id": item,
+                         "payload": batch.column("frame_payload")})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch.column("item_id")
+        return pa.table({
+            "item_id": pc.divide(packed,
+                                 pa.scalar(_VIDEO_FRAME_PACK, pa.int64())),
+            "frame_idx": pc.cast(
+                pc.subtract(packed, pc.multiply(
+                    pc.divide(packed,
+                              pa.scalar(_VIDEO_FRAME_PACK, pa.int64())),
+                    pa.scalar(_VIDEO_FRAME_PACK, pa.int64()))),
+                pa.int32()),
+            "grid": batch.column("grid"),
+        })
+
+    return (ds.map_batches(to_y4m, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(FrameSampleStage,
+                         fn_constructor_kwargs=dict(
+                             n_frames=n_frames, use_real_decoder=True),
+                         batch_format="pyarrow", batch_size=64,
+                         zero_copy_batch=True, concurrency=_concurrency())
+            .map_batches(pack, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(ImageResizeStage,
+                         fn_constructor_kwargs=dict(
+                             h=h, w=w, use_real_decoder=True),
+                         batch_format="pyarrow", batch_size=256,
+                         zero_copy_batch=True, concurrency=_concurrency())
+            .map_batches(unpack, batch_format="pyarrow",
+                         zero_copy_batch=True))
 
 
 def multimodal_features(sf_dir: str):
