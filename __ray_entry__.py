@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: ops.stratified_sample(sf),
         "dataset_mix": lambda sf: ops.dataset_mix(sf),
         "tfidf_topk": lambda sf: ops.tfidf_topk(sf),
+        "inverted_index": lambda sf: ops.inverted_index(sf),
         "pivot_doc_langs": lambda sf: ops.pivot_doc_langs(sf),
         "pack_sequences": lambda sf: ops.pack_sequences(sf),
         "decontaminate": lambda sf: ops.decontaminate(sf),
@@ -2005,6 +2006,34 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (token))
             WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
+        # inverted index: md5 of the ASCENDING doc-id posting list per
+        # token, df bounds generated from the module consts
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS token
+              FROM documents
+            ), dt AS (
+              SELECT DISTINCT doc_id, token FROM toks
+            ), idx AS (
+              SELECT token, count(*) AS df,
+                     md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                         ORDER BY doc_id)) AS postings_md5,
+                     min(doc_id) AS first_doc,
+                     max(doc_id) AS last_doc
+              FROM dt GROUP BY 1
+            )
+            SELECT token, df, postings_md5, first_doc, last_doc
+            FROM idx WHERE df BETWEEN {mn} AND {mx}
+            ORDER BY token
+        """.format(mn=__import__(
+            "weak_supervision_for_ner_ray.pipelines.ops",
+            fromlist=["_IDX_MIN_DF"])._IDX_MIN_DF,
+            mx=__import__(
+            "weak_supervision_for_ner_ray.pipelines.ops",
+            fromlist=["_IDX_MAX_DF"])._IDX_MAX_DF),
         # benchmark decontamination: corpus docs sharing >= 1 sampled
         # char-8-gram fingerprint (1/16 sampling) with any src0 doc;
         # the polynomial is generated from the shared _roll_powers()

@@ -163,6 +163,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: ops.conv_flatten(rd.read_parquet(turns_path)))
     timed("multimodal_video_frames",
           lambda: ops.multimodal_video_frames(sf_dir))
+    timed("inverted_index", lambda: ops.inverted_index(sf_dir))
 
     shutil.rmtree(workdir, ignore_errors=True)
     result = {

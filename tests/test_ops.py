@@ -2430,3 +2430,33 @@ def test_multimodal_video_frames_pipeline(ray_session, docs_dir):
     # frames differ across frame_idx (the synth drifts per frame)
     g0 = df[df["item_id"] == 0].reset_index(drop=True)
     assert not np.allclose(list(g0["grid"][0]), list(g0["grid"][1]))
+
+
+def test_inverted_index_bruteforce(ray_session, docs_dir):
+    """Engine postings == pure-Python reference, including the broadcast
+    stop-token (df > max_df) and hapax (df < min_df) pruning."""
+    import hashlib
+    import re
+    texts = to_arrow(ops.read_table(docs_dir, "documents",
+                                    columns=["doc_id", "text"])
+                     ).to_pydict()
+    ref: dict[str, list[int]] = {}
+    for did, txt in zip(texts["doc_id"], texts["text"]):
+        for tok in set(t for t in re.split(r"[\t\n\f\r ]+", txt) if t):
+            ref.setdefault(tok, []).append(did)
+    min_df, max_df = 2, 3
+    exp = {t: sorted(ids) for t, ids in ref.items()
+           if min_df <= len(ids) <= max_df}
+    got = to_arrow(ops.inverted_index(docs_dir, min_df=min_df,
+                                      max_df=max_df)).to_pydict()
+    assert got["token"] == sorted(exp)          # output sorted by token
+    for i, tok in enumerate(got["token"]):
+        ids = exp[tok]
+        assert got["df"][i] == len(ids)
+        assert got["first_doc"][i] == ids[0]
+        assert got["last_doc"][i] == ids[-1]
+        assert got["postings_md5"][i] == hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
+    # the stop filter really fired: 'the' appears in >3 docs
+    over = [t for t, ids in ref.items() if len(ids) > max_df]
+    assert over and not set(over) & set(got["token"])

@@ -4020,6 +4020,97 @@ def tfidf_topk(sf_dir: str, k: int = 3):
             .sort(["doc_id", "rnk"]))
 
 
+# inverted-index df bounds — module consts so the SQL oracle is generated
+# from the same values (dataset_mix convention)
+_IDX_MIN_DF = 2
+_IDX_MAX_DF = 500
+
+
+def inverted_index(sf_dir: str, min_df: int = _IDX_MIN_DF,
+                   max_df: int = _IDX_MAX_DF):
+    """Distributed inverted-index build — the retrieval-prep step of a
+    RAG / search pipeline: one row per vocabulary token with its
+    document frequency and the md5 of its ASCENDING doc-id posting list
+    (the md5 verifies the full ordered postings against the oracle's
+    ``string_agg ORDER BY`` without hashing a giant list column through
+    the driver compare).
+
+    Scale shape: token SKEW is the hazard (a stopword's posting list is
+    every document).  Document frequencies come first from a
+    Count-combiner aggregate; the tokens above ``max_df`` — the Zipf
+    head, a tiny set — are collected and BROADCAST via ``ray.put`` so
+    the tf rows are filtered before the postings exchange ever sees
+    them.  The surviving rows co-locate in coarse ``hash(token)``
+    groups (one lexsort + segment walk per group — never one Python
+    call per token group), and ``min_df`` prunes the hapax tail
+    in-group.  Postings therefore exchange O(sum of bounded df) rows,
+    and no group exceeds ~rows_per_group regardless of corpus size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    df_tbl = tf.groupby("token").aggregate(Count(alias_name="df"))
+    stop = _to_arrow(df_tbl.filter(expr=f"df > {int(max_df)}"))
+    stop_ref = ray.put(set(stop.column("token").to_pylist())
+                       if stop.num_rows else set())
+    n_groups = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        from ..stages.util import cached_from_ref
+        stop_ = cached_from_ref(stop_ref)
+        tok = t.column("token")
+        if stop_:
+            keep = pc.invert(pc.is_in(
+                tok, value_set=pa.array(sorted(stop_), pa.string())))
+            t = t.filter(keep)
+            tok = t.column("token")
+        gk = (pd.util.hash_array(
+            tok.to_numpy(zero_copy_only=False).astype(object))
+            % np.uint64(n_groups)).astype(np.int64)
+        return pa.table({"token": tok,
+                         "doc_id": t.column("doc_id"),
+                         "gk": pa.array(gk)})
+
+    _empty_index = pa.table({
+        "token": pa.array([], pa.string()),
+        "df": pa.array([], pa.int64()),
+        "postings_md5": pa.array([], pa.string()),
+        "first_doc": pa.array([], pa.int64()),
+        "last_doc": pa.array([], pa.int64())})
+
+    def postings(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return _empty_index
+        enc = pc.dictionary_encode(pa.array(g["token"], pa.string()))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], c_s[1:] != c_s[:-1])))
+        dfs = np.diff(np.append(starts, len(c_s))).astype(np.int64)
+        keep = dfs >= min_df
+        toks, md5s = [], []
+        for s, n in zip(starts[keep], dfs[keep]):
+            seg = i_s[s:s + n]
+            toks.append(vocab[c_s[s]].as_py())
+            md5s.append(hashlib.md5(
+                ",".join(map(str, seg.tolist())).encode()).hexdigest())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "df": pa.array(dfs[keep]),
+            "postings_md5": pa.array(md5s, pa.string()),
+            "first_doc": pa.array(i_s[starts[keep]], pa.int64()),
+            "last_doc": pa.array(
+                i_s[starts[keep] + dfs[keep] - 1], pa.int64()),
+        })
+
+    return (tf.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(postings, batch_format="pandas")
+            .sort("token"))
+
+
 # the synthetic corpus' closed language domain — shared between
 # pivot_doc_langs and its SQL oracle's FILTER columns
 _PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
