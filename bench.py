@@ -85,11 +85,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         _consume(out["edges"])
         return range(n)   # len() -> triple count
 
-    # min of 2 cold runs: this host shows 2x run-to-run windows (noisy
-    # neighbours); a single shot can misreport the engine by 2x.  Both raw
+    # min of 3 cold runs: this host shows 2x run-to-run windows (noisy
+    # neighbours); a single shot can misreport the engine by 2x.  All raw
     # values are published as kg_runs.
     kg_runs = []
-    for _ in range(2):
+    for _ in range(3):
         timed("kg_pipeline", kg)
         kg_runs.append(timings["kg_pipeline"])
     timings["kg_pipeline"] = min(kg_runs)
