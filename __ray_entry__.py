@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: ops.pack_sequences(sf),
         "decontaminate": lambda sf: ops.decontaminate(sf),
         "gopher_quality": lambda sf: ops.gopher_quality(sf),
+        "repetition_ngrams": lambda sf: ops.repetition_ngrams(sf),
         "unigram_lm_score": lambda sf: ops.unigram_lm_score(sf),
         "bm25_topk": lambda sf: ops.bm25_topk(sf),
         # iterative graph analytics over the derived supplier—part graph
@@ -1046,6 +1047,38 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s.doc_id
     """
 
+    # within-doc 3-gram repetition: grams joined on chr(31) (not a
+    # whitespace char, so the join is unambiguous for split tokens);
+    # DuckDB 1-based inclusive list indexing makes range(1, len-1) the
+    # i, i+1, i+2 window starts — n_words - 2 grams, same count as the
+    # engine's factorized-codes kernel
+    repetition_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(31) || tk[i + 1]
+                             || chr(31) || tk[i + 2])) AS gram
+          FROM toks WHERE len(tk) >= 3
+        ), c AS (
+          SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        ), s AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(c) AS BIGINT) AS top_cnt
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams,
+               ((n_grams - n_distinct) * 1000000) // n_grams
+                   AS dup_gram_frac_micro,
+               (top_cnt * 1000000) // n_grams AS top_gram_frac_micro
+        FROM s ORDER BY doc_id
+    """
+
     # numeric-PII scrub: the oracle verifies the REPLACED text via md5,
     # not just the count — the shared pattern is RE2 ∩ Python-re safe
     pii_sql = f"""
@@ -1081,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         **detector_sqls,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
+        "repetition_ngrams": repetition_sql,
         # corpus-unigram-LM scoring: integer mean inverse probability
         # (see ops.unigram_lm_score — float-log-free so it hash-matches)
         "unigram_lm_score": f"""

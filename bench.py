@@ -14,6 +14,7 @@ both plus scaling efficiency = (t_8 / t_32) / (32 / 8).
 """
 
 import json
+import logging
 import os
 import shutil
 import subprocess
@@ -41,8 +42,13 @@ def _consume(ds):
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
+    # log_to_driver=False + ray.data at ERROR keep stdout/stderr to the
+    # ONE JSON line the driver parses (raylet chatter and the benign
+    # sort-created empty-range schema notices otherwise interleave)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
@@ -133,6 +139,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pack_sequences", lambda: ops.pack_sequences(sf_dir))
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
+    timed("repetition_ngrams", lambda: ops.repetition_ngrams(sf_dir))
     timed("unigram_lm_score", lambda: ops.unigram_lm_score(sf_dir))
     timed("bm25_topk", lambda: ops.bm25_topk(sf_dir))
     timed("pagerank", lambda: ops.pagerank(sf_dir))
@@ -247,7 +254,9 @@ def run_kg_only(sf_dir: str, num_cpus: int) -> dict:
     """KG pipeline only (used by --scaling children)."""
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     ray.data.DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
     from weak_supervision_for_ner_ray.data import corpus_for_sf_dir

@@ -1376,6 +1376,40 @@ def test_gopher_quality(ray_session, tmp_path):
     assert rows[4][1] == 20_000_000 and rows[4][4] == 0  # mean-len rule
 
 
+def test_repetition_ngrams(ray_session, tmp_path):
+    """Per-doc duplicate-3-gram stats match a brute-force Counter."""
+    from collections import Counter
+    import pyarrow.parquet as pq
+    d = tmp_path / "rep"
+    d.mkdir()
+    texts = [
+        "a b c a b c a b c",                       # heavy 3-gram repeats
+        "one two three four five",                  # all grams distinct
+        "x y",                                      # < 3 tokens: excluded
+        " ".join(["spam"] * 7),                     # one gram, 5 repeats
+        "",                                         # empty: excluded
+        "a b c d a b c d a b x a b c",              # mixed repeats
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    got = to_arrow(ops.repetition_ngrams(str(d))).to_pydict()
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < 3:
+            continue
+        grams = Counter(tuple(toks[j:j + 3]) for j in range(len(toks) - 2))
+        ng = len(toks) - 2
+        want[i] = (ng, ((ng - len(grams)) * 1_000_000) // ng,
+                   (max(grams.values()) * 1_000_000) // ng)
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_grams"], got["dup_gram_frac_micro"],
+                        got["top_gram_frac_micro"]))) == want
+    assert set(got["doc_id"]) == {0, 1, 3, 5}
+
+
 def test_pii_redact(ray_session):
     """Counts and redacted-text md5 match a pure-Python re.sub."""
     import hashlib
@@ -1552,6 +1586,15 @@ def test_dedup_keep_best_tie_lowest_id(ray_session, tmp_path):
     assert out["cluster_id"] == [3]      # min doc_id labels the cluster
     assert out["keep_doc_id"] == [3]     # equal lengths -> lowest id
     assert out["n_members"] == [3]
+
+
+def test_dedup_keep_best_join_fallback(ray_session, docs_dir, monkeypatch):
+    """The Dataset.join fallback (membership too big to broadcast) emits
+    rows identical to the broadcast-probe fast path."""
+    fast = to_arrow(ops.dedup_keep_best(docs_dir)).to_pydict()
+    monkeypatch.setattr(ops, "_KEEP_BEST_BROADCAST_MAX", 0)
+    slow = to_arrow(ops.dedup_keep_best(docs_dir)).to_pydict()
+    assert fast == slow and fast["cluster_id"] == [0]
 
 
 def test_butterfly_count(ray_session, tmp_path):

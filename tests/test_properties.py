@@ -169,3 +169,23 @@ def test_segment_pairs_matches_triu(rows):
         want |= set(zip(ids[ai].tolist(), ids[bi].tolist()))
     assert got == want
     assert np.all(a < bb) if len(a) else True
+
+
+@given(st.lists(st.lists(st.sampled_from("ab cd ee fg hi".split()),
+                         min_size=3, max_size=40),
+                min_size=1, max_size=12),
+       st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_match_counter(tok_lists, n):
+    """The composite-factorization n-gram repetition kernel equals a
+    Counter brute force for every doc and every n in 2..4."""
+    from collections import Counter
+    tok_lists = [t for t in tok_lists if len(t) >= n]   # caller's mask
+    ng, dup, top = ops._repetition_stats(tok_lists, n)
+    assert len(ng) == len(tok_lists)
+    for i, toks in enumerate(tok_lists):
+        grams = Counter(tuple(toks[j:j + n]) for j in range(len(toks) - n + 1))
+        g = len(toks) - n + 1
+        assert ng[i] == g
+        assert dup[i] == ((g - len(grams)) * 1_000_000) // g
+        assert top[i] == (max(grams.values()) * 1_000_000) // g

@@ -4527,6 +4527,79 @@ def gopher_quality(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def repetition_ngrams(sf_dir: str, n: int = 3):
+    """Gopher-style within-document n-gram repetition statistics (Rae et
+    al. 2021 §A1.1 "repetition" rules — the n-gram leg next to
+    :func:`gopher_quality`'s word-level duplicate fractions; reference
+    has no counterpart, this is a beyond-reference curation op).
+
+    Per document with at least ``n`` whitespace tokens: ``n_grams`` =
+    n_words − n + 1 overlapping word n-grams, ``dup_gram_frac_micro`` =
+    ((n_grams − n_distinct) · 1e6) // n_grams and ``top_gram_frac_micro``
+    = (max single-gram count · 1e6) // n_grams, all on the integer-micros
+    grid so the DuckDB oracle hash-matches exactly.
+
+    Vectorised with NO per-gram Python: tokens are factorized once per
+    batch, gram identity is built by n−1 rounds of pairwise
+    composite-int64 re-factorization (each composite < (len+1)², never a
+    3-way product, so int64 is safe at any realistic block size), and the
+    per-doc distinct/top counts come from one ``np.unique`` over
+    (doc, gram) composites — the :func:`gopher_quality` kernel shape.
+    Embarrassingly parallel (a pure map stage, zero shuffle): at 100 TB
+    this runs at read bandwidth alongside the other quality filters."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        tok_lists = [_ws_tokens(t) if isinstance(t, str) else []
+                     for t in batch["text"]]
+        n_words = np.array([len(t) for t in tok_lists], np.int64)
+        mask = n_words >= n
+        doc_ids = batch["doc_id"].to_numpy(np.int64)[mask]
+        ng, dup, top = _repetition_stats(
+            [t for t, m in zip(tok_lists, mask) if m], n)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "dup_gram_frac_micro": pa.array(dup, pa.int64()),
+            "top_gram_frac_micro": pa.array(top, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def _repetition_stats(tok_lists: list[list[str]], n: int):
+    """Vectorised per-doc n-gram repetition kernel over token lists that
+    each hold ≥ n tokens.  Returns (n_grams, dup_frac_micro,
+    top_frac_micro) int64 arrays aligned with ``tok_lists``."""
+    nd = len(tok_lists)
+    if nd == 0:
+        z = np.array([], np.int64)
+        return z, z, z
+    nw = np.array([len(t) for t in tok_lists], np.int64)
+    flat = np.asarray([w for toks in tok_lists for w in toks], object)
+    doc_idx = np.repeat(np.arange(nd), nw)
+    codes = pd.factorize(flat)[0].astype(np.int64)
+    K = np.int64(len(flat) + 1)
+    m = len(flat) - (n - 1)
+    # window start positions: docs are contiguous in flat order, so
+    # first-token-doc == last-token-doc covers the whole window
+    starts = np.nonzero(doc_idx[:m] == doc_idx[n - 1:])[0]
+    gram = codes[starts]
+    for j in range(1, n):
+        comp = gram * K + codes[starts + j]
+        gram = np.unique(comp, return_inverse=True)[1].astype(np.int64)
+    gdoc = doc_idx[starts].astype(np.int64)
+    K2 = np.int64(len(starts) + 1)
+    uniq, cnts = np.unique(gdoc * K2 + gram, return_counts=True)
+    udoc = (uniq // K2).astype(np.int64)
+    n_distinct = np.bincount(udoc, minlength=nd).astype(np.int64)
+    top_cnt = np.zeros(nd, np.int64)
+    np.maximum.at(top_cnt, udoc, cnts.astype(np.int64))
+    ng = nw - np.int64(n - 1)
+    return (ng, ((ng - n_distinct) * np.int64(1_000_000)) // ng,
+            (top_cnt * np.int64(1_000_000)) // ng)
+
+
 # ---------------------------------------------------------------------------
 # PII / numeric-token scrubbing over transcripts
 # ---------------------------------------------------------------------------
@@ -4989,6 +5062,12 @@ def running_total(sf_dir: str, rows_per_group: int = 5000):
             .select_columns(["o_orderkey", "o_custkey", "run_cents"]))
 
 
+# membership rows are (doc_id, cluster_id) int64 pairs — 16 B/row, so
+# 4M rows ≈ 64 MB broadcast: comfortably worker-heap-safe; beyond that
+# dedup_keep_best falls back to the Dataset.join exchange
+_KEEP_BEST_BROADCAST_MAX = 4_000_000
+
+
 def dedup_keep_best(sf_dir: str):
     """Duplicate-cluster RESOLUTION: for every near-dup cluster from
     :func:`dedup_clusters`, pick the representative to keep — longest
@@ -4996,43 +5075,79 @@ def dedup_keep_best(sf_dir: str):
     real dedup pipeline runs after the transitive closure ("keep one per
     cluster" needs a deterministic *which one*).
 
-    Scale shape: the cluster table (only docs inside dup clusters) joins
-    ``documents(doc_id, n_chars)`` with ONE ``Dataset.join``; the argmax
-    is a pure Max combiner over the packed priority key
-    ``(n_chars << 33) | (2^33-1 - doc_id)`` — max picks longest-then-
-    lowest-id with no per-cluster group materialisation, so a pathological
-    giant cluster costs nothing extra."""
+    Scale shape: the membership table (only docs inside dup clusters —
+    ids + cluster ids, 16 B/member) is broadcast ONCE with ``ray.put``
+    and probed with a vectorised ``searchsorted`` inside a pure map over
+    ``documents(doc_id, n_chars)`` — no join operator, no aggregator
+    spin-up.  If the membership set ever outgrows a worker heap
+    (``> _KEEP_BEST_BROADCAST_MAX`` rows) the op falls back to the ONE
+    ``Dataset.join`` exchange.  The argmax is a pure Max combiner over
+    the packed priority key ``(n_chars << 33) | (2^33-1 - doc_id)`` —
+    max picks longest-then-lowest-id with no per-cluster group
+    materialisation, so a pathological giant cluster costs nothing
+    extra."""
     cl = dedup_clusters(sf_dir)
     empty = pa.table({"cluster_id": pa.array([], pa.int64()),
                       "keep_doc_id": pa.array([], pa.int64()),
                       "kept_n_chars": pa.array([], pa.int64()),
                       "n_members": pa.array([], pa.int64())})
     cl = cl.materialize()
-    if cl.count() == 0:
+    n_members = cl.count()
+    if n_members == 0:
         return rd.from_arrow(empty)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    # sorted output can carry schema-less empty blocks, which crash the
-    # hash join's FieldRef resolution — guard (_coalesce_schema_less)
-    joined = (_coalesce_schema_less(cl)
-              .join(docs, join_type="inner",
-                    num_partitions=_join_partitions(), on=("doc_id",)))
 
     _M33 = (np.int64(1) << np.int64(33)) - np.int64(1)
 
-    def pack(t: pa.Table) -> pa.Table:
-        nc = t.column("n_chars").to_numpy(zero_copy_only=False) \
+    if n_members <= _KEEP_BEST_BROADCAST_MAX:
+        mem = _to_arrow(cl)
+        mids = mem.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        did = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        cids = mem.column("cluster_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        return pa.table({
-            "cluster_id": t.column("cluster_id"),
-            "pk": pa.array((nc << np.int64(33)) | (_M33 - did), pa.int64()),
-            "one": pa.array(np.ones(len(nc), np.int64)),
-        })
+        order = np.argsort(mids, kind="stable")
+        ref = ray.put((mids[order], cids[order]))
 
-    agg = (joined.map_batches(pack, batch_format="pyarrow",
-                              zero_copy_batch=True)
-           .groupby("cluster_id")
+        def attach(t: pa.Table) -> pa.Table:
+            m, c = ray.get(ref)
+            did = t.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nc = t.column("n_chars").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.minimum(np.searchsorted(m, did), len(m) - 1)
+            hit = m[pos] == did
+            return pa.table({
+                "cluster_id": pa.array(c[pos[hit]], pa.int64()),
+                "pk": pa.array((nc[hit] << np.int64(33))
+                               | (_M33 - did[hit]), pa.int64()),
+                "one": pa.array(np.ones(int(hit.sum()), np.int64)),
+            })
+
+        packed = docs.map_batches(attach, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        # sorted output can carry schema-less empty blocks, which crash
+        # the hash join's FieldRef resolution — guard
+        joined = (_coalesce_schema_less(cl)
+                  .join(docs, join_type="inner",
+                        num_partitions=_join_partitions(), on=("doc_id",)))
+
+        def pack(t: pa.Table) -> pa.Table:
+            nc = t.column("n_chars").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            did = t.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "cluster_id": t.column("cluster_id"),
+                "pk": pa.array((nc << np.int64(33)) | (_M33 - did),
+                               pa.int64()),
+                "one": pa.array(np.ones(len(nc), np.int64)),
+            })
+
+        packed = joined.map_batches(pack, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    agg = (packed.groupby("cluster_id")
            .aggregate(Max("pk", alias_name="pk"),
                       Sum("one", alias_name="n_members")))
 
