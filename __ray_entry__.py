@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "replicate" by construction; the oracle is all-pairs SQL)
         "dedup_embedding_lsh":
             lambda sf: ops.dedup_embedding_lsh(sf, strategy="ids"),
+        "semantic_dedup": lambda sf: ops.semantic_dedup(sf),
         "ann_lsh_query": lambda sf: ops.ann_lsh_query(sf),
         "kmeans_ivf_assign": lambda sf: ops.kmeans_ivf_assign(sf),
         "ivf_query": lambda sf: ops.ivf_query(sf),
@@ -325,6 +326,33 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
     return ("WITH " + ",\n".join(_kmeans_ctes(k, iters))
             + "\nSELECT vec_id, cid AS cluster_id, d2 FROM afinal "
               "ORDER BY vec_id")
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 3,
+                        threshold_micro: int = 400_000) -> str:
+    """SemDeDup keep rule: the unrolled-Lloyd assignment (afinal) plus a
+    within-cell self-join on raw DOUBLE cosine — drop b iff a lower-id
+    cell-mate is ≥ threshold (both halves hash-proven separately by
+    kmeans_ivf_assign and dedup_embedding)."""
+    parts = _kmeans_ctes(k, iters)
+    parts.append("""ev AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )""")
+    parts.append(f"""dup AS (
+          SELECT DISTINCT b.vec_id AS bid
+          FROM afinal a JOIN afinal b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ev va ON va.vec_id = a.vec_id
+          JOIN ev vb ON vb.vec_id = b.vec_id
+          WHERE CAST(round(list_cosine_similarity(va.v, vb.v) * 1000000)
+                     AS BIGINT) >= {threshold_micro}
+        )""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT f.vec_id, f.cid AS cluster_id, "
+              "CAST(CASE WHEN d.bid IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+              "AS keep "
+              "FROM afinal f LEFT JOIN dup d ON f.vec_id = d.bid "
+              "ORDER BY f.vec_id")
 
 
 _PR_OFF = 1 << 32
@@ -1642,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         # the LSH-bucketed scale path must emit the IDENTICAL pair set
         # (recall 1.0 at these parameters on this corpus) — same oracle
         "dedup_embedding_lsh": emb_dedup_sql,
+        "semantic_dedup": _semantic_dedup_sql(),
         "ann_lsh_query": ann_query_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -480,6 +480,38 @@ def test_dedup_embedding_lsh_production_threshold(ray_session, neardup_dir):
     assert recall >= 0.95, (recall, len(exact_pairs), len(lsh_pairs))
 
 
+def test_semantic_dedup(ray_session, neardup_dir):
+    """SemDeDup keep flags equal a brute-force replay of the rule —
+    the (separately oracle-tested) kmeans assignment + all-pairs float64
+    cosine, drop b iff a lower-id cell-mate is >= threshold.  n_coarse=2
+    packs several cells per coarse group, exercising the in-group
+    segment loop."""
+    import pyarrow.parquet as pq_
+    thr = 850_000
+    got = to_arrow(ops.semantic_dedup(
+        neardup_dir, k=4, iters=2, threshold_micro=thr,
+        n_coarse=2)).to_pydict()
+    assign = to_arrow(ops.kmeans_ivf_assign(
+        neardup_dir, k=4, iters=2)).to_pydict()
+    cell = dict(zip(assign["vec_id"], assign["cluster_id"]))
+    emb = pq_.read_table(neardup_dir + "/embeddings.parquet")
+    ids = emb["vec_id"].to_pylist()
+    X = np.asarray(emb["embedding"].to_pylist(), np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = Xn @ Xn.T
+    micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                         sims).astype(np.int64)
+    want = {b: int(not any(micros[i, j] >= thr and cell[a] == cell[b]
+                           and a < b
+                           for i, a in enumerate(ids)))
+            for j, b in enumerate(ids)}
+    assert got["vec_id"] == sorted(ids)
+    assert dict(zip(got["vec_id"], got["keep"])) == want
+    assert dict(zip(got["vec_id"], got["cluster_id"])) == cell
+    # the planted near-dups actually fire the rule on this fixture
+    assert 0 in got["keep"] and 1 in got["keep"]
+
+
 def test_dedup_embedding_allpairs_guard(ray_session, docs_dir):
     """The all-pairs baseline refuses datasets above its size cap instead
     of broadcasting an unbounded matrix."""

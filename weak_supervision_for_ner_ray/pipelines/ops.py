@@ -2906,6 +2906,91 @@ def dedup_embedding_lsh(sf_dir: str, threshold_micro: int = 400_000,
             .sort(["a", "b"]))
 
 
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3,
+                   threshold_micro: int = 400_000, n_coarse: int = 64):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embeddings with the shared
+    integer-micros k-means quantizer, then WITHIN each cell drop every
+    vector that has a lower-``vec_id`` cell-mate with cosine similarity
+    ≥ threshold.  The keep rule is deterministic and purely local to the
+    cell — drop b iff ∃ a < b in the same cell with sim(a, b) ≥ θ — so
+    the DuckDB oracle replays it exactly (unrolled Lloyd CTEs for the
+    assignment + a within-cell self-join, both already hash-proven by
+    :func:`kmeans_ivf_assign` / :func:`dedup_embedding_cosine`).
+
+    Scale shape: clustering reuses the cached per-process centroids
+    (one combiner pass per Lloyd iteration, driver folds k×dim ints);
+    the ONE shuffle co-locates cells under COARSE ``hash(cluster_id)``
+    groups — Python runs O(n_coarse) times, never once per cell — and
+    the within-cell O(|cell|²·dim) matmul is the quadratic SemDeDup
+    accepts by sizing k so cells stay ~10³-10⁴ vectors (at 100 TB: k
+    grows with N, per-cell cost stays bounded, and the pairwise compare
+    never leaves the cell — no global all-pairs, no full-matrix
+    broadcast)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(
+        ds, k, iters,
+        cache_key=(sf_dir, k, iters, _table_fingerprint(sf_dir)),
+        sf_dir=sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _emb_micros(batch["embedding"])
+        a, _ = _kmeans_assign(X, C)
+        cid = a.astype(np.int64)
+        return pa.table({
+            "gk": pa.array(_coarse_key(cid, n_coarse), pa.int64()),
+            "cluster_id": pa.array(cid, pa.int64()),
+            "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    def cell_keep(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "vec_id" not in group.column_names:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64())})
+        cid = group.column("cluster_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # float64 BEFORE normalising — the proven micro-rounding parity
+        # contract of the all-pairs kernel (dedup_embedding_cosine)
+        X = _embedding_matrix(group["embedding"])
+        order = np.lexsort((vid, cid))
+        cid, vid, X = cid[order], vid[order], X[order]
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        drop = np.zeros(len(vid), bool)
+        bounds = np.concatenate([
+            [0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]])
+        # Python loop over CELLS in this coarse group: each iteration is
+        # one dense GEMM over the cell, so the loop overhead is amortised
+        # by O(|cell|²·dim) real work
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sims = Xn[s:e] @ Xn[s:e].T
+            micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                                 sims).astype(np.int64)
+            hit = micros >= threshold_micro
+            # vec_id ascending within the cell ⇒ "any strictly-lower
+            # index hits" == "any lower vec_id hits"
+            drop[s:e] = np.tril(hit, -1).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "cluster_id": pa.array(cid, pa.int64()),
+            "keep": pa.array((~drop).astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           batch_size=2048, zero_copy_batch=True)
+            .groupby("gk")
+            .map_groups(cell_keep, batch_format="pyarrow")
+            .sort("vec_id"))
+
+
 # ---------------------------------------------------------------------------
 # relational / streaming-style queries over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
