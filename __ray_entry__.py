@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": lambda sf: ops.minhash_candidates(sf),
         "dedup_clusters": lambda sf: ops.dedup_clusters(sf),
         "dedup_keep_best": lambda sf: ops.dedup_keep_best(sf),
+        "dedup_apply": lambda sf: ops.dedup_apply(sf),
         "dedup_ngram_jaccard": lambda sf: ops.ngram_jaccard_verify(sf),
         "dedup_simhash": ops.simhash_table,
         "lang_id": ops.lang_id,
@@ -1013,6 +1014,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY cl.cluster_id ORDER BY cl.cluster_id
     """
 
+    # end-to-end dedup APPLY: the surviving corpus — every document minus
+    # non-representative duplicate-cluster members (clusters + keep rule
+    # replayed from the same shared CTEs as dedup_clusters/keep_best)
+    dedup_apply_sql = f"""
+        WITH RECURSIVE pairs AS ({minhash_sql}),
+        nodes AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+        edges2 AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+        reach (v, r) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT rc.v, e.b FROM reach rc JOIN edges2 e ON e.a = rc.r
+        ),
+        cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach
+               GROUP BY v),
+        keep AS (SELECT cl.cluster_id,
+                        arg_max(d.doc_id,
+                                d.n_chars * 8589934592
+                                    + (8589934591 - d.doc_id))
+                            AS keep_doc_id
+                 FROM cl JOIN documents d USING (doc_id)
+                 GROUP BY cl.cluster_id),
+        dropped AS (SELECT doc_id FROM cl
+                    WHERE doc_id NOT IN (SELECT keep_doc_id FROM keep))
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY d.doc_id
+    """
+
     # embedding-cosine near-dup: same integer-micros rounding as the knn
     # oracle; the >= filter compares the SAME integers on both sides
     emb_dedup_sql = """
@@ -1661,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": minhash_sql,
         "dedup_clusters": clusters_sql,
         "dedup_keep_best": keep_best_sql,
+        "dedup_apply": dedup_apply_sql,
         "dedup_embedding": emb_dedup_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
         "ivf_query": _ivf_query_sql(),

@@ -1629,6 +1629,24 @@ def test_dedup_keep_best_join_fallback(ray_session, docs_dir, monkeypatch):
     assert fast == slow and fast["cluster_id"] == [0]
 
 
+def test_dedup_apply(ray_session, docs_dir):
+    """The end-to-end dedup APPLY emits documents minus the
+    non-representative cluster members — parity vs composing the two
+    (separately brute-tested) upstream stages on the driver."""
+    import pyarrow.parquet as pq_
+    got = to_arrow(ops.dedup_apply(docs_dir)).to_pydict()
+    docs = pq_.read_table(str(docs_dir) + "/documents.parquet")
+    members = to_arrow(ops.dedup_clusters(docs_dir)).to_pydict()
+    kb = to_arrow(ops.dedup_keep_best(docs_dir)).to_pydict()
+    dropped = set(members["doc_id"]) - set(kb["keep_doc_id"])
+    want = sorted((d, n) for d, n in zip(docs["doc_id"].to_pylist(),
+                                         docs["n_chars"].to_pylist())
+                  if d not in dropped)
+    assert list(zip(got["doc_id"], got["n_chars"])) == want
+    # the fixture really has a duplicate cluster, so rows were dropped
+    assert dropped and len(got["doc_id"]) == docs.num_rows - len(dropped)
+
+
 def test_butterfly_count(ray_session, tmp_path):
     """Wedge counting matches itertools brute force on a known graph,
     including duplicate (supplier, part) lineitems collapsing to one

@@ -5253,6 +5253,85 @@ def dedup_keep_best(sf_dir: str):
             .sort("cluster_id"))
 
 
+def dedup_apply(sf_dir: str, rows_per_group: int = 5000):
+    """The LAST leg of the near-dup pipeline — candidates
+    (:func:`dedup_minhash`) → transitive clusters (:func:`dedup_clusters`)
+    → representative choice (:func:`dedup_keep_best`) → **APPLY**: emit
+    the surviving corpus, i.e. every document except the
+    non-representative members of duplicate clusters.  This is the query
+    a user actually runs to deduplicate a corpus end to end.
+
+    Scale shape: no broadcast assumption on either side — two coarse
+    tagged-union anti-joins (the :func:`anti_join` single-exchange
+    pattern; chained ``Dataset.join`` deadlocks the aggregator pool):
+
+    1. union(cluster members tag 0, keepers tag 1), coarse
+       ``doc_id % n_groups`` groupby, emit members with no keeper mate
+       — the DROPPED id set, exchanged as bare int64 ids;
+    2. union(documents tag 0, dropped tag 1), same coarse groupby,
+       emit documents with no dropped mate.
+
+    Both exchanges carry ids (plus ``n_chars`` for the corpus rows) and
+    each group kernel is one vectorised ``isin`` — no per-key Python, no
+    driver materialisation of the corpus."""
+    members = _coalesce_schema_less(dedup_clusters(sf_dir))
+    keepers = _coalesce_schema_less(dedup_keep_best(sf_dir))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_docs = docs.count()               # parquet metadata, no scan
+    n_groups = np.int64(max(32, n_docs // rows_per_group))
+
+    def _tagged(key: pa.Array, tag: int, n_chars=None) -> pa.Table:
+        n = len(key)
+        return pa.table({
+            "doc_id": key,
+            "n_chars": (pa.nulls(n, pa.int64()) if n_chars is None
+                        else n_chars),
+            "tag": pa.array(np.full(n, tag, np.int8)),
+            "gk": pc.cast(_pmod(key, n_groups), pa.int32()),
+        })
+
+    def mem_rows(t: pa.Table) -> pa.Table:
+        return _tagged(pc.cast(t.column("doc_id"), pa.int64()), 0)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        return _tagged(pc.cast(t.column("keep_doc_id"), pa.int64()), 1)
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        hit = g.loc[g["tag"] == 1, "doc_id"]
+        keep = (g["tag"] == 0) & ~g["doc_id"].isin(hit)
+        out = g.loc[keep, ["doc_id", "n_chars"]]
+        # the tag-1 rows carry NULL n_chars, which coerces the whole
+        # pandas column to float64 — surviving rows are all tag 0, so
+        # cast back to the parquet int64 (stage-1 all-null stays float;
+        # only doc_id is read from it)
+        if out["n_chars"].notna().all():        # vacuously true if empty
+            out = out.astype({"n_chars": "int64"})
+        return out
+
+    dropped = (members.map_batches(mem_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .union(keepers.map_batches(keep_rows,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True))
+               .groupby("gk").map_groups(survivors,
+                                         batch_format="pandas"))
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return _tagged(pc.cast(t.column("doc_id"), pa.int64()), 0,
+                       n_chars=pc.cast(t.column("n_chars"), pa.int64()))
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        return _tagged(pc.cast(t.column("doc_id"), pa.int64()), 1)
+
+    return (docs.map_batches(doc_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(_coalesce_schema_less(dropped)
+                   .map_batches(drop_rows, batch_format="pyarrow"))
+            .groupby("gk").map_groups(survivors, batch_format="pandas")
+            .sort("doc_id")
+            .select_columns(["doc_id", "n_chars"]))
+
+
 _BM25_K1_PPM = np.int64(1_200_000)       # k1 = 1.2 on the ppm grid
 _BM25_B_PPM = np.int64(750_000)          # b = 0.75
 
