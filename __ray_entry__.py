@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_flatten": lambda sf: ops.conv_flatten(_turns_ds(sf)),
         # --- similarity / dedup (rows-only or SQL where expressible) ---
         "knn_bruteforce": lambda sf: ops.knn_bruteforce(sf),
+        "knn_graph": lambda sf: ops.knn_graph(sf),
         "ann_lsh_buckets": lambda sf: ops.ann_lsh_buckets(sf),
         "dedup_embedding": lambda sf: ops.dedup_embedding_cosine(sf),
         # strategy="ids" exercises the 100 TB candidates-then-verify
@@ -1058,6 +1059,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY a, b
     """
 
+    # full kNN graph: same DOUBLE cosine + micro rounding as emb_dedup;
+    # row_number over (sim DESC, b ASC) replays the engine's composite
+    # (micros, id) partition key exactly
+    knn_graph_sql = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                      AS BIGINT) AS sim_micro
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ), r AS (
+          SELECT a, b, sim_micro,
+                 row_number() OVER (PARTITION BY a
+                                    ORDER BY sim_micro DESC, b) AS rk
+          FROM s
+        )
+        SELECT a, CAST(rk AS BIGINT) AS rank, b, sim_micro
+        FROM r WHERE rk <= 5 ORDER BY a, rank
+    """
+
     detector_sqls = _detector_sqls(turns_path)
 
     # Gopher-style quality rules: thresholds injected from the engine's own
@@ -1694,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": keep_best_sql,
         "dedup_apply": dedup_apply_sql,
         "dedup_embedding": emb_dedup_sql,
+        "knn_graph": knn_graph_sql,
         "kmeans_ivf_assign": _kmeans_sql(),
         "ivf_query": _ivf_query_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -123,6 +123,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dedup_embedding_lsh", lambda: ops.dedup_embedding_lsh(sf_dir))
     timed("semantic_dedup", lambda: ops.semantic_dedup(sf_dir))
     timed("dedup_apply", lambda: ops.dedup_apply(sf_dir))
+    timed("knn_graph", lambda: ops.knn_graph(sf_dir))
     timed("knn_bruteforce", lambda: ops.knn_bruteforce(sf_dir))
     timed("ann_lsh_query", lambda: ops.ann_lsh_query(sf_dir))
     timed("kmeans_ivf_assign", lambda: ops.kmeans_ivf_assign(sf_dir))

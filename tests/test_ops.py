@@ -480,6 +480,37 @@ def test_dedup_embedding_lsh_production_threshold(ray_session, neardup_dir):
     assert recall >= 0.95, (recall, len(exact_pairs), len(lsh_pairs))
 
 
+def test_knn_graph(ray_session, docs_dir):
+    """Every vector's top-k neighbours equal a brute-force numpy replay
+    with the (sim_micro DESC, id ASC) rank order — including exact
+    duplicate vectors, whose micro ties the composite key must cut by
+    neighbour id."""
+    import pyarrow.parquet as pq_
+    k = 5
+    got = to_arrow(ops.knn_graph(docs_dir, k=k)).to_pydict()
+    emb = pq_.read_table(str(docs_dir) + "/embeddings.parquet")
+    ids = np.asarray(emb["vec_id"].to_pylist(), np.int64)
+    X = np.asarray(emb["embedding"].to_pylist(), np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = Xn @ Xn.T
+    micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                         sims).astype(np.int64)
+    want = []
+    for i, a in enumerate(ids):
+        cand = sorted(((int(-micros[i, j]), int(b))
+                       for j, b in enumerate(ids) if b != a))[:k]
+        want += [(int(a), r + 1, b, -m)
+                 for r, (m, b) in enumerate(cand)]
+    assert list(zip(got["a"], got["rank"], got["b"],
+                    got["sim_micro"])) == want
+    assert len(got["a"]) == len(ids) * k
+
+
+def test_knn_graph_guard(ray_session, docs_dir):
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        ops.knn_graph(docs_dir, max_rows=5)
+
+
 def test_semantic_dedup(ray_session, neardup_dir):
     """SemDeDup keep flags equal a brute-force replay of the rule —
     the (separately oracle-tested) kmeans assignment + all-pairs float64

@@ -2538,6 +2538,76 @@ def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
                           zero_copy_batch=True).sort(["a", "b"])
 
 
+def knn_graph(sf_dir: str, k: int = 5, max_rows: int = 2_000_000):
+    """Full k-nearest-neighbour GRAPH over the embedding table — every
+    vector's ``k`` most-cosine-similar neighbours (the building block
+    under graph clustering, kNN-graph ANN indexes and SemDeDup-style
+    pruning analyses; :func:`knn_bruteforce` answers nq ad-hoc queries,
+    this materialises the whole graph in one pass).
+
+    Baseline shape, same contract as :func:`dedup_embedding_cosine`: the
+    normalised matrix is built inside a Ray task, broadcast once, and
+    each block ranks its rows against all columns — one GEMM plus one
+    ``argpartition`` per block, emitting exactly k rows per vector, so
+    the output is O(N·k) and the O(N²) similarity matrix never exists as
+    data.  Guarded to ``max_rows``; past that the bucketed family
+    (LSH / IVF cells) is the scale path with the identical exact rerank
+    within buckets.  Ranks order by (sim_micro DESC, neighbour id ASC)
+    on the integer-micros grid: the partition runs over the composite
+    key ``micros·2³² + (2³²−1−id)`` so a micros tie AT the k-th boundary
+    still cuts deterministically — and the SQL oracle's ``row_number``
+    replays it exactly."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"knn_graph is the all-pairs baseline, capped at {max_rows} "
+            f"rows (got {n_rows}); bucket with dedup_embedding_lsh / "
+            f"kmeans_ivf_assign and rerank within buckets at scale")
+    empty = pa.table({
+        "a": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "sim_micro": pa.array([], pa.int64())})
+    if n_rows == 0:
+        return rd.from_arrow(empty)
+    mat_ref = _gathered_matrix.remote(ds.to_arrow_refs())
+    _ID32 = np.int64((1 << 32) - 1)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_from_ref
+        ids_all, M = cached_from_ref(mat_ref)
+        assert ids_all.max() <= _ID32, "composite rank key needs id < 2^32"
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        Y = _embedding_matrix(batch["embedding"])
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
+                            1e-12)
+        sims = Yn @ M.T                                  # (B, N)
+        micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                             sims).astype(np.int64)
+        comp = micros * (_ID32 + 1) + (_ID32 - ids_all[None, :])
+        comp[ids[:, None] == ids_all[None, :]] = np.int64(-(1 << 62))
+        kk = min(k, comp.shape[1] - 1)
+        if kk <= 0:
+            return empty
+        part = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+        pcomp = np.take_along_axis(comp, part, axis=1)
+        order = np.argsort(-pcomp, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        n = len(ids)
+        return pa.table({
+            "a": pa.array(np.repeat(ids, kk), pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     n), pa.int64()),
+            "b": pa.array(ids_all[sel].reshape(-1), pa.int64()),
+            "sim_micro": pa.array(
+                np.take_along_axis(micros, sel, axis=1).reshape(-1),
+                pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=4096,
+                          zero_copy_batch=True).sort(["a", "rank"])
+
+
 class LSHTableStage:
     """``n_tables`` independent random-hyperplane LSH codes per vector —
     the bucketing stage of the embedding-dedup scale path.  Stateful: the
