@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": lambda sf: ops.containment_pairs(sf),
         "quantile_global": lambda sf: ops.quantile_global(sf),
         "ccnet_buckets": lambda sf: ops.ccnet_buckets(sf),
+        "corpus_curate": lambda sf: ops.corpus_curate(sf),
         "corpus_stats": lambda sf: ops.corpus_stats(sf),
         "supplier_similarity": lambda sf: ops.supplier_similarity(sf),
         # ordered per-conversation flattening into training documents
@@ -1227,6 +1228,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(lm_score_micro) AS BIGINT)
                        AS max_score_micro
             FROM tagged GROUP BY bucket ORDER BY bucket
+        """,
+        # quality-family APPLY: Gopher keep ∧ not-CCNet-tail.  The
+        # gopher rules are re-derived from the LM core's own toks/w CTEs
+        # (identical definitions — one tokenisation source of truth);
+        # thresholds injected from the engine constants, tertile
+        # boundary = the same quantile_disc literal as ccnet_buckets
+        "corpus_curate": f"""
+            WITH {_UNIGRAM_LM_CORE}, gc AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+            ), gs AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_cnt
+              FROM gc GROUP BY doc_id
+            ), gl AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(tk,
+                              x -> CAST(len(x) AS BIGINT))) AS BIGINT)
+                         AS total_chars
+              FROM toks WHERE len(tk) > 0
+            ), gq AS (
+              SELECT gs.doc_id, gs.n_words,
+                     CAST(CASE WHEN gs.n_words >= {_ops._GOPHER_MIN_WORDS}
+                                AND gs.n_words <= {_ops._GOPHER_MAX_WORDS}
+                                AND (gl.total_chars * 1000000) // gs.n_words
+                                    BETWEEN {_ops._GOPHER_MEAN_LEN_LO}
+                                        AND {_ops._GOPHER_MEAN_LEN_HI}
+                                AND ((gs.n_words - gs.n_distinct) * 1000000)
+                                    // gs.n_words <= {_ops._GOPHER_DUP_FRAC_MAX}
+                                AND (gs.top_cnt * 1000000) // gs.n_words
+                                    <= {_ops._GOPHER_TOP_FRAC_MAX}
+                          THEN 1 ELSE 0 END AS BIGINT) AS keep
+              FROM gs JOIN gl ON gs.doc_id = gl.doc_id
+            ), b AS (
+              SELECT quantile_disc(lm_score_micro,
+                                   0.6666666666666666) AS b2
+              FROM scores
+            )
+            SELECT g.doc_id, g.n_words, s.lm_score_micro
+            FROM gq g JOIN scores s ON s.doc_id = g.doc_id CROSS JOIN b
+            WHERE g.keep = 1 AND s.lm_score_micro <= b.b2
+            ORDER BY g.doc_id
         """,
         # one-row fused corpus statistics (token split = the shared
         # ASCII-\\s convention)

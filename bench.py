@@ -143,6 +143,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
     timed("repetition_ngrams", lambda: ops.repetition_ngrams(sf_dir))
+    timed("corpus_curate", lambda: ops.corpus_curate(sf_dir))
     timed("unigram_lm_score", lambda: ops.unigram_lm_score(sf_dir))
     timed("bm25_topk", lambda: ops.bm25_topk(sf_dir))
     timed("pagerank", lambda: ops.pagerank(sf_dir))

@@ -1473,6 +1473,43 @@ def test_repetition_ngrams(ray_session, tmp_path):
     assert set(got["doc_id"]) == {0, 1, 3, 5}
 
 
+def test_corpus_curate(ray_session, tmp_path):
+    """The quality APPLY equals intersecting the two (separately
+    oracle-tested) flag streams on the driver: gopher keep == 1 and
+    lm_score <= the exact p67 tertile boundary."""
+    import pyarrow.parquet as pq
+    d = tmp_path / "curate"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    vocab = [f"word{i:03d}" for i in range(50)]
+    texts = (["tiny doc here"] * 6                   # gopher-fail: short
+             + [" ".join(["spam"] * 30)] * 6)        # gopher-fail: hot word
+    for _ in range(8):                               # pass + common words
+        texts.append(" ".join(rng.permutation(vocab[:25]).tolist()))
+    for _ in range(4):                               # pass + rare words
+        texts.append(" ".join(rng.permutation(vocab[25:]).tolist()))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    sf = str(d)
+    got = to_arrow(ops.corpus_curate(sf)).to_pydict()
+    gq = to_arrow(ops.gopher_quality(sf)).to_pydict()
+    lm = to_arrow(ops.unigram_lm_score(sf)).to_pydict()
+    scores = sorted(lm["lm_score_micro"])
+    import math
+    b2 = scores[max(0, math.ceil((2 / 3) * len(scores)) - 1)]
+    lm_ok = {d: s for d, s in zip(lm["doc_id"], lm["lm_score_micro"])
+             if s <= b2}
+    want = sorted((d, n, lm_ok[d])
+                  for d, n, k in zip(gq["doc_id"], gq["n_words"],
+                                     gq["keep"])
+                  if k == 1 and d in lm_ok)
+    assert list(zip(got["doc_id"], got["n_words"],
+                    got["lm_score_micro"])) == want
+    assert 0 < len(got["doc_id"]) < len(lm["doc_id"])  # filter really cuts
+
+
 def test_pii_redact(ray_session):
     """Counts and redacted-text md5 match a pure-Python re.sub."""
     import hashlib

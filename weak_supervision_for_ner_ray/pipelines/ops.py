@@ -7038,6 +7038,73 @@ def ccnet_buckets(sf_dir: str):
             .sort("bucket"))
 
 
+def corpus_curate(sf_dir: str, rows_per_group: int = 5000):
+    """Quality-family APPLY — the curated corpus a pre-training pipeline
+    actually keeps: documents that pass the Gopher repetition/length
+    rules (:func:`gopher_quality` ``keep = 1``) AND fall outside the
+    worst CCNet LM tertile (:func:`ccnet_buckets` ``tail``), i.e.
+    ``lm_score_micro ≤ p67``.  The quality analogue of
+    :func:`dedup_apply`: filters compose by INTERSECTION, and the output
+    is the surviving (doc_id, n_words, lm_score_micro) projection.
+
+    Scale shape: both flag streams are full-corpus-sized, so they meet
+    in ONE coarse tagged-union exchange keyed ``doc_id % n_groups``
+    (never a broadcast, never a ``Dataset.join`` aggregator) and each
+    group kernel is a single vectorised pandas merge.  The tertile
+    boundary reuses the exact value-domain histogram fold
+    (:func:`_quantile_fold`) off the memoised LM scores."""
+    scores = unigram_lm_score(sf_dir).materialize()
+    (b2,) = _quantile_fold(scores, "lm_score_micro", (2 / 3,))
+    # sorted upstreams can carry schema-less empty range blocks, which
+    # BYPASS map_batches UDFs and would enter the union untagged — guard
+    scores = _coalesce_schema_less(scores)
+    gq = _coalesce_schema_less(gopher_quality(sf_dir))
+    n_docs = scores.count()
+    n_groups = np.int64(max(32, n_docs // rows_per_group))
+
+    def gopher_rows(t: pa.Table) -> pa.Table:
+        keep = t.column("keep").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "doc_id": key,
+            "n_words": pc.cast(t.column("n_words"), pa.int64()),
+            "lm_score_micro": pa.nulls(t.num_rows, pa.int64()),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "ok": pa.array(keep, pa.int64()),
+            "gk": pc.cast(_pmod(key, n_groups), pa.int32()),
+        }).filter(pa.array(keep == 1))
+
+    def lm_rows(t: pa.Table) -> pa.Table:
+        s = t.column("lm_score_micro").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = pc.cast(t.column("doc_id"), pa.int64())
+        ok = (s <= b2).astype(np.int64)
+        return pa.table({
+            "doc_id": key,
+            "n_words": pa.nulls(t.num_rows, pa.int64()),
+            "lm_score_micro": pa.array(s, pa.int64()),
+            "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            "ok": pa.array(ok, pa.int64()),
+            "gk": pc.cast(_pmod(key, n_groups), pa.int32()),
+        }).filter(pa.array(ok == 1))
+
+    def both(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["tag"] == 0, ["doc_id", "n_words"]]
+        right = g.loc[g["tag"] == 1, ["doc_id", "lm_score_micro"]]
+        out = left.merge(right, on="doc_id")
+        return out.astype({"doc_id": "int64", "n_words": "int64",
+                           "lm_score_micro": "int64"})
+
+    return (gq.map_batches(gopher_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(scores.map_batches(lm_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+            .groupby("gk").map_groups(both, batch_format="pandas")
+            .sort("doc_id")
+            .select_columns(["doc_id", "n_words", "lm_score_micro"]))
+
+
 def corpus_stats(sf_dir: str):
     """One-pass fused corpus statistics — the "dataset card" numbers
     (doc count, char/token mass, length extremes, empty-doc count) in a
