@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": ops.doc_fingerprint,
         "doc_fingerprint_rolling": lambda sf: ops.doc_fingerprint_rolling(sf),
         "sample_hash": lambda sf: ops.sample_hash(sf),
+        "train_shards": lambda sf: ops.train_shards(sf),
         "exact_dedup": ops.exact_dedup,
         "dedup_cdc_chunks": lambda sf: ops.dedup_cdc_chunks(sf),
         "ngram_topk": lambda sf: ops.ngram_topk(sf),
@@ -2258,6 +2259,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic hash sampling: same md5-low-8-bytes hash as the
         # engine's _stable_token_hashes over 'seed:doc_id'
+        # deterministic shuffle-into-shards: shard = md5 mod n, pos =
+        # rank in unsigned-md5 order within the shard (engine exchanges
+        # the order-preserving hv XOR 2^63 int64)
+        "train_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5_number_lower('sh17:' || CAST(doc_id AS VARCHAR))
+                         AS hv
+              FROM documents
+            )
+            SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard_id,
+                   CAST(row_number() OVER (PARTITION BY hv % 8
+                                           ORDER BY hv, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM h ORDER BY doc_id
+        """,
         "sample_hash": """
             SELECT doc_id, text,
                    CAST(md5_number_lower('s13:' || CAST(doc_id AS VARCHAR))

@@ -140,6 +140,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("percentile_by_group", lambda: ops.percentile_by_group(sf_dir))
     timed("rollup_lang_source", lambda: ops.rollup_lang_source(sf_dir))
     timed("pack_sequences", lambda: ops.pack_sequences(sf_dir))
+    timed("train_shards", lambda: ops.train_shards(sf_dir))
     timed("decontaminate", lambda: ops.decontaminate(sf_dir))
     timed("gopher_quality", lambda: ops.gopher_quality(sf_dir))
     timed("repetition_ngrams", lambda: ops.repetition_ngrams(sf_dir))

@@ -1473,6 +1473,39 @@ def test_repetition_ngrams(ray_session, tmp_path):
     assert set(got["doc_id"]) == {0, 1, 3, 5}
 
 
+def test_train_shards(ray_session, tmp_path):
+    """Shard assignment and within-shard hash-order positions match a
+    pure-Python md5 replay; range_bits=60 forces many hash ranges per
+    shard so the per-range offset fold is actually exercised."""
+    import hashlib
+    import pyarrow.parquet as pq
+    d = tmp_path / "shards"
+    d.mkdir()
+    ids = list(range(0, 120, 3))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids), pa.string()),
+    }), str(d / "documents.parquet"))
+    got = to_arrow(ops.train_shards(str(d), n_shards=4, seed="sh17",
+                                    range_bits=60)).to_pydict()
+    hv = {i: int.from_bytes(
+        hashlib.md5(f"sh17:{i}".encode()).digest()[8:], "little")
+        for i in ids}
+    want = {}
+    for sh in range(4):
+        members = sorted((hv[i], i) for i in ids if hv[i] % 4 == sh)
+        for pos, (_, i) in enumerate(members):
+            want[i] = (sh, pos)
+    assert got["doc_id"] == sorted(ids)
+    assert {i: (s, p) for i, s, p in zip(got["doc_id"], got["shard_id"],
+                                         got["pos"])} == want
+    # positions are a contiguous 0..n-1 permutation inside every shard
+    for sh in range(4):
+        ps = sorted(p for s, p in zip(got["shard_id"], got["pos"])
+                    if s == sh)
+        assert ps == list(range(len(ps))) and ps
+
+
 def test_corpus_curate(ray_session, tmp_path):
     """The quality APPLY equals intersecting the two (separately
     oracle-tested) flag streams on the driver: gopher keep == 1 and

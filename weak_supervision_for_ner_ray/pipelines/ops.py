@@ -4357,6 +4357,83 @@ def pack_sequences(sf_dir: str, budget: int = 4096,
                              "bin_id", "offset_in_bin"]))
 
 
+def train_shards(sf_dir: str, n_shards: int = 8, seed: str = "sh17",
+                 range_bits: int = 52):
+    """Deterministic shuffle-into-shards — the final step before
+    training: every document gets a shard (``md5(seed:doc_id) mod
+    n_shards``) and a POSITION inside that shard (its rank in md5-hash
+    order), so the training reader streams each shard in a reproducible,
+    rerun- and cluster-size-independent pseudo-random order (a
+    ``ds.random_shuffle`` would differ per run and per partitioning —
+    the same argument as :func:`sample_hash`).
+
+    Scale shape — the :func:`pack_sequences` prefix-scan primitive keyed
+    on the HASH space instead of doc_id: (1) one pass computes (doc,
+    shard, shifted-int64 hash, hash-range) rows (the uint64 md5 lives
+    only inside the kernel — Ray block conversions don't preserve
+    uint64, so the exchanged order key is the order-preserving
+    ``hv XOR 2⁶³`` reinterpreted as int64); (2) a combiner counts rows
+    per (shard, top-``64−range_bits``-bit hash range) — bounded driver
+    state, folded into exclusive per-range offsets in shard-major
+    hash-ascending order; (3) a grouped second pass sorts each bounded
+    range by (hash, doc_id) and adds its offset.  Two bounded exchanges,
+    no global sort, and the oracle's ``row_number OVER (PARTITION BY
+    shard ORDER BY hv, doc_id)`` replays positions exactly
+    (``md5_number_lower`` == the low-8-bytes-LE convention of
+    :func:`_stable_token_hashes`)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_ranges = np.int64(1 << (64 - range_bits))
+    _TOP = np.uint64(1 << 63)
+
+    def hrows(batch: pd.DataFrame) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(np.int64)
+        hv = _stable_token_hashes([f"{seed}:{d}" for d in doc])
+        shard = (hv % np.uint64(n_shards)).astype(np.int64)
+        hs = (hv ^ _TOP).view(np.int64)
+        rngkey = shard * n_ranges \
+            + (hv >> np.uint64(range_bits)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "shard_id": pa.array(shard),
+            "hs": pa.array(hs),
+            "rngkey": pa.array(rngkey),
+        })
+
+    rows = ds.map_batches(hrows, batch_format="pandas").materialize()
+    per_range = _to_arrow(rows.groupby("rngkey")
+                          .aggregate(Count(alias_name="n"))).to_pandas() \
+        .sort_values("rngkey")
+    offs = dict(zip(
+        per_range["rngkey"],
+        np.concatenate([[0], np.cumsum(per_range["n"].to_numpy())[:-1]])
+        .astype(np.int64)))
+    # exclusive offsets restart at every shard boundary (rngkey is
+    # shard-major, so subtracting the shard's first cumulative total
+    # re-zeroes positions per shard)
+    shard_of = per_range["rngkey"].to_numpy() // n_ranges
+    first = {}
+    for rk, sh in zip(per_range["rngkey"], shard_of):
+        if sh not in first:
+            first[sh] = offs[rk]
+    offs = {int(rk): int(offs[rk] - first[rk // int(n_ranges)])
+            for rk in per_range["rngkey"]}
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hs", "doc_id"], kind="stable") \
+            .reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "shard_id": g["shard_id"],
+            "pos": offs[int(g["rngkey"].iloc[0])]
+            + np.arange(len(g), dtype=np.int64),
+        })
+
+    return (rows.groupby("rngkey").map_groups(assign,
+                                              batch_format="pandas")
+            .sort("doc_id")
+            .select_columns(["doc_id", "shard_id", "pos"]))
+
+
 def decontaminate(sf_dir: str, k: int = _ROLL_K, sample_mod: int = 16,
                   benchmark_source: str = "src0",
                   rows_per_group: int = 5000):
