@@ -1730,6 +1730,25 @@ def test_dedup_keep_best_join_fallback(ray_session, docs_dir, monkeypatch):
     assert fast == slow and fast["cluster_id"] == [0]
 
 
+def test_token_stat_join_fallback(ray_session, docs_dir, monkeypatch):
+    """The Dataset.join fallback of _attach_token_stat (vocabulary too
+    big to broadcast) emits rows identical to the broadcast-probe fast
+    path, for both consumers (tfidf df, unigram-LM cnt)."""
+    def canon(d):
+        return sorted(zip(*d.values()))
+
+    fast_tfidf = to_arrow(ops.tfidf_topk(docs_dir)).to_pydict()
+    ops._LM_SCORE_CACHE.clear()      # memo would hide the fallback path
+    fast_lm = to_arrow(ops.unigram_lm_score(docs_dir)).to_pydict()
+    monkeypatch.setattr(ops, "_VOCAB_BROADCAST_MAX", 0)
+    ops._LM_SCORE_CACHE.clear()
+    slow_tfidf = to_arrow(ops.tfidf_topk(docs_dir)).to_pydict()
+    slow_lm = to_arrow(ops.unigram_lm_score(docs_dir)).to_pydict()
+    ops._LM_SCORE_CACHE.clear()      # don't leak the fallback result
+    assert canon(fast_tfidf) == canon(slow_tfidf) and fast_tfidf
+    assert canon(fast_lm) == canon(slow_lm) and fast_lm
+
+
 def test_dedup_apply(ray_session, docs_dir):
     """The end-to-end dedup APPLY emits documents minus the
     non-representative cluster members — parity vs composing the two

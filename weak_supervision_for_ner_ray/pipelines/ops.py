@@ -4125,6 +4125,52 @@ def _tf_rows(t: pa.Table) -> pa.Table:
         "tf": pa.array(tf)})
 
 
+# vocabulary broadcast bound for _attach_token_stat: (token, int64) rows
+# at ~30 B/row mean, 4M tokens ≈ 120 MB — worker-heap-safe; beyond that
+# the tf/df ops fall back to the ONE Dataset.join exchange
+_VOCAB_BROADCAST_MAX = 4_000_000
+
+
+def _attach_token_stat(tf, stat_ds, col: str):
+    """Attach a vocabulary-keyed int64 statistic column (``df``, ``cnt``)
+    to exact (doc_id, token, tf) rows.
+
+    Scale shape: the statistic table is vocabulary-bounded, not
+    occurrence-bounded.  When it fits a worker heap
+    (``<= _VOCAB_BROADCAST_MAX`` rows) it is broadcast ONCE with
+    ``ray.put`` and probed with Arrow's vectorised hash lookup
+    (``pc.index_in``) inside a pure map over the tf rows — no join
+    operator, no aggregator-pool spin-up (the measured 6–16 s fixed
+    floor under every ``Dataset.join``, the round-5 bench tail).  A
+    web-scale vocabulary (distinct raw tokens are NOT bounded — typo and
+    URL tails grow with the corpus) falls back to the ONE ``Dataset.join``
+    exchange, where hot tokens stay a join key, never a group.  Same
+    guarded-broadcast contract as :func:`dedup_keep_best`."""
+    stat_ds = stat_ds.materialize()
+    if stat_ds.count() <= _VOCAB_BROADCAST_MAX:
+        vt = _to_arrow(stat_ds)
+        toks = vt.column("token").combine_chunks()
+        vals = vt.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ref = ray.put((toks, vals))
+
+        def attach(t: pa.Table) -> pa.Table:
+            from ..stages.util import cached_from_ref
+            toks_b, vals_b = cached_from_ref(ref)
+            pos = pc.index_in(t.column("token"), value_set=toks_b)
+            if pos.null_count:
+                # every tf token is in an aggregate built FROM tf; a
+                # miss means the broadcast is stale/corrupt — fail loud
+                raise RuntimeError("token missing from broadcast vocab")
+            idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(col, pa.array(vals_b[idx], pa.int64()))
+
+        return tf.map_batches(attach, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return tf.join(stat_ds, join_type="inner",
+                   num_partitions=_join_partitions(), on=("token",))
+
+
 def tfidf_topk(sf_dir: str, k: int = 3):
     """Per-document top-``k`` distinctive terms by an integer tf/df score
     (``tf · 1e6 // df`` — floor-exact, so the SQL oracle hash-matches; the
@@ -4132,22 +4178,22 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     for no semantic gain at top-k).  Scale shape: per-block exact
     (doc_id, token, tf) rows (a document lives in one row, so its tf is
     complete within its block), a Count-combiner aggregate builds the
-    (token, df) side, ONE ``Dataset.join`` attaches df (never chain two —
-    round-4 finding: pipelined joins deadlock the aggregator pool), and
-    the per-doc top-k uses the bounded-combiner shape.  Hot tokens are a
-    join key, not a ``map_groups`` group, so token skew never builds a
-    giant group."""
+    (token, df) side, and :func:`_attach_token_stat` attaches df — a
+    guarded vocabulary broadcast probe, falling back to ONE
+    ``Dataset.join`` above ``_VOCAB_BROADCAST_MAX`` (never chain two —
+    round-4 finding: pipelined joins deadlock the aggregator pool); the
+    per-doc top-k uses the bounded-combiner shape.  Hot tokens are a
+    probe/join key, not a ``map_groups`` group, so token skew never
+    builds a giant group."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
     # (doc_id, token) rows are distinct, so Count == document frequency;
-    # the aggregate feeds a join build side, so guard it
+    # the aggregate feeds a join/broadcast build side, so guard it
     # (_coalesce_schema_less — the round-4 "no match for FieldRef" crash)
     df_tbl = _coalesce_schema_less(
         tf.groupby("token").aggregate(Count(alias_name="df")))
-    joined = tf.join(df_tbl, join_type="inner",
-                     num_partitions=_join_partitions(),
-                     on=("token",))
+    joined = _attach_token_stat(tf, df_tbl, "df")
 
     def score(t: pa.Table) -> pa.Table:
         s = pc.divide(pc.multiply(t.column("tf"), pa.scalar(1_000_000)),
@@ -4888,9 +4934,11 @@ def unigram_lm_score(sf_dir: str):
 
     Scale shape (the tf/df pattern): per-block exact (doc, token, tf)
     rows, a Sum-combiner builds the (token, cnt) LM table — the exchange
-    is vocabulary-bounded, not occurrence-bounded — ONE ``Dataset.join``
-    attaches cnt (hot tokens are a join key, never a group), and the
-    per-doc reduction is a two-Sum aggregate.
+    is vocabulary-bounded, not occurrence-bounded — and
+    :func:`_attach_token_stat` attaches cnt (guarded vocabulary
+    broadcast probe; ONE ``Dataset.join`` fallback above
+    ``_VOCAB_BROADCAST_MAX``, where hot tokens stay a join key, never a
+    group); the per-doc reduction is a two-Sum aggregate.
 
     The result is memoised per process keyed on the documents
     fingerprint (the :func:`dedup_clusters` convention) because
@@ -4913,9 +4961,7 @@ def unigram_lm_score(sf_dir: str):
         tf.groupby("token").aggregate(Sum("tf", alias_name="cnt"))
     ).materialize()
     n_total = int(cnt.sum("cnt"))
-    joined = tf.join(cnt, join_type="inner",
-                     num_partitions=_join_partitions(),
-                     on=("token",))
+    joined = _attach_token_stat(tf, cnt, "cnt")
 
     def contrib(t: pa.Table) -> pa.Table:
         c = t.column("cnt").to_numpy(zero_copy_only=False)
