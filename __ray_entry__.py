@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: ops.decontaminate(sf),
         "gopher_quality": lambda sf: ops.gopher_quality(sf),
         "repetition_ngrams": lambda sf: ops.repetition_ngrams(sf),
+        "dup_passages": lambda sf: ops.dup_passages(sf),
         "unigram_lm_score": lambda sf: ops.unigram_lm_score(sf),
         "bm25_topk": lambda sf: ops.bm25_topk(sf),
         # iterative graph analytics over the derived supplier—part graph
@@ -1162,6 +1163,51 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY doc_id
     """
 
+    # exact duplicate passages: the oracle evaluates the engine's exact
+    # two-level Horner (per-token over codepoints via list_reduce, then
+    # the k-token window unrolled below) so window identity — not a
+    # proxy — is compared; same integer-ppm grid as the other quality ops
+    _dp_k = 8
+    _dp_horner = "h[i]"
+    for _t in range(1, _dp_k):
+        _dp_horner = (f"(({_dp_horner} * {_ops._PASS_Q} + h[i+{_t}]) "
+                      f"% {_ops._PASS_P})")
+    dup_passages_sql = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text,
+                             '[\\t\\n\\f\\r ]+'), x -> x <> '') AS ts
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 list_transform(ts, tok -> list_reduce(
+                     list_prepend(0::BIGINT,
+                         list_transform(range(1, length(tok) + 1),
+                             i -> unicode(substr(tok, i::INT,
+                                                 1))::BIGINT)),
+                     (a, b) -> (a * {_ops._PASS_B} + b)
+                               % {_ops._PASS_P})) AS h,
+                 len(ts) AS n
+          FROM tk
+        ), w AS (
+          SELECT doc_id, {_dp_horner} AS wh
+          FROM (SELECT doc_id, h,
+                       unnest(range(1, n - {_dp_k} + 2)) AS i
+                FROM th) u
+        ), c AS (
+          SELECT wh, count(*) AS cnt FROM w GROUP BY wh
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(coalesce(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0
+                                 END), 0) AS BIGINT) AS n_dup_windows,
+               CAST((coalesce(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0
+                                  END), 0) * 1000000) // count(*)
+                    AS BIGINT) AS dup_ppm
+        FROM w JOIN c USING (wh)
+        GROUP BY w.doc_id ORDER BY w.doc_id
+    """
+
     # numeric-PII scrub: the oracle verifies the REPLACED text via md5,
     # not just the count — the shared pattern is RE2 ∩ Python-re safe
     pii_sql = f"""
@@ -1198,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "repetition_ngrams": repetition_sql,
+        "dup_passages": dup_passages_sql,
         # corpus-unigram-LM scoring: integer mean inverse probability
         # (see ops.unigram_lm_score — float-log-free so it hash-matches)
         "unigram_lm_score": f"""

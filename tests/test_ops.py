@@ -2673,3 +2673,55 @@ def test_inverted_index_bruteforce(ray_session, docs_dir):
     # the stop filter really fired: 'the' appears in >3 docs
     over = [t for t, ids in ref.items() if len(ids) > max_df]
     assert over and not set(over) & set(got["token"])
+
+
+def test_dup_passages(ray_session, tmp_path):
+    """Exact duplicate-passage counts vs a brute-force window-TEXT
+    counter (stronger than hash parity: a collision or a corrupted
+    Horner would diverge from text equality).  Covers cross-doc dup,
+    within-doc dup, sub-k docs (excluded), unique docs (0 dups) and
+    irregular whitespace."""
+    import collections
+    import re as _re
+    import pyarrow.parquet as pq
+    k = 8
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    inner = "p q r s t u v w"
+    texts = [
+        shared,                                   # 10 toks, 3 windows
+        shared,                                   # exact dup of doc 0
+        f"{inner} fill1 fill2 {inner}",           # within-doc repeat
+        "too short to have windows",              # 5 toks -> excluded
+        " ".join(f"u{i}" for i in range(20)),     # unique, 0 dups
+        "m1\tm2  m3 m4\nm5 m6 m7 m8 m9",          # whitespace soup
+    ]
+    d = tmp_path / "dp"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+
+    wins: dict[int, list[tuple]] = {}
+    counter: collections.Counter = collections.Counter()
+    for did, txt in enumerate(texts):
+        toks = [t for t in _re.split(r"[\t\n\f\r ]+", txt) if t]
+        ws = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if ws:
+            wins[did] = ws
+            counter.update(ws)
+
+    got = to_arrow(ops.dup_passages(str(d), k=k)).to_pydict()
+    assert got["doc_id"] == sorted(wins)
+    for i, did in enumerate(got["doc_id"]):
+        ws = wins[did]
+        nd = sum(1 for w in ws if counter[w] >= 2)
+        assert got["n_windows"][i] == len(ws), did
+        assert got["n_dup_windows"][i] == nd, did
+        assert got["dup_ppm"][i] == nd * 1_000_000 // len(ws), did
+    # the fixture exercises all three dup regimes
+    by = dict(zip(got["doc_id"], got["n_dup_windows"]))
+    assert by[0] == 3 and by[1] == 3          # full cross-doc dup
+    assert by[2] > 0                          # within-doc repeat
+    assert by[4] == 0                         # unique doc
+    assert 3 not in by                        # sub-k doc excluded

@@ -4879,6 +4879,162 @@ def _repetition_stats(tok_lists: list[list[str]], n: int):
 
 
 # ---------------------------------------------------------------------------
+# exact duplicate-passage detection (ExactSubstr-style, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_PASS_P = 2147483647      # 2^31 − 1: token AND window Horner modulus
+_PASS_B = 31              # char base (token-level Horner)
+_PASS_Q = 1000003         # token base (window-level Horner)
+
+
+def _passage_window_rows(t: pa.Table, k: int, n_groups: int) -> pa.Table:
+    """Per-block kernel for :func:`dup_passages`: every ``k``-token
+    window of every document becomes one (gk, wh, doc_id) row, where
+    ``wh`` is a two-level Horner hash — per-token over codepoints
+    (``acc·31 + c mod 2³¹−1``), then per-window over the ``k`` token
+    hashes (``acc·1000003 + h mod 2³¹−1``) — the exact expression the
+    DuckDB oracle evaluates with ``list_reduce``, so window identity is
+    bit-stable across engine and SQL.
+
+    Fully vectorised: RE2 whitespace split (the :func:`_tf_rows` class),
+    token Horner as max-token-length (≤ a few dozen) masked numpy
+    passes over the flat utf8 values buffer, window Horner as ``k``
+    vector ops over the flat token-hash array, with cross-document
+    windows masked out by the repeated-doc_id boundary test.  ASCII
+    bytes ARE codepoints; a non-ASCII token falls back to a per-token
+    ``ord`` path so parity survives any corpus (never hit on testdata).
+    All int64-safe: token step < 2³⁶, window step < 2⁵².
+    """
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    txt = pc.fill_null(t.column("text"), "")
+    lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
+    n_per = pc.list_value_length(lst).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lst)
+    ids = np.repeat(doc, n_per)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    ids_k = ids[keep.to_numpy(zero_copy_only=False)]
+    flat_k = flat.filter(keep)
+    if isinstance(flat_k, pa.ChunkedArray):
+        flat_k = flat_k.combine_chunks()
+    empty = pa.table({"gk": pa.array([], pa.int32()),
+                      "wh": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    n_tok = len(flat_k)
+    if n_tok < k:
+        return empty
+    offs = np.frombuffer(flat_k.buffers()[1], np.int32)[
+        flat_k.offset: flat_k.offset + n_tok + 1].astype(np.int64)
+    buf = np.frombuffer(flat_k.buffers()[2], np.uint8).astype(np.int64)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    if (buf[offs[0]:offs[-1]] >= 0x80).any():
+        # exactness fallback: Horner over real codepoints, per token
+        acc = np.fromiter(
+            (_token_horner(s) for s in flat_k.to_pylist()),
+            np.int64, count=n_tok)
+    else:
+        acc = np.zeros(n_tok, np.int64)
+        for j in range(int(lens.max())):
+            m = lens > j
+            acc[m] = (acc[m] * _PASS_B + buf[starts[m] + j]) % _PASS_P
+    n_win = n_tok - k + 1
+    w = acc[:n_win].copy()
+    for step in range(1, k):
+        w = (w * _PASS_Q + acc[step:step + n_win]) % _PASS_P
+    valid = ids_k[:n_win] == ids_k[k - 1:]
+    wh = w[valid]
+    if not len(wh):
+        return empty
+    return pa.table({
+        "gk": pa.array((wh % n_groups).astype(np.int32)),
+        "wh": pa.array(wh),
+        "doc_id": pa.array(ids_k[:n_win][valid]),
+    })
+
+
+def _token_horner(tok: str) -> int:
+    a = 0
+    for c in tok:
+        a = (a * _PASS_B + ord(c)) % _PASS_P
+    return a
+
+
+def dup_passages(sf_dir: str, k: int = 8):
+    """Exact duplicate-PASSAGE statistics (the ExactSubstr leg of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document with ≥ ``k`` whitespace tokens, count
+    its ``k``-token windows and how many of them recur ANYWHERE in the
+    corpus (including elsewhere in the same document) — the
+    sub-document granularity that whole-doc MinHash (:func:`dedup_minhash`)
+    and within-doc repetition (:func:`repetition_ngrams`) both miss.
+    Emits (doc_id, n_windows, n_dup_windows, dup_ppm) with
+    ``dup_ppm = n_dup·1e6 // n_windows`` on the integer grid so the
+    DuckDB oracle hash-matches exactly.
+
+    Scale shape (reference has no counterpart; suffix arrays replaced by
+    a shuffle-friendly equivalent): stage 1 is a pure map emitting
+    (wh, doc_id) int64 pairs — 16 B per window occurrence, never window
+    TEXT; every occurrence of a window hash lands in one coarse
+    ``wh % n_groups`` bucket, so global occurrence counts are complete
+    within a group (one ``np.unique`` per group, no per-key Python);
+    groups emit per-doc partials and a final small
+    ``groupby(doc_id).sum`` folds them.  Two int-only exchanges total,
+    both occurrence-bounded — at 100 TB this is the same exchange
+    budget as :func:`dedup_cdc_chunks`, and hot windows (boilerplate
+    repeated millions of times) stay inside one vectorised group rather
+    than becoming a reduce hot key."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_groups = 4 * _join_partitions()
+
+    def windows(t: pa.Table) -> pa.Table:
+        return _passage_window_rows(t, k, n_groups)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "wh" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_win": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        wh = g.column("wh").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(wh, return_inverse=True,
+                                return_counts=True)
+        dup = cnt[inv] >= 2
+        ud, dinv = np.unique(doc, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(ud.astype(np.int64)),
+            "n_win": pa.array(np.bincount(dinv).astype(np.int64)),
+            "n_dup": pa.array(np.bincount(dinv, weights=dup)
+                              .astype(np.int64)),
+        })
+
+    parts = (ds.map_batches(windows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("gk").map_groups(per_group, batch_format="pyarrow"))
+    agg = (parts.groupby("doc_id")
+           .aggregate(Sum("n_win", alias_name="n_windows"),
+                      Sum("n_dup", alias_name="n_dup_windows")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t.column("n_windows").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nd = t.column("n_dup_windows").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_windows": pa.array(nw),
+            "n_dup_windows": pa.array(nd),
+            "dup_ppm": pa.array((nd * np.int64(1_000_000)) // nw),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # PII / numeric-token scrubbing over transcripts
 # ---------------------------------------------------------------------------
 
