@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": lambda sf: ops.running_total(sf),
         "chunk_text": lambda sf: ops.chunk_text(sf),
         "bigram_lift": lambda sf: ops.bigram_lift(sf),
+        "cooccur_pmi": lambda sf: ops.cooccur_pmi(sf),
         "interarrival_stats": lambda sf: ops.interarrival_stats(sf),
         "histogram_numeric": lambda sf: ops.histogram_numeric(sf),
         "skyline": lambda sf: ops.skyline(sf),
@@ -1477,6 +1478,47 @@ def oracle_sql() -> dict[str, str]:
                    CROSS JOIN tot
               WHERE cab.cnt >= 5
             ) ORDER BY lift_ppm DESC, a, b LIMIT 50
+        """,
+        # windowed co-occurrence PMI: unordered least/greatest pairs at
+        # filtered-token distances 1..window-1, unigram marginals,
+        # HUGEINT integer grid mirroring the engine's bigint evaluation
+        "cooccur_pmi": """
+            WITH toks AS (
+              SELECT row_number() OVER () AS doc,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc, i, t[i] AS tok
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1))
+                                  AS i) r
+            ), uni AS (
+              SELECT tok, count(*) AS cu FROM pos GROUP BY tok
+            ), ntok AS (SELECT count(*) AS n_tok FROM pos),
+            pairs AS (
+              SELECT least(p.tok, q.tok) AS a,
+                     greatest(p.tok, q.tok) AS b, count(*) AS cnt
+              FROM pos p JOIN pos q
+                ON p.doc = q.doc AND q.i > p.i AND q.i < p.i + 3
+              GROUP BY 1, 2
+            ), npair AS (SELECT sum(cnt) AS n_pairs FROM pairs)
+            SELECT CAST(row_number() OVER (ORDER BY pmi_ppm DESC, a, b)
+                        AS BIGINT) AS rnk,
+                   a, b, CAST(cnt AS BIGINT) AS cnt, pmi_ppm
+            FROM (
+              SELECT pairs.a, pairs.b, pairs.cnt,
+                     CAST((CAST(pairs.cnt AS HUGEINT)
+                           * CAST(n_tok AS HUGEINT)
+                           * CAST(n_tok AS HUGEINT) * 1000000)
+                          // (CAST(ua.cu AS HUGEINT)
+                              * CAST(ub.cu AS HUGEINT)
+                              * CAST(n_pairs AS HUGEINT))
+                          AS BIGINT) AS pmi_ppm
+              FROM pairs JOIN uni ua ON pairs.a = ua.tok
+                         JOIN uni ub ON pairs.b = ub.tok
+                   CROSS JOIN ntok CROSS JOIN npair
+              WHERE pairs.cnt >= 5
+            ) ORDER BY pmi_ppm DESC, a, b LIMIT 50
         """,
         # per-user ordered lag() gaps in exact integer microseconds
         "interarrival_stats": """

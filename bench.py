@@ -153,6 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dedup_keep_best", lambda: ops.dedup_keep_best(sf_dir))
     timed("chunk_text", lambda: ops.chunk_text(sf_dir))
     timed("bigram_lift", lambda: ops.bigram_lift(sf_dir))
+    timed("cooccur_pmi", lambda: ops.cooccur_pmi(sf_dir))
     timed("interarrival_stats", lambda: ops.interarrival_stats(sf_dir))
     timed("histogram_numeric", lambda: ops.histogram_numeric(sf_dir))
     timed("skyline", lambda: ops.skyline(sf_dir))

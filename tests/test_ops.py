@@ -1933,6 +1933,48 @@ def test_bigram_lift(ray_session, tmp_path):
     assert got["rnk"] == list(range(1, len(want) + 1))
 
 
+def test_cooccur_pmi(ray_session, tmp_path):
+    """Distributed windowed PMI == brute-force Counter PMI with big-int
+    floor division: unordered lexicographic pairs at distances
+    1..window-1, unigram marginals, min_cnt filter, (pmi desc, a, b)
+    order."""
+    from collections import Counter
+    import pyarrow.parquet as pq
+    texts = ["new york city is in new york state",
+             "new york city hosts the new york marathon",
+             "san francisco bay meets san francisco fog",
+             "the city by the bay is san francisco"] * 3
+    d = tmp_path / "pmi"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    window, min_cnt, k = 3, 3, 10
+    uni, pair = Counter(), Counter()
+    for t in texts:
+        toks = ops._ws_tokens(t)
+        uni.update(toks)
+        for i in range(len(toks)):
+            for dd in range(1, window):
+                if i + dd < len(toks):
+                    a, b = sorted((toks[i], toks[i + dd]))
+                    pair[(a, b)] += 1
+    n_tok, n_pairs = sum(uni.values()), sum(pair.values())
+    rows = [(a, b, c,
+             (c * n_tok * n_tok * 1_000_000)
+             // (uni[a] * uni[b] * n_pairs))
+            for (a, b), c in pair.items() if c >= min_cnt]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:k]
+    assert len(want) >= 3                     # fixture is non-trivial
+    got = to_arrow(ops.cooccur_pmi(str(d), window=window,
+                                   min_cnt=min_cnt, k=k)).to_pydict()
+    assert list(zip(got["a"], got["b"], got["cnt"],
+                    got["pmi_ppm"])) == want
+    assert got["rnk"] == list(range(1, len(want) + 1))
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

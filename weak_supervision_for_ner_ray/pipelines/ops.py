@@ -3832,6 +3832,15 @@ def _ngram_count_rows(t: pa.Table, n: int, n_groups: int) -> pa.Table:
     grams = grams.filter(pa.array(same))
     if len(grams) == 0:
         return empty
+    return _count_gram_rows(grams, n_groups)
+
+
+def _count_gram_rows(grams, n_groups: int) -> pa.Table:
+    """Per-block unique counts of a gram/pair string array → (ngram,
+    partial_count, gk) rows — the combiner tail shared by
+    :func:`_ngram_count_rows` and :func:`_skipgram_count_rows`
+    (``dictionary_encode`` + ``bincount``; gk from the process-stable
+    pandas ``hash_array`` so the coarse regroups are rerun-identical)."""
     enc = pc.dictionary_encode(grams)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -3846,6 +3855,50 @@ def _ngram_count_rows(t: pa.Table, n: int, n_groups: int) -> pa.Table:
     return pa.table({"ngram": pa.array(uniq.tolist(), pa.string()),
                      "cnt": pa.array(counts),
                      "gk": pa.array(gk)})
+
+
+def _skipgram_count_rows(t: pa.Table, window: int,
+                         n_groups: int) -> pa.Table:
+    """Windowed co-occurrence partials: for every token position ``i``
+    and distance ``d ∈ [1, window)``, the UNORDERED pair of ``tok[i]``
+    and ``tok[i+d]`` canonicalised lexicographically (bytewise UTF-8 —
+    the same collation DuckDB's ``least``/``greatest`` use), masked to
+    same-document runs, as ``"lo hi"`` strings into the shared
+    :func:`_count_gram_rows` combiner.  Arrow-native throughout: one
+    regex split, ``window - 1`` shifted-slice compares, no per-row
+    Python."""
+    empty = pa.table({"ngram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "gk": pa.array([], pa.int64())})
+    txt = pc.fill_null(t.column("text"), "")
+    lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
+    n_per = pc.list_value_length(lst) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    ids = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    ids_k = ids[keep.to_numpy(zero_copy_only=False)]
+    flat_k = flat.filter(keep)
+    if isinstance(flat_k, pa.ChunkedArray):
+        flat_k = flat_k.combine_chunks()
+    chunks = []
+    for d in range(1, window):
+        m = len(flat_k) - d
+        if m <= 0:
+            break
+        a, b = flat_k.slice(0, m), flat_k.slice(d, m)
+        le = pc.less_equal(a, b)
+        lo, hi = pc.if_else(le, a, b), pc.if_else(le, b, a)
+        pair = pc.binary_join_element_wise(lo, hi, " ") \
+            .filter(pa.array(ids_k[:m] == ids_k[d:]))
+        if len(pair):
+            chunks.append(pair)
+    if not chunks:
+        return empty
+    grams = pa.chunked_array(chunks).combine_chunks()
+    return _count_gram_rows(grams, n_groups)
 
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     """Corpus-wide top-``k`` word ``n``-grams by frequency — the
@@ -6114,6 +6167,174 @@ def bigram_lift(sf_dir: str, min_cnt: int = 5, k: int = 50):
         "b": pa.array(surv["b"].tolist(), pa.string()),
         "cnt": pa.array(surv["cnt"].to_numpy(np.int64)),
         "lift_ppm": pa.array(surv["lift_ppm"].to_numpy(np.int64)),
+    })
+
+
+def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
+                k: int = 50):
+    """Windowed co-occurrence PMI — the word2vec/GloVe-style collocation
+    measure: the ``k`` UNORDERED token pairs co-occurring within
+    ``window`` positions whose observed pair frequency most exceeds the
+    unigram-independence expectation, restricted to pairs seen
+    ≥ ``min_cnt`` times.  The score stays on the integer grid so the
+    DuckDB oracle hash-matches: with ``n_tok`` total tokens, ``n_pairs``
+    total windowed pair slots, and ``ca``/``cb`` the unigram counts, ::
+
+        pmi_ppm = (cnt * n_tok * n_tok * 1_000_000)
+                  // (ca * cb * n_pairs)
+
+    (1e6 × the PMI ratio before the log — monotone in PMI, exact in
+    arbitrary precision; the products overflow int64 at any real corpus
+    size).  Pairs are canonicalised lexicographically (bytewise UTF-8 —
+    DuckDB's ``least``/``greatest`` collation), ties broken ``(a, b)``
+    ascending.
+
+    Scale shape: per-block Arrow-native partials
+    (:func:`_skipgram_count_rows` — shifted-slice compares, the exchange
+    carries (pair, partial_count) rows, never occurrences) → coarse
+    ``hash(pair)`` groups for exact counts; unigram marginals come from
+    the same combiner at ``n = 1`` and attach via the guarded
+    vocabulary broadcast (:func:`_attach_token_stat` — ``ray.put`` once,
+    ``pc.index_in`` probe per block; ONE materialised ``Dataset.join``
+    per side above ``_VOCAB_BROADCAST_MAX``).  Unlike
+    :func:`bigram_lift`, the marginals are unigram — independent of the
+    pair table — so the ``cnt ≥ min_cnt`` filter runs BEFORE the attach
+    and only survivors carry marginals.  Ranking is per-block local
+    top-k: a vectorised float64 prefilter keeps every row within a
+    1e-9 relative guard band of the in-block kth score (double error is
+    ~1e-15, so no exact-top-k row can be excluded), the survivors are
+    rescored with exact Python bigints INSIDE the block, and the driver
+    merges O(blocks × k) rows — never the survivor set."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    n_groups = 4 * _join_partitions()
+    empty_out = pa.table({"rnk": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "pmi_ppm": pa.array([], pa.int64())})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return _skipgram_count_rows(t, window, n_groups)
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        return _ngram_count_rows(t, 1, n_groups)
+
+    def exact_pairs(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("ngram", sort=False, as_index=False)["cnt"].sum()
+        parts = g["ngram"].str.partition(" ")
+        return pa.table({
+            "token": pa.array(parts[0].tolist(), pa.string()),  # side a
+            "b": pa.array(parts[2].tolist(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+        })
+
+    def exact_uni(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("ngram", sort=False, as_index=False)["cnt"].sum()
+        return pa.table({
+            "token": pa.array(g["ngram"].tolist(), pa.string()),
+            "cu": pa.array(g["cnt"].to_numpy(np.int64)),
+        })
+
+    pairs = _coalesce_schema_less(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gk").map_groups(exact_pairs, batch_format="pandas")) \
+        .materialize()                # pair-vocabulary-sized, spillable
+    n_pairs = int(pairs.sum("cnt") or 0)
+    if n_pairs == 0:
+        return empty_out
+    uni = _coalesce_schema_less(
+        ds.map_batches(uni_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gk").map_groups(exact_uni, batch_format="pandas")) \
+        .materialize()                # vocabulary-sized, built once
+    n_tok = int(uni.sum("cu") or 0)
+
+    def ren(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"token": t.column("token"),
+                             col: t.column("cu")})
+        return f
+
+    surv = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"),
+                                            pa.scalar(min_cnt))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # attach ca (side a is already the "token" column), then swap the
+    # key to side b and attach cb; materialize between the two attaches
+    # so a >_VOCAB_BROADCAST_MAX fallback never pipelines two joins
+    # (round-4 finding: chained Dataset.joins deadlock the aggregator
+    # pool)
+    surv = _attach_token_stat(surv, uni.map_batches(
+        ren("ca"), batch_format="pyarrow", zero_copy_batch=True), "ca") \
+        .materialize()
+
+    def swap_key(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("token"),
+                         "token": t.column("b"),
+                         "cnt": t.column("cnt"),
+                         "ca": t.column("ca")})
+
+    surv = _attach_token_stat(
+        surv.map_batches(swap_key, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        uni.map_batches(ren("cb"), batch_format="pyarrow",
+                        zero_copy_batch=True), "cb")
+    q_num = n_tok * n_tok * 1_000_000         # exact Python int
+    den_scale = n_pairs
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "pmi_ppm": pa.array([], pa.int64())})
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f = (cnt.astype(np.float64) * float(q_num)
+             / (ca.astype(np.float64) * cb.astype(np.float64)
+                * float(den_scale)))
+        if len(f) > k:
+            kth = np.partition(f, len(f) - k)[len(f) - k]
+            keep = f >= kth * (1.0 - 1e-9)    # guard band ≫ double err
+        else:
+            keep = np.ones(len(f), bool)
+        idx = np.flatnonzero(keep)
+        a_s = t.column("a").take(pa.array(idx)).to_pylist()
+        b_s = t.column("token").take(pa.array(idx)).to_pylist()
+        c_s, ca_s, cb_s = cnt[idx], ca[idx], cb[idx]
+        pmi = [(int(c) * q_num) // (int(x) * int(y) * den_scale)
+               for c, x, y in zip(c_s, ca_s, cb_s)]
+        if pmi and max(pmi) >= 2 ** 63:
+            raise RuntimeError("pmi_ppm exceeds int64")
+        order = sorted(range(len(pmi)),
+                       key=lambda i: (-pmi[i], a_s[i], b_s[i]))[:k]
+        return pa.table({
+            "a": pa.array([a_s[i] for i in order], pa.string()),
+            "b": pa.array([b_s[i] for i in order], pa.string()),
+            "cnt": pa.array(c_s[[*order]] if order else [],
+                            pa.int64()),
+            "pmi_ppm": pa.array([pmi[i] for i in order], pa.int64()),
+        })
+
+    top = _to_arrow(surv.map_batches(local_topk, batch_format="pyarrow",
+                                     zero_copy_batch=True)).to_pandas()
+    if len(top) == 0:
+        return empty_out
+    top = (top.sort_values(["pmi_ppm", "a", "b"],
+                           ascending=[False, True, True],
+                           kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "rnk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "a": pa.array(top["a"].tolist(), pa.string()),
+        "b": pa.array(top["b"].tolist(), pa.string()),
+        "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+        "pmi_ppm": pa.array(top["pmi_ppm"].to_numpy(np.int64)),
     })
 
 
