@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": lambda sf: ops.chunk_text(sf),
         "bigram_lift": lambda sf: ops.bigram_lift(sf),
         "cooccur_pmi": lambda sf: ops.cooccur_pmi(sf),
+        "bpe_pair_counts": lambda sf: ops.bpe_pair_counts(sf),
+        # iterative argmax + rewrite: rows-only driver check (no SQL
+        # oracle); brute-force reference parity is pinned in pytest
+        "bpe_train": lambda sf: ops.bpe_train(sf),
         "interarrival_stats": lambda sf: ops.interarrival_stats(sf),
         "histogram_numeric": lambda sf: ops.histogram_numeric(sf),
         "skyline": lambda sf: ops.skyline(sf),
@@ -1519,6 +1523,29 @@ def oracle_sql() -> dict[str, str]:
                    CROSS JOIN ntok CROSS JOIN npair
               WHERE pairs.cnt >= 5
             ) ORDER BY pmi_ppm DESC, a, b LIMIT 50
+        """,
+        # BPE round 1: frequency-weighted adjacent character pairs over
+        # the word-dict (overlap-inclusive — the Sennrich get_stats
+        # contract), ties (lhs, rhs) ascending
+        "bpe_pair_counts": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS word
+              FROM documents
+            ), w AS (
+              SELECT word, count(*) AS cnt FROM toks GROUP BY word
+            ), p AS (
+              SELECT word[i] AS lhs, word[i + 1] AS rhs, cnt
+              FROM w, LATERAL (SELECT unnest(range(1, length(word)))
+                               AS i) t
+            )
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, lhs, rhs)
+                        AS BIGINT) AS rnk,
+                   lhs, rhs, CAST(cnt AS BIGINT) AS cnt
+            FROM (SELECT lhs, rhs, sum(cnt) AS cnt FROM p
+                  GROUP BY lhs, rhs)
+            ORDER BY cnt DESC, lhs, rhs LIMIT 50
         """,
         # per-user ordered lag() gaps in exact integer microseconds
         "interarrival_stats": """

@@ -154,6 +154,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("chunk_text", lambda: ops.chunk_text(sf_dir))
     timed("bigram_lift", lambda: ops.bigram_lift(sf_dir))
     timed("cooccur_pmi", lambda: ops.cooccur_pmi(sf_dir))
+    timed("bpe_pair_counts", lambda: ops.bpe_pair_counts(sf_dir))
+    timed("bpe_train", lambda: ops.bpe_train(sf_dir))
     timed("interarrival_stats", lambda: ops.interarrival_stats(sf_dir))
     timed("histogram_numeric", lambda: ops.histogram_numeric(sf_dir))
     timed("skyline", lambda: ops.skyline(sf_dir))

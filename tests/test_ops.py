@@ -1975,6 +1975,93 @@ def test_cooccur_pmi(ray_session, tmp_path):
     assert got["rnk"] == list(range(1, len(want) + 1))
 
 
+def _bpe_fixture_dir(tmp_path):
+    import pyarrow.parquet as pq
+    texts = ["the lower letter litter lattern",
+             "newer fewer sewer brewer viewer",
+             "hugging bugging mugging tugging",
+             "low lower lowest newest fewest"] * 4
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    return d, texts
+
+
+def _ref_bpe(texts, n_merges):
+    """Reference Sennrich BPE over the word-dict: overlap-inclusive pair
+    stats, ties (lhs, rhs) ascending, non-overlapping left-to-right
+    merge rewrite, stop when the best pair occurs < 2 times."""
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        wc.update(ops._ws_tokens(t))
+    words = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        (l0, r0), c0 = min(stats.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+        if c0 < 2:
+            break
+        merges.append((rank, l0, r0, c0))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l0
+                        and syms[i + 1] == r0):
+                    res.append(l0 + r0)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges
+
+
+def test_bpe_pair_counts(ray_session, tmp_path):
+    """Distributed weighted char-pair counts == brute-force Counter over
+    the word-dict (overlap-inclusive), (cnt desc, lhs, rhs) order."""
+    from collections import Counter
+    d, texts = _bpe_fixture_dir(tmp_path)
+    wc = Counter()
+    for t in texts:
+        wc.update(ops._ws_tokens(t))
+    stats = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            stats[(w[i], w[i + 1])] += c
+    k = 15
+    rows = sorted(((l, r, c) for (l, r), c in stats.items()),
+                  key=lambda x: (-x[2], x[0], x[1]))[:k]
+    got = to_arrow(ops.bpe_pair_counts(str(d), k=k)).to_pydict()
+    assert list(zip(got["lhs"], got["rhs"], got["cnt"])) == rows
+    assert got["rnk"] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_train(ray_session, tmp_path):
+    """Distributed word-dict BPE == the reference Sennrich loop merge
+    for merge: same pairs, same ranks, same at-merge-time counts —
+    including merges of previously-merged multi-char symbols."""
+    d, texts = _bpe_fixture_dir(tmp_path)
+    n_merges = 12
+    want = _ref_bpe(texts, n_merges)
+    assert len(want) == n_merges          # fixture has ≥ 12 real merges
+    # at least one learned rule must involve a multi-char symbol (i.e.
+    # the loop genuinely builds on earlier merges)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in want)
+    got = to_arrow(ops.bpe_train(str(d), n_merges=n_merges)).to_pydict()
+    assert list(zip(got["rank"], got["lhs"], got["rhs"],
+                    got["cnt"])) == want
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

@@ -6338,6 +6338,277 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
     })
 
 
+def _word_count_table(ds, n_groups: int):
+    """Exact corpus ``(word, cnt)`` table — VOCABULARY-sized, the
+    word-dict every tokenizer trainer operates on: per-block unique
+    partials (:func:`_ngram_count_rows` at ``n = 1``) consolidated in
+    coarse ``hash(word)`` groups; the exchange carries (word,
+    partial_count) rows, never occurrences.  Materialised
+    (object-store-resident, spillable) because callers iterate over
+    it."""
+    def partial(t: pa.Table) -> pa.Table:
+        return _ngram_count_rows(t, 1, n_groups)
+
+    def exact(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("ngram", sort=False, as_index=False)["cnt"].sum()
+        return pa.table({
+            "word": pa.array(g["ngram"].tolist(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+        })
+
+    return _coalesce_schema_less(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gk").map_groups(exact, batch_format="pandas")) \
+        .materialize()
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 50):
+    """The first iteration of BPE tokenizer training as a standalone
+    query: the ``k`` most frequent ADJACENT CHARACTER pairs inside
+    words, weighted by word frequency (overlap-inclusive, the classic
+    Sennrich ``get_stats``), ties broken ``(lhs, rhs)`` ascending.
+
+    Scale shape: the corpus collapses to the vocabulary-sized word-dict
+    first (:func:`_word_count_table` — occurrences never leave their
+    block), then each block slices its words into codepoint pairs with
+    ``max_len - 1`` vectorised ``utf8_slice_codeunits`` passes over a
+    shrinking mask (no per-row Python), consolidates locally, and
+    ships (lhs, rhs, partial) rows into coarse ``hash(pair)`` groups
+    that emit only their LOCAL top-k — the driver merges
+    O(groups × k) rows."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    n_groups = 4 * _join_partitions()
+    words = _word_count_table(ds, n_groups)
+    empty = pa.table({"lhs": pa.array([], pa.string()),
+                      "rhs": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64()),
+                      "gk": pa.array([], pa.int64())})
+    empty_out = pa.table({"rnk": pa.array([], pa.int64()),
+                          "lhs": pa.array([], pa.string()),
+                          "rhs": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        w = t.column("word").combine_chunks()
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nlen = pc.utf8_length(w).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        max_len = int(nlen.max()) if len(nlen) else 0
+        ls, rs, cs = [], [], []
+        for i in range(max_len - 1):
+            idx = np.flatnonzero(nlen > i + 1)
+            if len(idx) == 0:
+                break
+            sub = w.take(pa.array(idx))
+            ls.append(pc.utf8_slice_codeunits(sub, start=i, stop=i + 1))
+            rs.append(pc.utf8_slice_codeunits(sub, start=i + 1,
+                                              stop=i + 2))
+            cs.append(cnt[idx])
+        if not ls:
+            return empty
+        df = pd.DataFrame({
+            "lhs": pa.chunked_array(ls).combine_chunks().to_pandas(),
+            "rhs": pa.chunked_array(rs).combine_chunks().to_pandas(),
+            "c": np.concatenate(cs)})
+        g = df.groupby(["lhs", "rhs"], sort=False, as_index=False)["c"] \
+            .sum()
+        key = (g["lhs"] + "\x1f" + g["rhs"]).to_numpy(object)
+        return pa.table({
+            "lhs": pa.array(g["lhs"].tolist(), pa.string()),
+            "rhs": pa.array(g["rhs"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "gk": pa.array((pd.util.hash_array(key)
+                            % np.uint64(n_groups)).astype(np.int64)),
+        })
+
+    def exact_top(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lhs", "rhs"], sort=False, as_index=False)["c"] \
+            .sum()
+        g = g.sort_values(["c", "lhs", "rhs"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "lhs": pa.array(g["lhs"].tolist(), pa.string()),
+            "rhs": pa.array(g["rhs"].tolist(), pa.string()),
+            "cnt": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    top = _to_arrow(words.map_batches(pairs_partial,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                    .groupby("gk")
+                    .map_groups(exact_top, batch_format="pandas")) \
+        .to_pandas()
+    if len(top) == 0:
+        return empty_out
+    top = (top.sort_values(["cnt", "lhs", "rhs"],
+                           ascending=[False, True, True],
+                           kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "rnk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "lhs": pa.array(top["lhs"].tolist(), pa.string()),
+        "rhs": pa.array(top["rhs"].tolist(), pa.string()),
+        "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+    })
+
+
+def bpe_train(sf_dir: str, n_merges: int = 16):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) — learn ``n_merges`` merge rules over the corpus:
+    each round picks the globally most frequent adjacent symbol pair
+    (weighted by word frequency, overlap-inclusive counting, ties
+    ``(lhs, rhs)`` ascending — the reference ``get_stats``/max
+    contract), then rewrites every word by merging non-overlapping
+    occurrences left-to-right.  Returns the merge table
+    ``(rank, lhs, rhs, cnt)``; training stops early when the best pair
+    occurs fewer than twice.  No word-boundary marker symbol (the
+    simplified variant — consistent with the repo's whitespace token
+    ops).
+
+    Scale shape — the word-dict formulation every real trainer uses
+    (HF tokenizers, SentencePiece): the corpus collapses ONCE to the
+    vocabulary-sized ``(word, cnt)`` table; all ``n_merges`` iterations
+    run over that table, never over occurrences.  Per round: per-block
+    shifted-slice pair partials over the flattened symbol lists (Arrow
+    ``list_flatten`` + numpy masks, weighted by word count) → coarse
+    ``hash(pair)`` groups emit their local argmax → the driver picks
+    the global best from O(groups) rows — the per-round exchange is
+    pair-vocabulary-bounded partials, and the merge rewrite runs only
+    on words whose symbol join contains the pair (vectorised
+    ``match_substring`` prefilter; the rewrite itself is per-WORD
+    Python over that filtered vocabulary slice, the accepted word-dict
+    trainer shape).  Each round re-materialises the symbol table (a
+    vocab-sized barrier that amortises with input).  No SQL oracle —
+    iterative argmax with rewrites is not expressible — the rows-only
+    driver check plus a brute-force reference-parity pytest cover
+    it."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    n_groups = 4 * _join_partitions()
+    words = _word_count_table(ds, n_groups)
+    out_schema = pa.schema([("rank", pa.int64()), ("lhs", pa.string()),
+                            ("rhs", pa.string()), ("cnt", pa.int64())])
+
+    def init_syms(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([list(s) for s in
+                              t.column("word").to_pylist()],
+                             pa.list_(pa.string())),
+            "cnt": t.column("cnt"),
+        })
+
+    cur = words.map_batches(init_syms, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    pair_empty = pa.table({"lhs": pa.array([], pa.string()),
+                           "rhs": pa.array([], pa.string()),
+                           "c": pa.array([], pa.int64()),
+                           "gk": pa.array([], pa.int64())})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        syms = t.column("syms").combine_chunks()
+        flat = pc.list_flatten(syms)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_per = pc.list_value_length(syms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        wid = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+        crep = np.repeat(cnt, n_per)
+        m = len(flat) - 1
+        if m <= 0:
+            return pair_empty
+        same = wid[:m] == wid[1:]
+        l = flat.slice(0, m).filter(pa.array(same))
+        r = flat.slice(1, m).filter(pa.array(same))
+        df = pd.DataFrame({"lhs": l.to_pandas(), "rhs": r.to_pandas(),
+                           "c": crep[:m][same]})
+        g = df.groupby(["lhs", "rhs"], sort=False, as_index=False)["c"] \
+            .sum()
+        key = (g["lhs"] + "\x1f" + g["rhs"]).to_numpy(object)
+        return pa.table({
+            "lhs": pa.array(g["lhs"].tolist(), pa.string()),
+            "rhs": pa.array(g["rhs"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "gk": pa.array((pd.util.hash_array(key)
+                            % np.uint64(n_groups)).astype(np.int64)),
+        })
+
+    def group_argmax(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lhs", "rhs"], sort=False, as_index=False)["c"] \
+            .sum()
+        g = g.sort_values(["c", "lhs", "rhs"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(1)
+        return pa.table({
+            "lhs": pa.array(g["lhs"].tolist(), pa.string()),
+            "rhs": pa.array(g["rhs"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        cand = _to_arrow(cur.map_batches(pair_partial,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                         .groupby("gk")
+                         .map_groups(group_argmax,
+                                     batch_format="pandas")).to_pandas()
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(["c", "lhs", "rhs"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(1)
+        l0 = str(cand["lhs"].iloc[0])
+        r0 = str(cand["rhs"].iloc[0])
+        c0 = int(cand["c"].iloc[0])
+        if c0 < 2:
+            break
+        merges.append((rank, l0, r0, c0))
+
+        def apply_merge(t: pa.Table, l0=l0, r0=r0) -> pa.Table:
+            syms = t.column("syms").combine_chunks()
+            joined = pc.binary_join(syms, pa.scalar("\x1f"))
+            # substring prefilter: never misses a true adjacency (the
+            # join always contains lhs+sep+rhs there); rare false
+            # positives just re-check in the per-word rewrite
+            hit = pc.match_substring(joined, l0 + "\x1f" + r0) \
+                .to_numpy(zero_copy_only=False)
+            if not hit.any():
+                return t
+            lists = syms.to_pylist()
+            for j in np.flatnonzero(hit):
+                lst = lists[j]
+                res, i = [], 0
+                n = len(lst)
+                while i < n:
+                    if (i + 1 < n and lst[i] == l0
+                            and lst[i + 1] == r0):
+                        res.append(l0 + r0)
+                        i += 2
+                    else:
+                        res.append(lst[i])
+                        i += 1
+                lists[j] = res
+            return pa.table({
+                "syms": pa.array(lists, pa.list_(pa.string())),
+                "cnt": t.column("cnt"),
+            })
+
+        cur = cur.map_batches(apply_merge, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if not merges:
+        return out_schema.empty_table()
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "lhs": pa.array([m[1] for m in merges], pa.string()),
+        "rhs": pa.array([m[2] for m in merges], pa.string()),
+        "cnt": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
 def interarrival_stats(sf_dir: str, rows_per_group: int = 5000):
     """Per-user event inter-arrival statistics — the ordered ``lag()``
     window scan over the event stream (burst / churn analysis): for every
