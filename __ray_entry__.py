@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative argmax + rewrite: rows-only driver check (no SQL
         # oracle); brute-force reference parity is pinned in pytest
         "bpe_train": lambda sf: ops.bpe_train(sf),
+        "bpe_token_count": lambda sf: ops.bpe_token_count(sf),
         "interarrival_stats": lambda sf: ops.interarrival_stats(sf),
         "histogram_numeric": lambda sf: ops.histogram_numeric(sf),
         "skyline": lambda sf: ops.skyline(sf),

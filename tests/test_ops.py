@@ -2062,6 +2062,46 @@ def test_bpe_train(ray_session, tmp_path):
                     got["cnt"])) == want
 
 
+def test_bpe_token_count(ray_session, tmp_path):
+    """Per-doc BPE token counts == reference encode (apply the reference
+    merge rules in rank order to every word, sum lengths per doc)."""
+    d, texts = _bpe_fixture_dir(tmp_path)
+    n_merges = 12
+    merges = _ref_bpe(texts, n_merges)
+    enc_cache = {}
+
+    def encode(w):
+        if w not in enc_cache:
+            syms = list(w)
+            for _, l0, r0, _ in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l0
+                            and syms[i + 1] == r0):
+                        res.append(l0 + r0)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            enc_cache[w] = len(syms)
+        return enc_cache[w]
+
+    want = []
+    for doc_id, t in enumerate(texts):
+        toks = ops._ws_tokens(t)
+        if toks:
+            want.append((doc_id, len(toks),
+                         sum(encode(w) for w in toks)))
+    got = to_arrow(ops.bpe_token_count(str(d), n_merges=n_merges)) \
+        .to_pydict()
+    assert list(zip(got["doc_id"], got["n_words"],
+                    got["n_bpe_tokens"])) == want
+    # merges really compress: fewer BPE tokens than characters
+    chars = sum(len(w) for t in texts for w in ops._ws_tokens(t))
+    assert sum(got["n_bpe_tokens"]) < chars
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

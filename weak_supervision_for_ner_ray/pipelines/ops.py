@@ -6485,14 +6485,32 @@ def bpe_train(sf_dir: str, n_merges: int = 16):
     iterative argmax with rewrites is not expressible — the rows-only
     driver check plus a brute-force reference-parity pytest cover
     it."""
-    ds = read_table(sf_dir, "documents", columns=["text"])
-    n_groups = 4 * _join_partitions()
+    merges, _ = _bpe_train_state(
+        read_table(sf_dir, "documents", columns=["text"]),
+        4 * _join_partitions(), n_merges)
+    if not merges:
+        return pa.schema([("rank", pa.int64()), ("lhs", pa.string()),
+                          ("rhs", pa.string()),
+                          ("cnt", pa.int64())]).empty_table()
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "lhs": pa.array([m[1] for m in merges], pa.string()),
+        "rhs": pa.array([m[2] for m in merges], pa.string()),
+        "cnt": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
+def _bpe_train_state(ds, n_groups: int, n_merges: int):
+    """The :func:`bpe_train` loop, returning ``(merges, final)`` where
+    ``merges`` is the learned rule list ``[(rank, lhs, rhs, cnt), ...]``
+    and ``final`` is the materialised ``(word, syms, cnt)`` Dataset —
+    every corpus word encoded by the full merge sequence (what an
+    encode-side consumer like :func:`bpe_token_count` probes)."""
     words = _word_count_table(ds, n_groups)
-    out_schema = pa.schema([("rank", pa.int64()), ("lhs", pa.string()),
-                            ("rhs", pa.string()), ("cnt", pa.int64())])
 
     def init_syms(t: pa.Table) -> pa.Table:
         return pa.table({
+            "word": t.column("word"),
             "syms": pa.array([list(s) for s in
                               t.column("word").to_pylist()],
                              pa.list_(pa.string())),
@@ -6593,20 +6611,83 @@ def bpe_train(sf_dir: str, n_merges: int = 16):
                         i += 1
                 lists[j] = res
             return pa.table({
+                "word": t.column("word"),
                 "syms": pa.array(lists, pa.list_(pa.string())),
                 "cnt": t.column("cnt"),
             })
 
         cur = cur.map_batches(apply_merge, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    if not merges:
-        return out_schema.empty_table()
-    return pa.table({
-        "rank": pa.array([m[0] for m in merges], pa.int64()),
-        "lhs": pa.array([m[1] for m in merges], pa.string()),
-        "rhs": pa.array([m[2] for m in merges], pa.string()),
-        "cnt": pa.array([m[3] for m in merges], pa.int64()),
-    })
+    return merges, cur
+
+
+def bpe_token_count(sf_dir: str, n_merges: int = 16):
+    """Encode-side consumer of :func:`bpe_train`: per-document BPE token
+    counts under freshly-learned merge rules — (doc_id, n_words,
+    n_bpe_tokens), doc_id ascending.  Because BPE encoding of a word
+    depends only on the word, the corpus never re-tokenises: the
+    trained symbol table already holds every word's encoded length, so
+    ``n_bpe_tokens = Σ_w tf(doc, w) · len(syms(w))``.
+
+    Scale shape: the (word, n_syms) table is vocabulary-sized and
+    attaches to per-block exact (doc_id, token, tf) rows via the
+    guarded broadcast (:func:`_attach_token_stat`); per-block partial
+    sums collapse to ≤ 1 row per (block, doc) before the single
+    O(docs) ``hash(doc_id)``-group consolidation."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_groups = 4 * _join_partitions()
+    _, final = _bpe_train_state(ds, n_groups, n_merges)
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": t.column("word"),
+            "n_syms": pc.cast(pc.list_value_length(t.column("syms")),
+                              pa.int64()),
+        })
+
+    tf = ds.map_batches(_tf_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    tf = _attach_token_stat(tf, final.map_batches(
+        lens, batch_format="pyarrow", zero_copy_batch=True), "n_syms")
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ns = t.column("n_syms").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        d_s = doc[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], d_s[1:] != d_s[:-1]))) if len(d_s) else \
+            np.array([], np.int64)
+        keys = d_s[starts] if len(d_s) else d_s
+        nw = np.add.reduceat(tfv[order], starts) if len(d_s) else tfv
+        nb = np.add.reduceat((tfv * ns)[order], starts) if len(d_s) \
+            else tfv
+        return pa.table({
+            "doc_id": pa.array(keys),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "n_bpe_tokens": pa.array(nb.astype(np.int64)),
+            "gk": pa.array(_coarse_key(keys, n_groups), pa.int64()),
+        })
+
+    def consolidate(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", sort=True, as_index=False) \
+            [["n_words", "n_bpe_tokens"]].sum()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "n_words": pa.array(g["n_words"].to_numpy(np.int64)),
+            "n_bpe_tokens": pa.array(
+                g["n_bpe_tokens"].to_numpy(np.int64)),
+        })
+
+    return (tf.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gk").map_groups(consolidate,
+                                      batch_format="pandas")
+            .sort("doc_id"))
 
 
 def interarrival_stats(sf_dir: str, rows_per_group: int = 5000):
