@@ -3809,6 +3809,27 @@ def _ngram_count_rows(t: pa.Table, n: int, n_groups: int) -> pa.Table:
     empty = pa.table({"ngram": pa.array([], pa.string()),
                       "cnt": pa.array([], pa.int64()),
                       "gk": pa.array([], pa.int64())})
+    flat_k, ids_k = _flat_ws_tokens(t)
+    if len(ids_k) < n:
+        return empty
+    m = len(flat_k) - n + 1
+    slices = [flat_k.slice(i, m) for i in range(n)]
+    grams = slices[0] if n == 1 else pc.binary_join_element_wise(
+        *slices, " ")
+    same = ids_k[:m] == ids_k[n - 1:]
+    grams = grams.filter(pa.array(same))
+    if len(grams) == 0:
+        return empty
+    return _count_gram_rows(grams, n_groups)
+
+
+def _flat_ws_tokens(t: pa.Table):
+    """Shared tokenize preamble of :func:`_ngram_count_rows` /
+    :func:`_skipgram_count_rows`: RE2 whitespace split (the
+    :data:`_ASCII_WS_RE` class the DuckDB oracles mirror) →
+    ``list_flatten`` with ``np.repeat`` document parents →
+    empty-token filter.  Returns ``(flat_k, ids_k)``: the flattened
+    non-empty token Array and its int64 document-run ids."""
     txt = pc.fill_null(t.column("text"), "")
     lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
     n_per = pc.list_value_length(lst) \
@@ -3822,17 +3843,7 @@ def _ngram_count_rows(t: pa.Table, n: int, n_groups: int) -> pa.Table:
     flat_k = flat.filter(keep)
     if isinstance(flat_k, pa.ChunkedArray):
         flat_k = flat_k.combine_chunks()
-    if len(ids_k) < n:
-        return empty
-    m = len(flat_k) - n + 1
-    slices = [flat_k.slice(i, m) for i in range(n)]
-    grams = slices[0] if n == 1 else pc.binary_join_element_wise(
-        *slices, " ")
-    same = ids_k[:m] == ids_k[n - 1:]
-    grams = grams.filter(pa.array(same))
-    if len(grams) == 0:
-        return empty
-    return _count_gram_rows(grams, n_groups)
+    return flat_k, ids_k
 
 
 def _count_gram_rows(grams, n_groups: int) -> pa.Table:
@@ -3870,19 +3881,7 @@ def _skipgram_count_rows(t: pa.Table, window: int,
     empty = pa.table({"ngram": pa.array([], pa.string()),
                       "cnt": pa.array([], pa.int64()),
                       "gk": pa.array([], pa.int64())})
-    txt = pc.fill_null(t.column("text"), "")
-    lst = pc.split_pattern_regex(txt, r"[\t\n\f\r ]+")
-    n_per = pc.list_value_length(lst) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(lst)
-    ids = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
-    keep = pc.not_equal(flat, "")
-    if isinstance(keep, pa.ChunkedArray):
-        keep = keep.combine_chunks()
-    ids_k = ids[keep.to_numpy(zero_copy_only=False)]
-    flat_k = flat.filter(keep)
-    if isinstance(flat_k, pa.ChunkedArray):
-        flat_k = flat_k.combine_chunks()
+    flat_k, ids_k = _flat_ws_tokens(t)
     chunks = []
     for d in range(1, window):
         m = len(flat_k) - d
@@ -6216,9 +6215,6 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
     def pair_partial(t: pa.Table) -> pa.Table:
         return _skipgram_count_rows(t, window, n_groups)
 
-    def uni_partial(t: pa.Table) -> pa.Table:
-        return _ngram_count_rows(t, 1, n_groups)
-
     def exact_pairs(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("ngram", sort=False, as_index=False)["cnt"].sum()
         parts = g["ngram"].str.partition(" ")
@@ -6226,13 +6222,6 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
             "token": pa.array(parts[0].tolist(), pa.string()),  # side a
             "b": pa.array(parts[2].tolist(), pa.string()),
             "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
-        })
-
-    def exact_uni(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("ngram", sort=False, as_index=False)["cnt"].sum()
-        return pa.table({
-            "token": pa.array(g["ngram"].tolist(), pa.string()),
-            "cu": pa.array(g["cnt"].to_numpy(np.int64)),
         })
 
     pairs = _coalesce_schema_less(
@@ -6243,17 +6232,13 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
     n_pairs = int(pairs.sum("cnt") or 0)
     if n_pairs == 0:
         return empty_out
-    uni = _coalesce_schema_less(
-        ds.map_batches(uni_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("gk").map_groups(exact_uni, batch_format="pandas")) \
-        .materialize()                # vocabulary-sized, built once
-    n_tok = int(uni.sum("cu") or 0)
+    uni = _word_count_table(ds, n_groups)   # vocabulary-sized, once
+    n_tok = int(uni.sum("cnt") or 0)
 
     def ren(col):
         def f(t: pa.Table) -> pa.Table:
-            return pa.table({"token": t.column("token"),
-                             col: t.column("cu")})
+            return pa.table({"token": t.column("word"),
+                             col: t.column("cnt")})
         return f
 
     surv = pairs.map_batches(
@@ -6395,17 +6380,25 @@ def bpe_pair_counts(sf_dir: str, k: int = 50):
             .astype(np.int64)
         nlen = pc.utf8_length(w).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        max_len = int(nlen.max()) if len(nlen) else 0
+        # descending-length order: words with nlen > i + 1 are a PREFIX
+        # of the sorted block, so pass i costs O(that prefix), not a
+        # full-block rescan — one pathological 100k-char token costs
+        # 100k singleton slices, not 100k scans of the whole vocab
+        order = np.argsort(-nlen, kind="stable")
+        w_d = w.take(pa.array(order))
+        nlen_d, cnt_d = nlen[order], cnt[order]
+        max_len = int(nlen_d[0]) if len(nlen_d) else 0
         ls, rs, cs = [], [], []
         for i in range(max_len - 1):
-            idx = np.flatnonzero(nlen > i + 1)
-            if len(idx) == 0:
+            npref = int(np.searchsorted(-nlen_d, -(i + 2),
+                                        side="right"))
+            if npref == 0:
                 break
-            sub = w.take(pa.array(idx))
+            sub = w_d.slice(0, npref)
             ls.append(pc.utf8_slice_codeunits(sub, start=i, stop=i + 1))
             rs.append(pc.utf8_slice_codeunits(sub, start=i + 1,
                                               stop=i + 2))
-            cs.append(cnt[idx])
+            cs.append(cnt_d[:npref])
         if not ls:
             return empty
         df = pd.DataFrame({
@@ -6592,13 +6585,19 @@ def _bpe_train_state(ds, n_groups: int, n_merges: int):
             # substring prefilter: never misses a true adjacency (the
             # join always contains lhs+sep+rhs there); rare false
             # positives just re-check in the per-word rewrite
-            hit = pc.match_substring(joined, l0 + "\x1f" + r0) \
-                .to_numpy(zero_copy_only=False)
-            if not hit.any():
+            hit = pc.match_substring(joined, l0 + "\x1f" + r0)
+            if isinstance(hit, pa.ChunkedArray):
+                hit = hit.combine_chunks()
+            hitnp = hit.to_numpy(zero_copy_only=False)
+            if not hitnp.any():
                 return t
-            lists = syms.to_pylist()
-            for j in np.flatnonzero(hit):
-                lst = lists[j]
+            # only the hit rows round-trip through Python; untouched
+            # rows stay zero-copy (late rounds rewrite a handful of
+            # words — row order within the word-dict is irrelevant,
+            # every consumer aggregates or probes by word)
+            idx = pa.array(np.flatnonzero(hitnp))
+            lists = syms.take(idx).to_pylist()
+            for j, lst in enumerate(lists):
                 res, i = [], 0
                 n = len(lst)
                 while i < n:
@@ -6610,11 +6609,14 @@ def _bpe_train_state(ds, n_groups: int, n_merges: int):
                         res.append(lst[i])
                         i += 1
                 lists[j] = res
-            return pa.table({
-                "word": t.column("word"),
+            hit_t = pa.table({
+                "word": t.column("word").take(idx),
                 "syms": pa.array(lists, pa.list_(pa.string())),
-                "cnt": t.column("cnt"),
+                "cnt": t.column("cnt").take(idx),
             })
+            return pa.concat_tables(
+                [t.filter(pc.invert(hit)), hit_t],
+                promote_options="default")
 
         cur = cur.map_batches(apply_merge, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
@@ -6637,6 +6639,12 @@ def bpe_token_count(sf_dir: str, n_merges: int = 16):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_groups = 4 * _join_partitions()
     _, final = _bpe_train_state(ds, n_groups, n_merges)
+    if final.count() == 0:
+        # corpus tokenised to zero words: an empty word-dict would make
+        # the broadcast build side columnless — short-circuit instead
+        return rd.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("n_words", pa.int64()),
+             ("n_bpe_tokens", pa.int64())]).empty_table())
 
     def lens(t: pa.Table) -> pa.Table:
         return pa.table({
