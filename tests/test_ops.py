@@ -2102,6 +2102,47 @@ def test_bpe_token_count(ray_session, tmp_path):
     assert sum(got["n_bpe_tokens"]) < chars
 
 
+def test_pair_ops_adversarial_oracle_parity(ray_session, tmp_path):
+    """cooccur_pmi and bpe_pair_counts hash-match their DuckDB oracles
+    on an adversarial corpus: multi-byte UTF-8 (emoji, CJK), combining
+    characters, the \\x1f separator char inside tokens, NULL / empty /
+    whitespace-only docs, and heavy count ties — pinning that Arrow's
+    codepoint slicing, bytewise least/greatest canonicalisation and
+    the engine's tie-breaks all agree with SQL collation."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    texts = [
+        "naïve café naïve café crème",
+        "日本 語 日本 語 テスト 日本",
+        "🍎 🍏 🍎 🍏 🍐 🍎 🍏",
+        "a\x1fb c a\x1fb c a\x1fb",          # separator char in tokens
+        "étude étude étude",      # combining vs precomposed
+        None, "", "   \t  ",
+        "tie tie tie kie kie kie",            # exact count ties
+    ] * 3
+    d = tmp_path / "adv"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for name, fn in (("cooccur_pmi", ops.cooccur_pmi),
+                     ("bpe_pair_counts", ops.bpe_pair_counts)):
+        want = con.execute(oracles[name]).fetch_arrow_table() \
+            .to_pandas()
+        got = to_arrow(fn(str(d))).to_pandas()
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        assert got.columns.tolist() == want.columns.tolist(), name
+        assert got.values.tolist() == want.values.tolist(), name
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""
