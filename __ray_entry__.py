@@ -2039,11 +2039,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n FROM documents
             GROUP BY lang ORDER BY lang
         """,
+        # non-empty RE2-\s-separated tokens; the engine counts matches
+        # of the complement class [^\t\n\f\r ]+ — identical semantics
+        # (the old trim()-based form diverged on \t-only docs, DuckDB
+        # trim strips only spaces, and Python .split() on \x1c-\x1f)
         "token_count": """
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+'))
-                       AS n_tokens
-            FROM documents WHERE length(trim(text)) > 0
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens FROM c WHERE n_tokens > 0
         """,
         # GPT-2-ish pretokenizer count: the pattern is shared verbatim with
         # the engine (ops._BPE_PATTERN) and restricted to constructs RE2
@@ -2110,20 +2118,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM s ORDER BY lang
         """,
+        # non-empty RE2-\s tokens, zero-token docs excluded — the
+        # engine's [^\t\n\f\r ]+ match count is the identical semantics
+        # (the old trim()-based form diverged on \t-only docs)
         "quality_score": """
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(regexp_split_to_array(trim(text), '\\s+'))
-                       AS n_tokens,
-                   CAST(floor(length(regexp_replace(text, '\\s+', '', 'g'))
-                              * 1000000.0
-                              / len(regexp_split_to_array(trim(text),
-                                                          '\\s+')))
+            WITH c AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                         AS n_nospace,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         AS n_upper
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   CAST(floor(n_nospace * 1000000.0 / n_tokens)
                         AS BIGINT) AS mean_token_len_micro,
-                   CAST(floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                              * 1000000.0 / length(text)) AS BIGINT)
-                       AS upper_ratio_micro
-            FROM documents WHERE length(trim(text)) > 0
+                   CAST(floor(n_upper * 1000000.0 / n_chars)
+                        AS BIGINT) AS upper_ratio_micro
+            FROM c WHERE n_tokens > 0
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

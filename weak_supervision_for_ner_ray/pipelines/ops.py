@@ -75,19 +75,21 @@ def _embedding_matrix(col, dtype=np.float64) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def token_count(sf_dir: str):
-    """doc_id, n_tokens (whitespace tokens; empty/whitespace-only docs are
-    excluded so SQL and Python semantics agree)."""
+    """doc_id, n_tokens — non-empty ``[\\t\\n\\f\\r ]``-separated tokens
+    (the explicit RE2 ``\\s`` class, NOT Python ``str.split()``, whose
+    whitespace additionally covers ``\\v``, ``\\x1c``–``\\x1f`` and
+    Unicode spaces and would silently diverge from the SQL oracle on
+    such input); zero-token and NULL docs are excluded on both
+    sides."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        stripped = batch["text"].str.strip()
-        mask = stripped.str.len() > 0
-        out = pd.DataFrame({
+        n = batch["text"].str.count(r"[^\t\n\f\r ]+")
+        mask = n > 0                          # NaN (NULL text) excluded
+        return pd.DataFrame({
             "doc_id": batch["doc_id"][mask],
-            "n_tokens": stripped[mask].str.split().str.len()
-            .astype("int64"),
+            "n_tokens": n[mask].astype("int64"),
         })
-        return out
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -314,14 +316,16 @@ def quality_score_exact(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        stripped = text.str.strip()
-        mask = stripped.str.len() > 0
-        text = text[mask]
-        stripped = stripped[mask]
-        n_tokens = stripped.str.split().str.len().astype("int64")
+        # explicit RE2 \s class throughout (Python str.strip/.split and
+        # the Python \s regex additionally treat \v, \x1c-\x1f and
+        # Unicode spaces as whitespace — oracle divergence on such
+        # input); zero-token docs excluded on both sides
+        tok_n = batch["text"].str.count(r"[^\t\n\f\r ]+")
+        mask = tok_n > 0                      # NaN (NULL text) excluded
+        text = batch["text"][mask]
+        n_tokens = tok_n[mask].astype("int64")
         n_chars = text.str.len().astype("int64")
-        n_nospace = text.str.replace(r"\s+", "", regex=True) \
+        n_nospace = text.str.replace(r"[\t\n\f\r ]+", "", regex=True) \
             .str.len().astype("int64")
         n_upper = text.str.count(r"[A-Z]").astype("int64")
         return pd.DataFrame({
@@ -395,13 +399,15 @@ def lang_count(sf_dir: str):
 
 
 def doc_fingerprint(sf_dir: str):
-    """Stable md5 content fingerprint per document (matches SQL md5())."""
+    """Stable md5 content fingerprint per document (matches SQL md5(),
+    including md5(NULL) IS NULL for a NULL text)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   if isinstance(t, str) else None
                    for t in batch["text"]],
         })
 
@@ -417,6 +423,13 @@ def exact_dedup(sf_dir: str):
     text; also reports the duplicate count (hash-partitioned groupby —
     SURVEY.md §2.7 'exact dedup of canonical entities')."""
     ds = doc_fingerprint(sf_dir)
+    # NULL texts form ONE group (SQL GROUP BY semantics); Ray's sort
+    # can't order None string keys, so the null fp maps to a sentinel
+    # no 32-hex md5 digest can equal — fp never reaches the output
+    ds = ds.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("fp"), "fp",
+                               pc.fill_null(t.column("fp"), "\x00null")),
+        batch_format="pyarrow", zero_copy_batch=True)
     return (ds.groupby("fp")
             .aggregate(Min("doc_id", alias_name="doc_id"),
                        Count(alias_name="n_dups"))
