@@ -2164,6 +2164,69 @@ def test_pair_ops_adversarial_oracle_parity(ray_session, tmp_path):
         assert got.values.tolist() == want.values.tolist(), name
 
 
+def _adversarial_docs_dir(tmp_path):
+    import pyarrow.parquet as pq
+    texts = [
+        "naïve café naïve café crème",
+        "日本 語 日本 語 テスト 日本",
+        "🍎 🍏 🍎 🍏 🍐 🍎 🍏",
+        "a\x1fb c a\x1fb c a\x1fb",
+        "étude étude étude",
+        None, "", "   \t  ",
+        "tie tie tie kie kie kie",
+    ] * 3
+    n = len(texts)
+    d = tmp_path / "adv2"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx", "yy"] * (n // 2) + ["xx"] * (n % 2),
+                         pa.string()),
+        "source": pa.array(["s0"] * n, pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts],
+                            pa.int64()),
+    }), str(d / "documents.parquet"))
+    return d
+
+
+def _assert_oracle_parity(d, names):
+    import duckdb
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for name in names:
+        want = con.execute(oracles[name]).fetch_arrow_table() \
+            .to_pandas()
+        got = to_arrow(qs[name](str(d))).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0, name
+            continue
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        assert got.columns.tolist() == want.columns.tolist(), name
+        want = want.sort_values(list(want.columns)) \
+            .reset_index(drop=True)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), name
+
+
+def test_dedup_family_adversarial_oracle_parity(ray_session, tmp_path):
+    """The dedup/sketch/curation documents-only oracles hash-match on
+    the adversarial corpus (multi-byte UTF-8, control bytes inside
+    tokens, NULL/empty docs, tie-heavy counts)."""
+    d = _adversarial_docs_dir(tmp_path)
+    _assert_oracle_parity(d, (
+        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_cdc_chunks", "distinct_token_kmv", "countmin_sketch",
+        "sample_hash", "lang_count", "pivot_doc_langs",
+        "rollup_lang_source", "pack_sequences"))
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

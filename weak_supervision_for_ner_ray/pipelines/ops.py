@@ -297,16 +297,23 @@ def sample_hash(sf_dir: str, rate_ppm: int = 100_000, seed: str = "s13"):
     Pure per-batch filter, no shuffle; exact SQL oracle."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _stable_token_hashes(
-            [f"{seed}:{d}" for d in batch["doc_id"]])
-        keep = (h % np.uint64(1_000_000)) < rate_ppm
-        out = batch.loc[np.asarray(keep)].copy()
-        out["bucket_ppm"] = (h[keep] % np.uint64(1_000_000)) \
+    def f(t: pa.Table) -> pa.Table:
+        # Arrow-native filter: .take preserves the string type even for
+        # an all-NULL text block (a pandas round-trip would re-infer it
+        # as the null type and break the downstream sort's schema)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        return out
+        h = _stable_token_hashes([f"{seed}:{d}" for d in ids])
+        ppm = (h % np.uint64(1_000_000)).astype(np.int64)
+        idx = pa.array(np.flatnonzero(ppm < rate_ppm))
+        return pa.table({
+            "doc_id": t.column("doc_id").take(idx),
+            "text": t.column("text").take(idx),
+            "bucket_ppm": pa.array(ppm[ppm < rate_ppm]),
+        })
 
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
 
 
 def quality_score_exact(sf_dir: str):
@@ -478,7 +485,13 @@ class MinHasher:
         self.shingle = shingle
 
     def gram_strings(self, text: str) -> list[str]:
-        toks = text.lower().split()
+        # explicit RE2 \s class, not str.split() (Python whitespace
+        # additionally covers \v, \x1c-\x1f, Unicode spaces); a NULL
+        # text shingles like an empty one — both drop out, exactly as
+        # the oracle's lower(NULL)/len(tk)=0 chain does
+        if not isinstance(text, str):
+            return []
+        toks = [w for w in _ASCII_WS_RE.split(text.lower()) if w]
         k = self.shingle
         if len(toks) < k:
             return [" ".join(toks)] if toks else []
@@ -553,8 +566,18 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
         texts = batch.column("text").to_pylist()
-        n = len(doc_ids)
         sigs = self.mh.signatures_batch(texts)          # (n, P)
+        # NULL texts emit NO band rows (the oracle's lower(NULL) chain
+        # drops them); tokenless-but-non-NULL docs keep the all-max
+        # fill signature and so bucket together — mirroring the
+        # oracle's len(tk)=0 -> [NULL]-gram branch, where every empty
+        # doc shares the NULL band hash (empty docs ARE duplicates of
+        # each other)
+        keep = np.fromiter((isinstance(t, str) for t in texts),
+                           bool, len(texts))
+        if not keep.all():
+            sigs, doc_ids = sigs[keep], doc_ids[keep]
+        n = len(doc_ids)
         # band hash: re-hash each band chunk via the same permutation trick
         # (cheap, vectorised) instead of per-chunk blake2b
         chunks = sigs.reshape(n, self.bands, self.rows_per_band)
@@ -904,8 +927,14 @@ class SimHashStage:
     DuckDB ``md5_number_lower`` so the op has an exact SQL oracle."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = [t.lower().split() for t in batch["text"]]
-        lengths = np.array([len(t) for t in tok_lists])
+        # explicit RE2 \s token class (not Python .split(), whose
+        # whitespace covers \v, \x1c-\x1f and Unicode spaces); a
+        # tokenless (NULL/empty) doc keeps simhash 0 — the oracle LEFT
+        # JOINs every doc_id and COALESCEs missing hashes to 0
+        tok_lists = [[w for w in _ASCII_WS_RE.split(t.lower()) if w]
+                     if isinstance(t, str) else []
+                     for t in batch["text"]]
+        lengths = np.array([len(t) for t in tok_lists], np.int64)
         n = len(tok_lists)
         score = np.zeros((n, 64), np.int64)
         flat = [w for toks in tok_lists for w in toks]
