@@ -2227,6 +2227,17 @@ def test_dedup_family_adversarial_oracle_parity(ray_session, tmp_path):
         "rollup_lang_source", "pack_sequences"))
 
 
+def test_lm_curation_adversarial_oracle_parity(ray_session, tmp_path):
+    """The LM-scoring / curation / cluster-resolution documents-only
+    oracles hash-match on the adversarial corpus."""
+    d = _adversarial_docs_dir(tmp_path)
+    _assert_oracle_parity(d, (
+        "unigram_lm_score", "ccnet_buckets", "corpus_curate",
+        "decontaminate", "dedup_clusters", "dedup_keep_best",
+        "dedup_apply", "repetition_ngrams", "tfidf_topk",
+        "inverted_index"))
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""
