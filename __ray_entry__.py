@@ -2058,7 +2058,8 @@ def oracle_sql() -> dict[str, str]:
         # and Python `re` evaluate identically (no lookahead, ASCII classes)
         "token_count_bpe": """
             SELECT doc_id,
-                   len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+                   len(regexp_extract_all(coalesce(text, ''), '{pat}'))
+                       AS n_bpe_tokens
             FROM documents
         """.format(pat=__import__(
             "weak_supervision_for_ner_ray.pipelines.ops",

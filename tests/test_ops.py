@@ -2238,6 +2238,18 @@ def test_lm_curation_adversarial_oracle_parity(ray_session, tmp_path):
         "inverted_index"))
 
 
+def test_retrieval_sampling_adversarial_oracle_parity(ray_session,
+                                                      tmp_path):
+    """The remaining documents-only oracles (retrieval, sampling,
+    fingerprints, shards) hash-match on the adversarial corpus."""
+    d = _adversarial_docs_dir(tmp_path)
+    _assert_oracle_parity(d, (
+        "bm25_topk", "containment_pairs", "dataset_mix",
+        "distinct_token_kmv_by_lang", "doc_fingerprint",
+        "dup_passages", "lang_id", "stratified_sample",
+        "token_count_bpe", "train_shards"))
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

@@ -367,8 +367,12 @@ def lang_id(sf_dir: str):
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorised voting: one flat token array, membership per language
-        # via pandas isin, segment-sum per doc (no per-row Python loop)
-        toks = batch["text"].str.lower().str.split()
+        # via pandas isin, segment-sum per doc (no per-row Python loop);
+        # the split uses the explicit RE2 \s class — Python .split()
+        # also breaks on \v/\x1c-\x1f/Unicode spaces and can leak
+        # stopwords the oracle's tokenisation never sees
+        toks = batch["text"].str.lower() \
+            .str.findall(r"[^\t\n\f\r ]+")
         lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
         n = len(batch)
         votes = np.zeros((n, len(langs)), np.float64)
