@@ -2103,65 +2103,19 @@ def test_bpe_token_count(ray_session, tmp_path):
 
 
 def test_pair_ops_adversarial_oracle_parity(ray_session, tmp_path):
-    """cooccur_pmi and bpe_pair_counts hash-match their DuckDB oracles
-    on an adversarial corpus: multi-byte UTF-8 (emoji, CJK), combining
+    """The text-analysis documents-only oracles hash-match on an
+    adversarial corpus: multi-byte UTF-8 (emoji, CJK), combining
     characters, the \\x1f separator char inside tokens, NULL / empty /
-    whitespace-only docs, and heavy count ties — pinning that Arrow's
-    codepoint slicing, bytewise least/greatest canonicalisation and
-    the engine's tie-breaks all agree with SQL collation."""
-    import duckdb
-    import pyarrow.parquet as pq
-    import __ray_entry__ as entrymod
-    texts = [
-        "naïve café naïve café crème",
-        "日本 語 日本 語 テスト 日本",
-        "🍎 🍏 🍎 🍏 🍐 🍎 🍏",
-        "a\x1fb c a\x1fb c a\x1fb",          # separator char in tokens
-        "étude étude étude",      # combining vs precomposed
-        None, "", "   \t  ",
-        "tie tie tie kie kie kie",            # exact count ties
-    ] * 3
-    n = len(texts)
-    d = tmp_path / "adv"
-    d.mkdir()
-    pq.write_table(pa.table({
-        "doc_id": pa.array(range(n), pa.int64()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(["xx", "yy"] * (n // 2) + ["xx"] * (n % 2),
-                         pa.string()),
-        "source": pa.array(["s0"] * n, pa.string()),
-        "n_chars": pa.array([len(t) if t else 0 for t in texts],
-                            pa.int64()),
-    }), str(d / "documents.parquet"))
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    con = duckdb.connect()
-    con.execute("PRAGMA threads=2")
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{d}/documents.parquet')")
-    # every documents-only query whose engine/oracle pair should agree
-    # on ANY input, compared driver-style: sort columns by name, then
-    # rows by every column
-    for name in ("cooccur_pmi", "bpe_pair_counts", "ngram_topk",
-                 "bigram_lift", "chunk_text", "corpus_stats",
-                 "token_count", "quality_score", "gopher_quality",
-                 "exact_dedup", "doc_fingerprint_rolling",
-                 "hll_distinct"):
-        want = con.execute(oracles[name]).fetch_arrow_table() \
-            .to_pandas()
-        got = to_arrow(qs[name](str(d))).to_pandas()
-        if len(want) == 0:
-            # the arrow-collect helper drops empty blocks, losing the
-            # schema — only the 0-row outcome is comparable here
-            assert len(got) == 0, name
-            continue
-        want = want[sorted(want.columns)]
-        got = got[sorted(got.columns)]
-        assert got.columns.tolist() == want.columns.tolist(), name
-        want = want.sort_values(list(want.columns)) \
-            .reset_index(drop=True)
-        got = got.sort_values(list(got.columns)).reset_index(drop=True)
-        assert got.values.tolist() == want.values.tolist(), name
+    whitespace-only docs (including one all-NULL parquet row group),
+    and heavy count ties — pinning that Arrow's codepoint slicing,
+    bytewise least/greatest canonicalisation, block-schema typing and
+    the engine's tie-breaks all agree with SQL."""
+    d = _adversarial_docs_dir(tmp_path)
+    _assert_oracle_parity(d, (
+        "cooccur_pmi", "bpe_pair_counts", "ngram_topk", "bigram_lift",
+        "chunk_text", "corpus_stats", "token_count", "quality_score",
+        "gopher_quality", "exact_dedup", "doc_fingerprint_rolling",
+        "hll_distinct"))
 
 
 def _adversarial_docs_dir(tmp_path):
@@ -2174,7 +2128,7 @@ def _adversarial_docs_dir(tmp_path):
         "étude étude étude",
         None, "", "   \t  ",
         "tie tie tie kie kie kie",
-    ] * 3
+    ] * 3 + [None, None, None]   # one row group of ONLY NULL texts
     n = len(texts)
     d = tmp_path / "adv2"
     d.mkdir()
@@ -2186,7 +2140,11 @@ def _adversarial_docs_dir(tmp_path):
         "source": pa.array(["s0"] * n, pa.string()),
         "n_chars": pa.array([len(t) if t else 0 for t in texts],
                             pa.int64()),
-    }), str(d / "documents.parquet"))
+    }), str(d / "documents.parquet"),
+        # tiny row groups force multi-block reads with an ALL-NULL text
+        # block — the schema-inference hazard must reproduce regardless
+        # of what the shared DataContext looks like by this test
+        row_group_size=3)
     return d
 
 

@@ -373,7 +373,9 @@ def lang_id(sf_dir: str):
         # stopwords the oracle's tokenisation never sees
         toks = batch["text"].str.lower() \
             .str.findall(r"[^\t\n\f\r ]+")
-        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        lens = np.fromiter(
+            (len(x) if isinstance(x, list) else 0 for x in toks),
+            np.int64, len(toks))
         n = len(batch)
         votes = np.zeros((n, len(langs)), np.float64)
         if lens.sum():
@@ -414,15 +416,20 @@ def doc_fingerprint(sf_dir: str):
     including md5(NULL) IS NULL for a NULL text)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
-                   if isinstance(t, str) else None
-                   for t in batch["text"]],
+    def f(t: pa.Table) -> pa.Table:
+        # explicitly-typed output: a block whose texts are ALL NULL
+        # must still carry fp: string — pandas/Arrow inference would
+        # emit the null type and break downstream concat/fill schemas
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fp": pa.array([hashlib.md5(x.encode("utf-8")).hexdigest()
+                            if isinstance(x, str) else None
+                            for x in t.column("text").to_pylist()],
+                           pa.string()),
         })
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
