@@ -2060,6 +2060,21 @@ def test_bpe_train(ray_session, tmp_path):
     got = to_arrow(ops.bpe_train(str(d), n_merges=n_merges)).to_pydict()
     assert list(zip(got["rank"], got["lhs"], got["rhs"],
                     got["cnt"])) == want
+    # the distributed per-round path (local_max=0 forces it) must
+    # produce the identical merge trace and final symbol table as the
+    # guarded driver-local fast path
+    ds = ops.read_table(str(d), "documents", columns=["text"])
+    m_dist, fin_dist = ops._bpe_train_state(ds, 8, n_merges,
+                                            local_max=0)
+    assert m_dist == want
+    m_loc, fin_loc = ops._bpe_train_state(ds, 8, n_merges)
+    assert m_loc == want
+
+    def snap(final):
+        t = to_arrow(final).to_pydict()
+        return sorted(zip(t["word"],
+                          [tuple(s) for s in t["syms"]], t["cnt"]))
+    assert snap(fin_dist) == snap(fin_loc)
 
 
 def test_bpe_token_count(ray_session, tmp_path):

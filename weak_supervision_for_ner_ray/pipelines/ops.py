@@ -6546,13 +6546,75 @@ def bpe_train(sf_dir: str, n_merges: int = 16):
     })
 
 
-def _bpe_train_state(ds, n_groups: int, n_merges: int):
+# word-dict size up to which BPE training runs driver-local: (word,
+# cnt) rows at ~30 B plus symbol lists — 1M words ≈ 100 MB of Python
+# state, well inside the driver heap.  Every real trainer (HF
+# tokenizers, SentencePiece) collects the word-dict when it fits; the
+# distributed per-round loop below exists for the web-scale vocabulary
+# that doesn't.
+_BPE_LOCAL_MAX = 1_000_000
+
+
+def _bpe_train_state(ds, n_groups: int, n_merges: int,
+                     local_max: int = _BPE_LOCAL_MAX):
     """The :func:`bpe_train` loop, returning ``(merges, final)`` where
     ``merges`` is the learned rule list ``[(rank, lhs, rhs, cnt), ...]``
     and ``final`` is the materialised ``(word, syms, cnt)`` Dataset —
     every corpus word encoded by the full merge sequence (what an
-    encode-side consumer like :func:`bpe_token_count` probes)."""
+    encode-side consumer like :func:`bpe_token_count` probes).
+
+    Two bit-identical paths, guarded on word-dict size (same contract
+    as ``_VOCAB_BROADCAST_MAX``): ≤ ``local_max`` distinct words →
+    collect the dict and run the reference Sennrich loop on the driver
+    (the distributed loop pays ~2 Ray barriers per merge round — 9 s
+    for 16 rounds at ANY corpus size, pure fixed cost); larger → the
+    per-round distributed exchange.  The parity pytest pins both paths
+    to the same merge trace."""
     words = _word_count_table(ds, n_groups)
+    if words.count() <= local_max:
+        wt = _to_arrow(words)
+        wc = dict(zip(wt.column("word").to_pylist(),
+                      (int(c) for c in wt.column("cnt").to_pylist())))
+        syms_d = {w: list(w) for w in wc}
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            stats: dict[tuple[str, str], int] = {}
+            for w, syms in syms_d.items():
+                c = wc[w]
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    stats[k] = stats.get(k, 0) + c
+            if not stats:
+                break
+            (l0, r0), c0 = min(stats.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+            if c0 < 2:
+                break
+            merges.append((rank, l0, r0, c0))
+            for w, syms in syms_d.items():
+                n = len(syms)
+                if n < 2:
+                    continue
+                res, i, changed = [], 0, False
+                while i < n:
+                    if (i + 1 < n and syms[i] == l0
+                            and syms[i + 1] == r0):
+                        res.append(l0 + r0)
+                        i += 2
+                        changed = True
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                if changed:
+                    syms_d[w] = res
+        wl = list(wc)
+        final = rd.from_arrow(pa.table({
+            "word": pa.array(wl, pa.string()),
+            "syms": pa.array([syms_d[w] for w in wl],
+                             pa.list_(pa.string())),
+            "cnt": pa.array([wc[w] for w in wl], pa.int64()),
+        })).materialize()
+        return merges, final
 
     def init_syms(t: pa.Table) -> pa.Table:
         return pa.table({
