@@ -16,8 +16,11 @@ def to_arrow(ds):
     if isinstance(ds, pa.Table):
         return ds
     tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [pa.Table.from_pandas(t, preserve_index=False)
+              if isinstance(t, pd.DataFrame) else t for t in tables]
     tables = [t for t in tables if t.num_rows]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    return pa.concat_tables(tables, promote_options="default") \
+        if tables else pa.table({})
 
 
 @pytest.fixture(scope="module")
@@ -2221,6 +2224,83 @@ def test_retrieval_sampling_adversarial_oracle_parity(ray_session,
         "distinct_token_kmv_by_lang", "doc_fingerprint",
         "dup_passages", "lang_id", "stratified_sample",
         "token_count_bpe", "train_shards"))
+
+
+def test_events_adversarial_oracle_parity(ray_session, tmp_path):
+    """The events-only relational oracles hash-match on an adversarial
+    event stream: timestamp ties within a user (event_id tie-break),
+    gaps landing EXACTLY on the 30-minute sessionize boundary,
+    zero/negative/huge values, malformed and edge-case JSON props,
+    an empty event_type string, single-event users, one heavily
+    skewed user, and storage order shuffled against time order."""
+    import datetime as dt
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = []  # (event_id, user, offset_s, etype, value, props)
+    # user 1: three events at the SAME instant + one exactly 30 min
+    # later (the sessionize gap boundary: strictly-greater starts a new
+    # session, equal must NOT) + one at 30 min + 1 s (must split)
+    rows += [(11, 1, 0, "view", 0.0, '{"k": 1}'),
+             (10, 1, 0, "click", -1.5, '{"k": -2}'),
+             (12, 1, 0, "view", 1e12, '{"k": 9007199254740993}'),
+             (13, 1, 1800, "purchase", 2.0, '{"k":0}'),
+             (14, 1, 3601, "view", 3.0, '{ "k" :  7 }')]
+    # user 2: single event, malformed / stringy props
+    rows += [(20, 2, 5, "view", 0.0, '{"k": "12"}')]
+    # user 3: skewed — 500 events alternating types, some malformed
+    # props, shuffled storage order
+    for i in range(500):
+        rows.append((300 + i, 3, 7 * i,
+                     ["view", "click", ""][i % 3],
+                     float(i % 5) - 2.0,
+                     ['{"k": %d}' % (i - 250), "not json", "{}",
+                      '{"kk": 3}', '{"k": 2147483648}'][i % 5]))
+    # user 4: descending storage order, boundary-adjacent gaps
+    rows += [(41, 4, 10_000, "purchase", 1.0, "{}"),
+             (40, 4, 10_000 - 1801, "click", 1.0, '{"k": -0}'),
+             (42, 4, 10_000 + 1799, "view", 1.0, '{"k": 5}')]
+    import random
+    random.Random(7).shuffle(rows)
+    d = tmp_path / "advev"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * s for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), str(d / "events.parquet"), row_group_size=64)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    for name in ("sessionize", "interarrival_stats", "funnel_stages",
+                 "json_props_extract", "event_type_stats",
+                 "events_hourly", "events_sliding_window",
+                 "percentile_by_group", "topk_by_group", "asof_join",
+                 "range_join"):
+        want = con.execute(oracles[name]).fetch_arrow_table() \
+            .to_pandas()
+        res = qs[name](str(d))
+        got = res if isinstance(res, pd.DataFrame) \
+            else to_arrow(res).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0, name
+            continue
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        assert got.columns.tolist() == want.columns.tolist(), name
+        want = want.sort_values(list(want.columns)) \
+            .reset_index(drop=True)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), name
 
 
 def test_interarrival_stats(ray_session, tmp_path):

@@ -7236,13 +7236,16 @@ def json_props_extract(sf_dir: str):
         et = t.column("event_type").filter(ok) \
             .to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(et, return_inverse=True)
+        # integer segment sum via np.add.at — a float-weighted bincount
+        # loses exactness once |k| sums past 2^53 (the oracle sums in
+        # BIGINT)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, k)
         return pa.table({
             "event_type": pa.array(uniq.tolist(), pa.string()),
             "n": pa.array(np.bincount(inv, minlength=len(uniq))
                           .astype(np.int64)),
-            "sum_k": pa.array(np.bincount(inv, weights=k,
-                                          minlength=len(uniq))
-                              .astype(np.int64)),
+            "sum_k": pa.array(sums),
             "max_k": pa.array(_segment_max(k, inv, len(uniq))),
         })
 
