@@ -2303,6 +2303,66 @@ def test_events_adversarial_oracle_parity(ray_session, tmp_path):
         assert got.values.tolist() == want.values.tolist(), name
 
 
+def test_embeddings_adversarial_oracle_parity(ray_session, tmp_path):
+    """The embeddings-only ANN/dedup oracles hash-match on an
+    adversarial vector table: an all-zero vector (cosine norm 0),
+    exact duplicates, a negated vector, axis-aligned one-hots, and
+    denormal-small components."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    rng = np.random.default_rng(11)
+    dim = 64                        # the oracles pin the table's shape
+    vecs = []
+    base = rng.normal(size=dim).astype(np.float32)
+    vecs.append(np.zeros(dim, np.float32))          # zero norm
+    vecs.append(base)
+    vecs.append(base.copy())                        # exact duplicate
+    vecs.append(-base)                              # antipodal
+    for i in range(4):
+        e = np.zeros(dim, np.float32)
+        e[i] = 1.0
+        vecs.append(e)                              # one-hots
+    vecs.append(np.full(dim, 1e-30, np.float32))    # denormal-small
+    for _ in range(11):
+        vecs.append(rng.normal(size=dim).astype(np.float32))
+    d = tmp_path / "advemb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(len(vecs))],
+                          pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    for name in ("knn_bruteforce", "knn_graph", "dedup_embedding",
+                 "ann_lsh_buckets", "ann_lsh_query",
+                 "kmeans_ivf_assign", "ivf_query", "pq_codes",
+                 "pq_query", "ivfpq_query", "semantic_dedup",
+                 "dedup_embedding_lsh"):
+        want = con.execute(oracles[name]).fetch_arrow_table() \
+            .to_pandas()
+        res = qs[name](str(d))
+        got = res if isinstance(res, pd.DataFrame) \
+            else to_arrow(res).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0, name
+            continue
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        assert got.columns.tolist() == want.columns.tolist(), name
+        want = want.sort_values(list(want.columns)) \
+            .reset_index(drop=True)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), name
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""

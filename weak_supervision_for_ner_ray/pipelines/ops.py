@@ -1112,6 +1112,22 @@ def _smallest_by_vec_id(ds, n: int, sf_dir: str | None = None) -> pa.Table:
     return parts.take(order.slice(0, min(n, parts.num_rows)))
 
 
+def _cos_normalize(M: np.ndarray):
+    """Row-normalise for cosine similarity; returns ``(Mn, zero)``.
+
+    A zero-norm row normalises to zeros and its ``zero`` mask bit marks
+    it so callers can impose the oracle convention — DuckDB
+    ``list_cosine_similarity`` returns **-1.0** whenever either side
+    has zero norm — instead of the NaN (unguarded) or 0.0 (eps-guarded)
+    a plain division produces.  No epsilon floor: a denormal-small but
+    nonzero vector must normalise to its true direction (an 1e-12
+    floor silently zeroed any vector with norm below it, diverging
+    from the oracle's exact double arithmetic)."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    zero = n[:, 0] == 0.0
+    return M / np.where(n == 0.0, 1.0, n), zero
+
+
 def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     """Brute-force cosine top-k: the query matrix (smallest ``n_queries``
     vec_ids) is broadcast; each batch computes a local top-k via one matmul;
@@ -1120,15 +1136,17 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     qtbl = _smallest_by_vec_id(ds, n_queries, sf_dir)
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_ref = ray.put((q_ids, Qn))
+    Qn, q_zero = _cos_normalize(Q)
+    q_ref = ray.put((q_ids, Qn, q_zero))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        q_ids_, Qn_ = ray.get(q_ref)
+        q_ids_, Qn_, q_zero_ = ray.get(q_ref)
         ids = np.array(batch["vec_id"].to_pylist(), np.int64)
         X = _embedding_matrix(batch["embedding"])
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xn, x_zero = _cos_normalize(X)
         sims = Xn @ Qn_.T                          # (B, Q)
+        sims[x_zero, :] = -1.0                     # oracle convention:
+        sims[:, q_zero_] = -1.0                    # zero-norm cos = -1
         # similarity as integer micros: order-stable + hash-identical to
         # the SQL oracle; half-away-from-zero to match DuckDB round()
         # (floor(x+0.5) would differ for negative sims on exact .5 ties)
@@ -1138,7 +1156,11 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
         kk = min(k, len(ids))
         for qi, qid in enumerate(q_ids_):
             s = micros[:, qi]
-            idx = np.argpartition(-s, kk - 1)[:kk]
+            # exact (sim desc, vec_id asc) selection — argpartition
+            # would keep an ARBITRARY subset of rows tying at the kth
+            # value, and the driver merge can't recover ids a block
+            # never emitted
+            idx = np.lexsort((ids, -s))[:kk]
             for i in idx:
                 rows["query_id"].append(qid)
                 rows["vec_id"].append(int(ids[i]))
@@ -2468,7 +2490,7 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
     q_ids = qtbl["vec_id"].to_pylist()
     Q = np.array(qtbl["embedding"].to_pylist(), np.float64)
     dim = Q.shape[1]
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Qn, q_zero = _cos_normalize(Q)
     W = np.random.default_rng(seed).standard_normal((dim, n_planes))
     qb = ((Q @ W) > 0) @ (1 << np.arange(n_planes))
     probe: set[int] = set(int(b) for b in qb)
@@ -2476,11 +2498,11 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
         for b in list(probe):
             for j in range(n_planes):
                 probe.add(b ^ (1 << j))
-    state_ref = ray.put((q_ids, Qn, W, frozenset(probe)))
+    state_ref = ray.put((q_ids, Qn, q_zero, W, frozenset(probe)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         from ..stages.util import cached_from_ref
-        q_ids_, Qn_, W_, probe_ = cached_from_ref(state_ref)
+        q_ids_, Qn_, q_zero_, W_, probe_ = cached_from_ref(state_ref)
         ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
         X = _embedding_matrix(batch["embedding"])
         buckets = ((X @ W_) > 0) @ (1 << np.arange(W_.shape[1]))
@@ -2492,15 +2514,19 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
         if not keep.any():
             return empty
         ids, X = ids[keep], X[keep]
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xn, x_zero = _cos_normalize(X)
         sims = Xn @ Qn_.T
+        sims[x_zero, :] = -1.0                   # oracle: zero-norm
+        sims[:, q_zero_] = -1.0                  # cosine = -1
         micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
                              sims).astype(np.int64)
         rows = {"query_id": [], "vec_id": [], "sim_micro": []}
         kk = min(k, len(ids))
         for qi, qid in enumerate(q_ids_):
             s = micros[:, qi]
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) \
+            # exact (sim desc, vec_id asc) block-local selection —
+            # argpartition keeps an arbitrary subset of kth-value ties
+            idx = np.lexsort((ids, -s))[:kk] if kk < len(ids) \
                 else np.arange(len(ids))
             for i in idx:
                 rows["query_id"].append(qid)
@@ -2535,8 +2561,8 @@ def _gathered_matrix(refs: list):
     full = pa.concat_tables(tables)
     ids_all = np.asarray(full["vec_id"].to_pylist(), np.int64)
     X = _embedding_matrix(full["embedding"])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    return ids_all, Xn
+    Xn, zero = _cos_normalize(X)
+    return ids_all, Xn, zero
 
 
 def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
@@ -2569,11 +2595,13 @@ def dedup_embedding_cosine(sf_dir: str, threshold_micro: int = 400_000,
 
     def pairs(batch: pa.Table) -> pa.Table:
         from ..stages.util import cached_from_ref
-        ids_a, M = cached_from_ref(mat_ref)
+        ids_a, M, m_zero = cached_from_ref(mat_ref)
         ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
         Y = _embedding_matrix(batch["embedding"])
-        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        Yn, y_zero = _cos_normalize(Y)
         sims = Yn @ M.T                              # (B, N)
+        sims[y_zero, :] = -1.0                       # oracle: zero-norm
+        sims[:, m_zero] = -1.0                       # cosine = -1
         micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
                              sims).astype(np.int64)
         bi, aj = np.nonzero(micros >= threshold_micro)
@@ -2628,13 +2656,14 @@ def knn_graph(sf_dir: str, k: int = 5, max_rows: int = 2_000_000):
 
     def topk(batch: pa.Table) -> pa.Table:
         from ..stages.util import cached_from_ref
-        ids_all, M = cached_from_ref(mat_ref)
+        ids_all, M, m_zero = cached_from_ref(mat_ref)
         assert ids_all.max() <= _ID32, "composite rank key needs id < 2^32"
         ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
         Y = _embedding_matrix(batch["embedding"])
-        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
-                            1e-12)
+        Yn, y_zero = _cos_normalize(Y)
         sims = Yn @ M.T                                  # (B, N)
+        sims[y_zero, :] = -1.0                           # oracle: zero-
+        sims[:, m_zero] = -1.0                           # norm cos = -1
         micros = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
                              sims).astype(np.int64)
         comp = micros * (_ID32 + 1) + (_ID32 - ids_all[None, :])
