@@ -2143,7 +2143,7 @@ def _adversarial_docs_dir(tmp_path):
         "日本 語 日本 語 テスト 日本",
         "🍎 🍏 🍎 🍏 🍐 🍎 🍏",
         "a\x1fb c a\x1fb c a\x1fb",
-        "étude étude étude",
+        "étude e\u0301tude étude",  # precomposed vs combining accent
         None, "", "   \t  ",
         "tie tie tie kie kie kie",
     ] * 3 + [None, None, None]   # one row group of ONLY NULL texts
@@ -2361,6 +2361,37 @@ def test_embeddings_adversarial_oracle_parity(ray_session, tmp_path):
             .reset_index(drop=True)
         got = got.sort_values(list(got.columns)).reset_index(drop=True)
         assert got.values.tolist() == want.values.tolist(), name
+
+
+def test_cooccur_pmi_floored_tie_boundary(ray_session, tmp_path):
+    """The float prefilter must keep BOTH members of a floored-pmi tie
+    straddling the top-k boundary.  Construction: pair (aA,bA) has
+    marginals m·m and (cA,dA) has (m-1)(m+1) = m²-1, both with count
+    c — ratios c·N²·1e6/(m²·P) = exactly 8e6 vs 8e6·m²/(m²-1); at
+    m = 3000 both FLOOR to 8,000,000 while the real ratios differ by
+    ~1.1e-7 relative, far outside a bare 1e-9 band.  Exact order puts
+    the lex-smaller (aA,bA) first; a prefilter without the full
+    floor-unit allowance drops it before the bigint rescore."""
+    import pyarrow.parquet as pq
+    c, m = 5, 3000
+    texts = (["aA bA"] * c + ["cA dA"] * c
+             + ["aA"] * (m - c) + ["bA"] * (m - c)
+             + ["cA"] * (m - 1 - c) + ["dA"] * (m + 1 - c))
+    d = tmp_path / "pmitie"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    # sanity: the construction really is a floored tie (N = 4m, P = 2c)
+    N, P = 4 * m, 2 * c
+    v1 = (c * N * N * 1_000_000) // (m * m * P)
+    v2 = (c * N * N * 1_000_000) // ((m - 1) * (m + 1) * P)
+    assert v1 == v2 == 8_000_000
+    got = to_arrow(ops.cooccur_pmi(str(d), window=3, min_cnt=c,
+                                   k=1)).to_pydict()
+    assert (got["a"], got["b"], got["cnt"], got["pmi_ppm"]) == \
+        (["aA"], ["bA"], [c], [8_000_000])
 
 
 def test_interarrival_stats(ray_session, tmp_path):

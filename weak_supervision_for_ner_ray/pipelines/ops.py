@@ -502,7 +502,7 @@ class MinHasher:
         # the oracle's lower(NULL)/len(tk)=0 chain does
         if not isinstance(text, str):
             return []
-        toks = [w for w in _ASCII_WS_RE.split(text.lower()) if w]
+        toks = _ws_tokens(text.lower())
         k = self.shingle
         if len(toks) < k:
             return [" ".join(toks)] if toks else []
@@ -942,8 +942,7 @@ class SimHashStage:
         # whitespace covers \v, \x1c-\x1f and Unicode spaces); a
         # tokenless (NULL/empty) doc keeps simhash 0 — the oracle LEFT
         # JOINs every doc_id and COALESCEs missing hashes to 0
-        tok_lists = [[w for w in _ASCII_WS_RE.split(t.lower()) if w]
-                     if isinstance(t, str) else []
+        tok_lists = [_ws_tokens(t.lower()) if isinstance(t, str) else []
                      for t in batch["text"]]
         lengths = np.array([len(t) for t in tok_lists], np.int64)
         n = len(tok_lists)
@@ -1154,13 +1153,17 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
                              sims).astype(np.int64)
         rows = {"query_id": [], "vec_id": [], "sim_micro": []}
         kk = min(k, len(ids))
+        # exact (sim desc, vec_id asc) selection at O(B): argpartition
+        # on the composite key micros·2³² + (2³²−1−id) — a bare-micros
+        # partition kept an ARBITRARY subset of rows tying at the kth
+        # value, and the driver merge can't recover ids a block never
+        # emitted (the knn_graph kernel shape)
+        assert ids.max(initial=0) < (1 << 32), "composite key needs id < 2^32"
+        inv_id = np.int64((1 << 32) - 1) - ids
         for qi, qid in enumerate(q_ids_):
             s = micros[:, qi]
-            # exact (sim desc, vec_id asc) selection — argpartition
-            # would keep an ARBITRARY subset of rows tying at the kth
-            # value, and the driver merge can't recover ids a block
-            # never emitted
-            idx = np.lexsort((ids, -s))[:kk]
+            comp = s * np.int64(1 << 32) + inv_id
+            idx = np.argpartition(-comp, kk - 1)[:kk]
             for i in idx:
                 rows["query_id"].append(qid)
                 rows["vec_id"].append(int(ids[i]))
@@ -2522,12 +2525,16 @@ def ann_lsh_query(sf_dir: str, n_queries: int = 8, k: int = 10,
                              sims).astype(np.int64)
         rows = {"query_id": [], "vec_id": [], "sim_micro": []}
         kk = min(k, len(ids))
+        # exact (sim desc, vec_id asc) block-local selection at O(B):
+        # composite-key argpartition (bare micros kept an arbitrary
+        # subset of kth-value ties — the knn_graph kernel shape)
+        assert ids.max(initial=0) < (1 << 32), "composite key needs id < 2^32"
+        inv_id = np.int64((1 << 32) - 1) - ids
         for qi, qid in enumerate(q_ids_):
             s = micros[:, qi]
-            # exact (sim desc, vec_id asc) block-local selection —
-            # argpartition keeps an arbitrary subset of kth-value ties
-            idx = np.lexsort((ids, -s))[:kk] if kk < len(ids) \
-                else np.arange(len(ids))
+            comp = s * np.int64(1 << 32) + inv_id
+            idx = np.argpartition(-comp, kk - 1)[:kk] \
+                if kk < len(ids) else np.arange(len(ids))
             for i in idx:
                 rows["query_id"].append(qid)
                 rows["vec_id"].append(int(ids[i]))
@@ -6281,9 +6288,11 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
     :func:`bigram_lift`, the marginals are unigram — independent of the
     pair table — so the ``cnt ≥ min_cnt`` filter runs BEFORE the attach
     and only survivors carry marginals.  Ranking is per-block local
-    top-k: a vectorised float64 prefilter keeps every row within a
-    1e-9 relative guard band of the in-block kth score (double error is
-    ~1e-15, so no exact-top-k row can be excluded), the survivors are
+    top-k: a vectorised float64 prefilter keeps every row within one
+    full floor unit plus a 1e-9 relative guard band of the in-block
+    kth score (the order key is the FLOORED ratio, so floored ties
+    can sit a full ppm unit apart in real-ratio terms; double error
+    is ~1e-15, so no exact-top-k row can be excluded), survivors are
     rescored with exact Python bigints INSIDE the block, and the driver
     merges O(blocks × k) rows — never the survivor set."""
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -6367,7 +6376,14 @@ def cooccur_pmi(sf_dir: str, window: int = 3, min_cnt: int = 5,
                 * float(den_scale)))
         if len(f) > k:
             kth = np.partition(f, len(f) - k)[len(f) - k]
-            keep = f >= kth * (1.0 - 1e-9)    # guard band ≫ double err
+            # the ORDER key is the FLOORED integer ratio, so the band
+            # must cover a full floor unit: two rows can tie on
+            # pmi_ppm while their real ratios differ by up to 1 ppm
+            # unit — a bare relative band dropped the lex-smaller of
+            # such a tie.  With F the kth floored value, every top-k
+            # row has ratio ≥ F and kth float ≤ (F+1)(1+ε), so
+            # f ≥ kth(1-1e-9) - 1 keeps them all (ε ~ 1e-15 ≪ 1e-9).
+            keep = f >= kth * (1.0 - 1e-9) - 1.0
         else:
             keep = np.ones(len(f), bool)
         idx = np.flatnonzero(keep)
