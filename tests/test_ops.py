@@ -2394,6 +2394,55 @@ def test_cooccur_pmi_floored_tie_boundary(ray_session, tmp_path):
         (["aA"], ["bA"], [c], [8_000_000])
 
 
+def test_graph_adversarial_oracle_parity(ray_session, tmp_path):
+    """The lineitem-derived graph oracles hash-match on a degenerate
+    graph: heavily duplicated (supplier, part) rows, a hub part shared
+    by many suppliers, a long chain, a 4-clique-ish butterfly nest,
+    an isolated supplier (sole supplier of its part), and two
+    disconnected components."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+    edges = []
+    edges += [(1, 100)] * 7 + [(2, 100)] * 3 + [(3, 100)]   # hub part
+    edges += [(1, 101), (2, 101)]            # butterfly with part 100
+    edges += [(1, 102), (2, 102)]            # second butterfly
+    for i in range(10):                       # chain s10..s20
+        edges += [(10 + i, 200 + i), (11 + i, 200 + i)]
+    edges += [(50, 300)]                      # isolated supplier
+    edges += [(60, 400), (61, 400), (60, 401), (61, 401),
+              (62, 402), (60, 402)]           # disconnected component
+    d = tmp_path / "advgraph"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    }), str(d / "lineitem.parquet"), row_group_size=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    for name in ("pagerank", "bfs_hops", "degree_distribution",
+                 "butterfly_count", "supplier_similarity"):
+        want = con.execute(oracles[name]).fetch_arrow_table() \
+            .to_pandas()
+        res = qs[name](str(d))
+        got = res if isinstance(res, pd.DataFrame) \
+            else to_arrow(res).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0, name
+            continue
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        assert got.columns.tolist() == want.columns.tolist(), name
+        want = want.sort_values(list(want.columns)) \
+            .reset_index(drop=True)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), name
+
+
 def test_interarrival_stats(ray_session, tmp_path):
     """Gap sums/maxes vs pandas brute force: ts ties broken by event_id,
     single-event users report zero gaps, cross-user boundaries masked."""
